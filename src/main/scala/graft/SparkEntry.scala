@@ -1,13 +1,93 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    analytics.Queries.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_pricing_summary" -> ((s, d) => analytics.Queries.pricingSummary(s, d)),
+    "a2_topk_revenue" -> ((s, d) => analytics.Queries.topkRevenue(s, d)),
+    "a3_multi_join" -> ((s, d) => analytics.Queries.multiJoinVolume(s, d)),
+    "a4_window_rank" -> ((s, d) => analytics.Queries.windowRank(s, d)),
+    "a5_distinct_stats" -> ((s, d) => analytics.Queries.distinctStats(s, d)),
+    "a6_semi_anti" -> ((s, d) => analytics.Queries.semiAnti(s, d)),
+    "a7_rollup" -> ((s, d) => analytics.Queries.rollupStats(s, d)),
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
+    * tables, registered by table name). Column aliases MUST match the
+    * Spark side exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_topk_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin,
+    "a3_multi_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "a4_window_rank" ->
+      """SELECT * FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "a5_distinct_stats" ->
+      """SELECT o_orderpriority,
+        | count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END),4) AS finished_value,
+        | round(avg(o_totalprice),4) AS avg_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "a6_semi_anti" ->
+      """SELECT c_custkey,
+        | EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+  )
 }

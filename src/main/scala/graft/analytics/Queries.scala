@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** General analytical query library over the star schema.
+  *
+  * Scale notes: every query here is a declarative plan — Catalyst
+  * pushes filters/projections into the parquet scan, AQE handles
+  * skew/coalescing. Dimension tables (region/nation/supplier/part,
+  * and customer at these SFs) are explicitly `broadcast` so fact
+  * tables never shuffle for them; the only shuffles are the final
+  * aggregations on their group keys.
+  */
+object Queries {
+
+  /** TPC-H Q1-style pricing summary: single scan of lineitem with a
+    * pushed-down date filter, map-side partial aggregation, one
+    * shuffle on the (tiny-cardinality) group key.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-k revenue orders: customer ⋈ orders ⋈ lineitem. Customer is
+    * the small side at any SF relative to lineitem — broadcast; the
+    * orders⋈lineitem join shuffles on orderkey once, and the revenue
+    * agg reuses that key (no extra shuffle).
+    */
+  def topkRevenue(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Star join across all six TPC-H-ish tables: all dims broadcast,
+    * single shuffle for the final group-by on nation name.
+    */
+  def multiJoinVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N per group via window rank: one shuffle to partition by
+    * group key; rank computed within partitions, filter prunes early.
+    */
+  def windowRank(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Exact distinct + conditional aggregation per order priority. */
+  def distinctStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 4).as("finished_value"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Semi/anti join: customers with orders (EXISTS) and without
+    * (NOT EXISTS) — Spark's left_semi/left_anti avoid materializing
+    * the join product entirely.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withOrders.unionAll(withoutOrders).orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP aggregation: subtotals + grand total in one pass
+    * (Catalyst expands grouping sets; still a single shuffle).
+    */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+}
