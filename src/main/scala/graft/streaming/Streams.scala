@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.pipeline.Medallion
+
+/** Structured Streaming wiring: sources, sinks, and the streaming
+  * gold path (reference: src/jobs/spark_streaming_job.py — Kafka
+  * source → bronze/silver parquet sinks → watermarked 15-min gold agg
+  * → foreachBatch JDBC).
+  *
+  * All transform logic lives in [[graft.pipeline.Medallion]] as pure
+  * DataFrame functions, so batch and streaming share one code path;
+  * this module only supplies the stream plumbing.
+  */
+object Streams {
+
+  /** Kafka source, configured like the reference
+    * (spark_streaming_job.py:51-58). Offline-untestable here; the
+    * option surface is covered by unit test.
+    */
+  def kafkaReader(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "latest",
+                  failOnDataLoss: Boolean = false): DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+
+  /** Decode a Kafka-shaped frame (binary `value` column) into typed
+    * rows via from_json with an explicit schema — the reference's
+    * CAST(value AS STRING) + from_json step
+    * (spark_streaming_job.py:61-62).
+    */
+  def decodeKafkaJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json_str")
+      .select(from_json(col("json_str"), schema).as("r"))
+      .select("r.*")
+
+  /** File-based streaming source (parquet/json/csv). Schema must be
+    * explicit for streaming reads.
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet", globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema).format(format)
+    globFilter.foreach(g => r.option("pathGlobFilter", g))
+    r.load(path)
+  }
+
+  /** Append sink to a parquet lake with checkpoint — the bronze/silver
+    * sink shape (spark_streaming_job.py:65-72).
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** foreachBatch sink taking any batch-writer function — the
+    * reference uses this shape to append gold windows to Postgres via
+    * JDBC (spark_streaming_job.py:120-146). The JDBC writer itself is
+    * just `df.write.format("jdbc").options(...)` inside the function;
+    * keeping the sink generic lets tests substitute parquet/memory.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)
+                      (writer: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+
+  /** JDBC batch writer for use inside foreachBatchSink — mirrors
+    * spark_streaming_job.py:127-137. Untestable offline (no JDBC
+    * server); kept as the production sink shape.
+    */
+  def jdbcBatchWriter(url: String, table: String, user: String, password: String,
+                      driver: String = "org.postgresql.Driver"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      batch.write.format("jdbc").mode("append")
+        .option("url", url).option("user", user).option("password", password)
+        .option("dbtable", table).option("driver", driver)
+        .save()
+
+  private val runCounter = new AtomicInteger(0)
+
+  /** Run a (bounded) streaming DataFrame to completion into a memory
+    * sink and return the result as a batch DataFrame. Used to prove
+    * stream/batch parity on file-backed sources.
+    */
+  def runToMemory(df: DataFrame, outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_mem_${runCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** SURVEY §2 p6: the reference's gold aggregation executed through
+    * Structured Streaming — file source over the events parquet,
+    * watermark + 15-min tumbling window per event_type, memory sink —
+    * returning the same rows as the batch path (p3).
+    */
+  def p6StreamGold(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val stream = graft.Tables.normalizeEventTs(
+      fileStream(spark, dir, schema, globFilter = Some("events.parquet")))
+    val silver = Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
+    val gold = Medallion.goldWindow(silver, "ts", "event_type")
+    runToMemory(gold)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+}
