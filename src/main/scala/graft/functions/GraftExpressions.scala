@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup/similarity hot paths.
+  *
+  * Each computes an entire per-document signature in ONE pass over an
+  * input array — composing built-ins would explode every token/
+  * shingle into its own row (a 100-1000× row blowup plus a shuffle
+  * for the re-group), which is unusable at 100 TB. As native
+  * expressions they run inside the scan stage with zero shuffle.
+  *
+  * CodegenFallback here costs one virtual call per ROW (the inner
+  * loops are plain JVM arrays) — unlike a Scala UDF there is no
+  * ser/de of the array through the encoder boundary.
+  */
+object MixConstants {
+  // splitmix64 finalizer — the standard public-domain bit mixer.
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: array<long> shingle hashes → array<long>(n)
+  * where slot i = unsigned-min over shingles of (a_i*x + b_i) with
+  * seeded odd multipliers (a 64-bit multiply-shift universal hash).
+  */
+case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  import MixConstants.mix64
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  // Derived deterministically from the seed; odd multipliers.
+  private lazy val as: Array[Long] = Array.tabulate(numPerms)(i => mix64(seed + 2L * i) | 1L)
+  private lazy val bs: Array[Long] = Array.tabulate(numPerms)(i => mix64(seed + 2L * i + 1L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = Array.fill(numPerms)(-1L) // unsigned max
+    var i = 0
+    while (i < arr.length) {
+      val x = arr(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = as(p) * x + bs(p)
+        if (java.lang.Long.compareUnsigned(h, sig(p)) < 0) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** SimHash: array<long> token hashes → 64-bit fingerprint. Bit j is
+  * set when the weighted sum of bit j across token hashes is
+  * positive.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.length) {
+      val h = arr(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Cosine similarity between two float vectors, accumulated in
+  * double precision (matches DuckDB's list_cosine_similarity).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket: float vector → numPlanes sign bits
+  * packed into an int. Planes are pseudo-random unit-free gaussians
+  * derived deterministically from the seed (splitmix64 → uniform
+  * [-1, 1); for sign-of-dot LSH the distribution family only needs
+  * symmetry around 0).
+  */
+case class HyperplaneBucket(child: Expression, numPlanes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  import MixConstants.mix64
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  // planes(p)(d) in [-1, 1), deterministic in (seed, p, d).
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numPlanes, 1024) { (p, d) =>
+      (mix64(seed + p.toLong * 1024 + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      val plane = planes(p)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * plane(d); d += 1 }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    java.lang.Integer.valueOf(bucket)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(child = c)
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  def minhash_signature(c: Column, numPerms: Int = 128, seed: Long = 42L): Column =
+    col(MinHashSignature(ex(c), numPerms, seed))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def hyperplane_bucket(c: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
+    col(HyperplaneBucket(ex(c), numPlanes, seed))
+
+  /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
+  def register(spark: SparkSession): Unit = {
+    GraftBridge.registerFunction(spark, "minhash_signature",
+      es => MinHashSignature(es.head, 128, 42L))
+    GraftBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    GraftBridge.registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es(0), es(1)))
+  }
+}

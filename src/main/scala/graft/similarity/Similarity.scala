@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - bruteForceKnn: exact top-k — the correctness baseline. O(Q·N);
+  *    only sane when Q is small or N fits a broadcast.
+  *  - lshKnn: random-hyperplane LSH — corpus is bucketed once (narrow
+  *    map), queries probe their bucket plus single-bit-flip neighbors
+  *    (multiprobe); candidate scoring touches O(N/2^bits · probes)
+  *    vectors per query. This is the 100 TB path.
+  *  - ivfKnn: IVF — coarse quantizer assigns each vector to its
+  *    nearest centroid cell (one narrow map against broadcast
+  *    centroids); queries probe the nprobe nearest cells.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH ANN: bucket corpus by hyperplane signs; queries probe their
+    * own bucket and all single-bit flips, then score candidates
+    * exactly and keep top-k.
+    */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+             numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val c = corpus
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("bucket", hyperplane_bucket(col("n_emb"), numPlanes, seed))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket0", hyperplane_bucket(col("q_emb"), numPlanes, seed))
+      // multiprobe: own bucket + all buckets within hamming distance 2
+      // (recall/candidate-count tradeoff; at scale tune probes vs planes)
+      .withColumn("probe", explode(expr(
+        s"""array_distinct(concat(
+           |  array(int(bucket0)),
+           |  transform(sequence(0, ${numPlanes - 1}), i -> int(bucket0) ^ shiftleft(1, i)),
+           |  flatten(transform(sequence(0, ${numPlanes - 2}),
+           |    i -> transform(sequence(i + 1, ${numPlanes - 1}),
+           |      j -> int(bucket0) ^ shiftleft(1, i) ^ shiftleft(1, j))))))""".stripMargin)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("probe") === col("bucket") && col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF ANN: assign corpus vectors to nearest-centroid cells, probe
+    * the nprobe nearest cells per query. The coarse quantizer here
+    * takes the first `numCells` vectors as centroids (deterministic);
+    * a k-means refinement plugs into the same shape.
+    */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+             numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cell_cos", cosine_sim(col(embCol), col("cell_emb")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("cell_emb", "cell_cos", "cell_rank")
+    }
+    val c = assign(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", 1)
+    val q = assign(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---- Verified entry points (query set = every 50th vector) ----
+
+  private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") % 50 === 0)
+
+  def s1(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceKnn(querySet(emb), emb)
+  }
+
+  /** Plane count sizes the bucket grid to the corpus: target ~2^planes
+    * ≈ corpus/8 so buckets hold ~8 vectors (here 6 planes for ~500
+    * vectors; at 100 TB you'd use 20+ planes and the same code).
+    */
+  def s2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshKnn(querySet(emb), emb, numPlanes = 6)
+  }
+
+  def s3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfKnn(querySet(emb), emb)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Gap-based sessionization — batch (window functions) and streaming
+  * (flatMapGroupsWithState) implementations of the same semantics:
+  * a session is a maximal run of a user's events with inter-event
+  * gaps below the threshold.
+  *
+  * Scale: the batch path is one shuffle (partition by user) and the
+  * per-user sort; the streaming path keeps one open session per key
+  * in state — O(users) state, emitted and dropped on gap/timeout.
+  */
+object Sessionize {
+
+  /** Batch sessionization via lag + running sum of session-break
+    * flags. Timestamps surfaced as epoch micros (bigint) for
+    * engine-neutral comparison.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  final case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+                              n_events: Long, total_value: Double)
+
+  /** Streaming sessionization: one open session per user held in
+    * GroupState; a new event either extends it or closes it (emitting
+    * the finished session) and opens the next. Event-time timeout
+    * flushes idle sessions once the watermark passes the gap.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.start_us, s.end_us, s.n, s.total))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.end_us <= gapUs =>
+            cur = Some(SessionState(s.start_us, math.max(s.end_us, e.ts_us), s.n + 1, s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.start_us, s.end_us, s.n, s.total)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          // close the open session once event time passes end + gap
+          state.setTimeoutTimestamp((s.end_us + gapUs) / 1000L)
+        case None => state.remove()
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Verified entry point (st1): batch sessionization over events. */
+  def st1(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir))
+}

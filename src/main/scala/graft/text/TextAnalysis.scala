@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, fingerprinting, language ID.
+  *
+  * Scale notes: every operator here is a narrow, codegen'd per-row
+  * map over the documents scan — zero shuffles; at 100 TB these run
+  * at scan speed. All array work uses Spark's higher-order functions
+  * (transform/filter/aggregate), not Scala UDFs, so whole-stage
+  * codegen stays intact.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private def stopwordSqlList: String = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Quality features + composite score (t1): length, punctuation
+    * ratio, stopword ratio, mean word length. The composite mirrors
+    * common pretraining-data quality heuristics (length-normalized,
+    * stopword-bearing text scores higher).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("toks", tokens(t))
+      .withColumn("len_chars", length(t))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("punct_ratio",
+        round((length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t), 6))
+      .withColumn("stopword_ratio",
+        round(expr(s"size(filter(toks, x -> x IN ($stopwordSqlList)))").cast("double") / col("n_tokens"), 6))
+      .withColumn("mean_word_len",
+        round(expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.5)
+          + col("stopword_ratio") * lit(0.3)
+          + (lit(1.0) - col("punct_ratio")) * lit(0.2), 6))
+      .drop("toks")
+  }
+
+  /** Token counting (t2): whitespace tokens plus a BPE-ish regex
+    * segmentation (letter runs / single digits / single symbols) as a
+    * cheap proxy for subword token counts.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", size(tokens(t)))
+      .withColumn("bpe_ish_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
+  }
+
+  /** Document fingerprint (t3): order-insensitive content fingerprint
+    * — md5 over the sorted distinct lowercase token set. Survives
+    * token reordering; the cheap canonical form behind "fuzzy exact"
+    * dedup.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint",
+      md5(array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")))
+
+  /** Language ID (t4): stopword-profile n-gram heuristic — scores the
+    * text against small per-language marker-word profiles and picks
+    * the argmax (with 'und' when nothing matches). Real LID models
+    * plug in the same shape (per-row map → argmax).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      struct(
+        expr(s"size(filter(__lid_toks, x -> x IN ($list)))").as("hits"),
+        lit(lang).as("lang"))
+    }
+    docs.withColumn("__lid_toks", toks)
+      .withColumn("__best", sort_array(array(scored: _*), asc = false).getItem(0))
+      .withColumn("lang_pred",
+        when(col("__best.hits") > 0, col("__best.lang")).otherwise(lit("und")))
+      .withColumn("lang_score", col("__best.hits"))
+      .drop("__lid_toks", "__best")
+  }
+
+  // ---- Verified entry points ----
+
+  def t1Quality(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir))
+      .select("doc_id", "len_chars", "n_tokens", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score")
+      .orderBy("doc_id")
+
+  def t2Tokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir))
+      .select("doc_id", "ws_tokens", "bpe_ish_tokens")
+      .orderBy("doc_id")
+
+  def t3Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(spark, dir))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  def t4LangId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+      .select("doc_id", "lang_pred", "lang_score")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpecBase {
+
+  test("exact dedup keeps one id per distinct content") {
+    val docs = Tables.documents(spark, sf)
+    val r = dedup.Dedup.exactDedup(docs)
+    assert(r.count() == docs.select(md5(col("text"))).distinct().count())
+    assert(r.agg(sum(col("n_copies"))).head().getLong(0) == docs.count())
+  }
+
+  test("minhash-LSH candidates recover the exact high-jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = dedup.Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dups")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall over exact j>=0.7 pairs was $recall")
+  }
+
+  test("simhash finds the permuted near-dups with hamming 0") {
+    val pairs = dedup.Dedup.simhashPairs(Tables.documents(spark, sf))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("hamming") === 0).count() > 0,
+      "token-multiset-identical docs must collide exactly")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val r = dedup.Dedup.embeddingNearDups(Tables.embeddings(spark, sf), threshold = 0.4)
+    val rows = r.collect()
+    assert(rows.forall(x => x.getLong(0) < x.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.4))
+  }
+}

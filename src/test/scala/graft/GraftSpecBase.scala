@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session; suites are
+  * read-only over the test data).
+  */
+trait GraftSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSpecBase.session
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+object GraftSpecBase {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("graft-test", cores = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+class PipelineSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("guarded ratio: null on zero denominator (reference ÷0 guard)") {
+    val df = Seq((4.0, 1.0), (0.0, 0.0), (3.0, 0.0)).toDF("num", "den")
+      .select(pipeline.Medallion.guardedRatio(col("num"), col("den")).as("r"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(0.8))
+    assert(got(1).isEmpty, "0/(0+0) must be null, not NaN")
+    assert(got(2).contains(1.0))
+  }
+
+  test("silver dedup drops duplicate keys") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(pipeline.Medallion.silverClean(df, Seq("id")).count() == 2)
+  }
+
+  test("gold window: manual check on a tiny frame") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), "x", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:14:59"), "x", 20.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:15:00"), "x", 30.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("pct_value", lit(0.5))
+    val g = pipeline.Medallion.goldWindow(rows, "ts", "event_type")
+      .orderBy("window_start").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("n_events") == 2 && g(0).getAs[Double]("avg_value") == 15.0)
+    assert(g(1).getAs[Long]("n_events") == 1 && g(1).getAs[Double]("avg_value") == 30.0)
+  }
+
+  test("streaming gold equals batch gold (stream/batch parity)") {
+    val batch = pipeline.Medallion.p3GoldWindow(spark, sf).collect().toSeq
+    val stream = streaming.Streams.p6StreamGold(spark, sf)
+      .select(batch.head.schema.fieldNames.map(col): _*).collect().toSeq
+    assert(stream.toSet == batch.toSet)
+    assert(batch.nonEmpty)
+  }
+
+  test("quality checks: single pass, correct pass/fail") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (2L, Some(-5.0))).toDF("id", "v")
+    val r = quality.Checks.run(df, Seq(
+      quality.Checks.RowCountAbove(0),
+      quality.Checks.MissingCount("v"),
+      quality.Checks.DuplicateCount("id"),
+      quality.Checks.MinAtLeast("v", 0.0)))
+    val byName = r.collect().map(x => x.getString(0) -> (x.getDouble(1), x.getBoolean(2))).toMap
+    assert(byName("row_count") == ((3.0, true)))
+    assert(byName("missing_count_v") == ((1.0, false)))
+    assert(byName("duplicate_count_id") == ((1.0, false)))
+    assert(byName("min_v") == ((-5.0, false)))
+  }
+
+  test("missingColumns flags absent required columns") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(quality.Checks.missingColumns(df, Seq("a", "c")) == Seq("c"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("fingerprint is order-insensitive, content-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = text.TextAnalysis.fingerprint(df).select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("quality score features computed correctly on a known doc") {
+    val df = Seq((1L, "the cat sat.")).toDF("doc_id", "text")
+    val r = text.TextAnalysis.qualityScore(df).head()
+    assert(r.getAs[Int]("len_chars") == 12)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(1.0 / 12 * 1e6) / 1e6)
+    assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens") {
+    val r = text.TextAnalysis.t2Tokens(spark, sf)
+    assert(r.filter(col("bpe_ish_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("langId picks profile argmax and falls back to und") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val got = text.TextAnalysis.langId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "und")
+  }
+}
