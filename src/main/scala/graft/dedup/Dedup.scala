@@ -19,24 +19,17 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
-  /** Word 3-gram shingles (distinct), empty when the doc is shorter
-    * than n tokens.
+  /** Distinct word n-gram shingle strings (one-pass custom
+    * expression — see [[graft.functions.WordShingles]]).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val mk = (0 until n).map(i => s"toks[i + $i]").mkString("concat_ws(' ', ", ", ", ")")
-    val t = split(text, "\\s+")
-    when(size(t) >= n,
-      array_distinct(expr(s"transform(sequence(0, size(toks) - $n), i -> $mk)")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column = word_shingles(text, n)
 
-  /** Attach distinct word-3-gram shingle strings as `sh`. (Uses a
-    * temp `toks` column so the lambda can index into it.)
+  /** Attach distinct hashed word-3-gram shingles as `sh` — the
+    * signature/join currency for every dedup operator (64-bit hashes;
+    * strings never materialize).
     */
-  private def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("toks", split(col("text"), "\\s+"))
-      .withColumn("sh", shingles(col("text"), n))
-      .drop("toks")
+  private def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("sh", shingle_hashes(col("text"), n))
 
   /** d1: exact dedup by content hash — one shuffle on the hash;
     * keep-lowest-id policy.
@@ -55,9 +48,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val sigs = withShingles(docs)
-      .withColumn("sh_hashes", expr("transform(sh, s -> xxhash64(s))"))
-      .withColumn("sig", minhash_signature(col("sh_hashes"), numPerms))
+    val sigs = withShingleHashes(docs)
+      .withColumn("sig", minhash_signature(col("sh"), numPerms))
       .select(col("doc_id"), col("sig"))
     val banded = sigs
       .select(col("doc_id"), col("sig"),
@@ -88,7 +80,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs
-      .withColumn("tok_hashes", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
       .withColumn("sim", simhash64(col("tok_hashes")))
       .select(col("doc_id"), col("sim"))
     val chunked = sigs
@@ -108,18 +100,29 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** d4: exact n-gram-set Jaccard over candidate pairs. `candidates`
-    * defaults to all-pairs for oracle parity at small SF; in
-    * production pass `minhashLshPairs` output as the candidate set.
+  /** d4: exact n-gram-set Jaccard similarity join via an inverted
+    * index (AllPairs-style): explode (doc, shingle), self-join on the
+    * shingle, count shared shingles per pair, then
+    * j = shared / (|a| + |b| - shared).
+    *
+    * Semantically identical to the naive all-pairs intersect (a pair
+    * with zero shared shingles has j = 0 and can never pass the
+    * threshold) but costs Σ_shingle df² instead of n²·|sh| — the
+    * only shuffles are the shingle join and the per-pair count. At
+    * 100 TB add df-capped prefix filtering on top; the shape is
+    * unchanged.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+    val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))

@@ -97,6 +97,101 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Word n-gram shingles in ONE pass over the string: whitespace
+  * tokenization (no regex) + windowed join, distinct. A composed
+  * split+transform pipeline pays Catalyst's project-collapse tax —
+  * the split gets inlined into the lambda and re-executes per array
+  * element; this expression scans the text exactly once.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ShingleSupport.tokenize(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Distinct word n-gram shingles hashed to 64 bits, one pass, no
+  * string materialization of the shingle (hash is computed over the
+  * token hashes with a mixing chain). n = 1 gives per-token hashes
+  * (the SimHash input).
+  */
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+  import MixConstants.mix64
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ShingleSupport.tokenize(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val tokHash = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 1469598103934665603L // FNV-1a 64 over UTF-16 code units
+      val s = toks(i)
+      var c = 0
+      while (c < s.length) { h = (h ^ s.charAt(c)) * 1099511628211L; c += 1 }
+      tokHash(i) = mix64(h)
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val raw = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = mix64(h ^ tokHash(i + j)); j += 1 }
+      raw(i) = h
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(raw)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < m) { seen.add(raw(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object ShingleSupport {
+  /** Whitespace tokenizer (any run of whitespace splits; no regex). */
+  def tokenize(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+}
+
 /** Cosine similarity between two float vectors, accumulated in
   * double precision (matches DuckDB's list_cosine_similarity).
   */
@@ -169,6 +264,9 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def hyperplane_bucket(c: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(ex(c), numPlanes, seed))
+  def word_shingles(c: Column, n: Int = 3): Column = col(WordShingles(ex(c), n))
+  def shingle_hashes(c: Column, n: Int = 3, distinct: Boolean = true): Column =
+    col(ShingleHashes(ex(c), n, distinct))
 
   /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit = {
