@@ -40,6 +40,10 @@ object SparkEntry {
     "m1_binary_meta" -> ((s, d) => multimodal.Multimodal.m1(s, d)),
     "m2_feature_extract" -> ((s, d) => multimodal.Multimodal.m2(s, d)),
     "st1_sessionize" -> ((s, d) => streaming.Sessionize.st1(s, d)),
+    "st2_asof_join" -> ((s, d) => operators.AsOfJoin.st2(s, d)),
+    "a8_percentiles" -> ((s, d) => analytics.Queries.percentiles(s, d)),
+    "a9_moment_stats" -> ((s, d) => analytics.Queries.momentStats(s, d)),
+    "a10_lag_lead" -> ((s, d) => analytics.Queries.lagLeadDeltas(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -247,5 +251,36 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value),4) AS total_value
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "st2_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        | r.event_id AS signup_event_id, r.ts_us AS signup_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup') r
+        | ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a9_moment_stats" ->
+      """SELECT l_linestatus,
+        | round(stddev_samp(l_extendedprice), 4) AS price_sd,
+        | round(var_samp(l_quantity), 6) AS qty_var,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "a10_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, prev_price, next_price,
+        | round(l_extendedprice - prev_price, 4) AS delta_prev
+        |FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  lag(l_extendedprice) OVER w AS prev_price,
+        |  lead(l_extendedprice) OVER w AS next_price
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
   )
 }

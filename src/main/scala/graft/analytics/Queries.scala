@@ -111,6 +111,56 @@ object Queries {
     withOrders.unionAll(withoutOrders).orderBy(col("c_custkey"))
   }
 
+  /** Exact percentiles (linear interpolation — matches DuckDB's
+    * quantile_cont). For 100 TB use approx_percentile (t-digest) —
+    * same call shape, bounded memory; exact form kept for the oracle.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("r"),
+        percentile(col("l_quantity"), lit(0.5)).as("s"))
+      .select(col("l_returnflag"),
+        round(col("p"), 4).as("price_p25"),
+        round(col("q"), 4).as("price_p50"),
+        round(col("r"), 4).as("price_p75"),
+        round(col("s"), 4).as("qty_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Second-moment statistics: stddev/variance/correlation per group
+    * (single-pass streaming aggregators; map-side partials).
+    */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"),
+        round(var_samp(col("l_quantity")), 6).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_cov"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** lag/lead navigation within ordered partitions: per-supplier
+    * shipment deltas.
+    */
+  def lagLeadDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"))
+      .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+      .withColumn("next_price", lead(col("l_extendedprice"), 1).over(w))
+      .withColumn("delta_prev", round(col("l_extendedprice") - col("prev_price"), 4))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("prev_price"), col("next_price"), col("delta_prev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** ROLLUP aggregation: subtotals + grand total in one pass
     * (Catalyst expands grouping sets; still a single shuffle).
     */

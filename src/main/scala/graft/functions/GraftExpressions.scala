@@ -275,5 +275,7 @@ object GraftFunctions {
     GraftBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
     GraftBridge.registerFunction(spark, "cosine_sim",
       es => CosineSimilarity(es(0), es(1)))
+    GraftBridge.registerFunction(spark, "word_shingles", es => WordShingles(es.head, 3))
+    GraftBridge.registerFunction(spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
   }
 }

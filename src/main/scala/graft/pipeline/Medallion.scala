@@ -20,6 +20,28 @@ import graft.Tables
   */
 object Medallion {
 
+  /** Ingest-side type coercion, mirroring the reference producer's
+    * normalize() (reference: src/ingestion/producer.py:33-51): ids to
+    * string, numeric strings to int, 0/1/boolean-ish to boolean —
+    * anything non-coercible becomes null rather than failing the
+    * batch.
+    */
+  def coerceTypes(df: DataFrame, stringCols: Seq[String] = Nil,
+                  intCols: Seq[String] = Nil, longCols: Seq[String] = Nil,
+                  boolCols: Seq[String] = Nil): DataFrame = {
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a single
+    // malformed value would fail the whole batch
+    val s1 = stringCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).try_cast("string")))
+    val s2 = intCols.foldLeft(s1)((d, c) => d.withColumn(c, col(c).try_cast("int")))
+    val s3 = longCols.foldLeft(s2)((d, c) => d.withColumn(c, col(c).try_cast("long")))
+    boolCols.foldLeft(s3) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).try_cast("string") === "1", lit(true))
+          .when(col(c).try_cast("string") === "0", lit(false))
+          .otherwise(col(c).try_cast("boolean")))
+    }
+  }
+
   /** Schema of the JSON `props` payload riding on events — the
     * analogue of the reference's station_status JSON schema
     * (spark_streaming_job.py:34-43).

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-lake layout utilities: partitioned writes and retention
+  * housekeeping (the reference runs housekeeping as a cron `find
+  * -mtime +7 -delete` over the bronze dir — here it is
+  * partition-aware: whole partition directories are dropped by their
+  * partition VALUE, so retention never depends on file mtimes and
+  * works on any Hadoop-compatible FS).
+  */
+object Lake {
+
+  /** Write a frame date-partitioned (the standard bronze layout:
+    * partition pruning makes time-ranged reads O(days touched)).
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String = "ts",
+                           mode: String = "overwrite"): Unit =
+    df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(mode).partitionBy("p_date").parquet(path)
+
+  /** List partition values present under a lake path. */
+  def listPartitions(spark: SparkSession, path: String, partCol: String = "p_date"): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.stripPrefix(s"$partCol="))
+      .sorted
+  }
+
+  /** Drop partitions with value < cutoff (lexicographic — yyyy-MM-dd
+    * sorts correctly). Returns the dropped partition values.
+    */
+  def expirePartitions(spark: SparkSession, path: String, cutoff: String,
+                       partCol: String = "p_date"): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = listPartitions(spark, path, partCol).filter(_ < cutoff)
+    doomed.foreach { v => fs.delete(new Path(path, s"$partCol=$v"), true) }
+    doomed
+  }
+}

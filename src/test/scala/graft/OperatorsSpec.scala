@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("asOf join picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L), (4L, 99L, 100L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((10L, 100L, 7L), (10L, 200L, 8L))
+      .toDF("user_id", "ts_us", "state_id")
+    val r = operators.AsOfJoin.asOf(left, right, "user_id", "ts_us", "ts_us",
+        Seq("state_id"), tieBreak = "ts_us")
+      .select("event_id", "asof_state_id")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(1L).contains(7L), "equal ts matches (>= semantics)")
+    assert(r(2L).contains(8L), "latest prior state wins")
+    assert(r(3L).isEmpty, "no state before first event")
+    assert(r(4L).isEmpty, "unknown key -> null")
+  }
+
+  test("lake: date-partitioned write, partition listing, retention expiry") {
+    val tmp = Files.createTempDirectory("graft_lake").toString + "/lake"
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2), ("2024-01-03 10:00:00", 3))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    sources.Lake.writeDatePartitioned(df, tmp)
+    assert(sources.Lake.listPartitions(spark, tmp) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    val dropped = sources.Lake.expirePartitions(spark, tmp, cutoff = "2024-01-03")
+    assert(dropped == Seq("2024-01-01", "2024-01-02"))
+    assert(sources.Lake.listPartitions(spark, tmp) == Seq("2024-01-03"))
+    // remaining data still readable and pruned
+    assert(spark.read.parquet(tmp).count() == 1)
+  }
+
+  test("coerceTypes mirrors the reference producer normalization") {
+    val df = Seq((72, "3", "1", "true", "x"))
+      .toDF("station_id", "num_bikes", "is_installed", "is_renting", "junk_bool")
+    val r = pipeline.Medallion.coerceTypes(df,
+      stringCols = Seq("station_id"), intCols = Seq("num_bikes"),
+      boolCols = Seq("is_installed", "is_renting", "junk_bool")).head()
+    assert(r.getAs[String]("station_id") == "72")
+    assert(r.getAs[Int]("num_bikes") == 3)
+    assert(r.getAs[Boolean]("is_installed"))
+    assert(r.getAs[Boolean]("is_renting"))
+    assert(r.isNullAt(r.fieldIndex("junk_bool")), "non-coercible -> null")
+  }
+
+  test("GraftExtensions makes custom functions SQL-callable") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT size(word_shingles('a b c d')) AS n").head().getInt(0)
+    assert(sh == 2, "4 tokens -> 2 distinct 3-gram shingles")
+    // GraftExtensions wires the same builders through
+    // spark.sql.extensions at session-build time
+    assert(new plans.GraftExtensions() != null)
+  }
+}
