@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class SkewStreamSpec extends GraftSpecBase {
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val supp = Tables.supplier(spark, sf)
+    val plain = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_name")
+    val salted = operators.Skew.saltedJoin(li, supp.withColumnRenamed("s_suppkey", "l_suppkey"),
+        "l_suppkey", n = 8, leftSaltSource = col("l_orderkey") * 10 + col("l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "s_name")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("salted two-stage agg equals direct agg") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("total"))
+    val salted = operators.Skew.saltedCountSum(li, "l_suppkey", "l_quantity", 8,
+      col("l_orderkey") * 10 + col("l_linenumber"))
+    val d = direct.collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2)))).toSet
+    val s = salted.collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2)))).toSet
+    assert(d == s)
+  }
+
+  test("stream-stream interval join: purchases enriched with recent signups") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def stream() = Tables.normalizeEventTs(
+      streaming.Streams.fileStream(spark, sf, schema, globFilter = Some("events.parquet")))
+
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = stream().filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts").between(col("p_ts") - expr("INTERVAL 1 HOUR"), col("p_ts")))
+    val got = streaming.Streams.runToMemory(joined, outputMode = "append").count()
+
+    // batch equivalent
+    val ev = Tables.events(spark, sf)
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val bs = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val want = bp.join(bs,
+      col("p_user") === col("s_user") &&
+        col("s_ts").between(col("p_ts") - expr("INTERVAL 1 HOUR"), col("p_ts"))).count()
+    assert(got == want, s"stream-stream join rows $got != batch $want")
+    assert(want > 0)
+  }
+
+  test("foreachBatch sink receives update-mode gold batches") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = Tables.normalizeEventTs(
+      streaming.Streams.fileStream(spark, sf, schema, globFilter = Some("events.parquet")))
+    val silver = pipeline.Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
+    val gold = pipeline.Medallion.goldWindow(silver, "ts", "event_type")
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val ckpt = Files.createTempDirectory("graft_fb").toString
+    val q = streaming.Streams.foreachBatchSink(gold, ckpt) { (batch, _) =>
+      seen.add(batch.count()) // a JDBC writer would df.write.format("jdbc") here
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.size() >= 1 && seen.stream().mapToLong(identity(_)).sum() > 0)
+  }
+}
