@@ -65,15 +65,44 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Lloyd k-means coarse quantizer (cosine geometry), deterministic
+    * init (first k vectors by id). Only the k×dim centroid matrix
+    * ever reaches the driver — the data never does; each iteration is
+    * one broadcast-join assign + one per-dim mean.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .withColumn("cell_cos", cosine_sim(col("embedding"), col("cell_emb")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cell_id"), col("embedding"))
+      // per-dim mean: explode dims, average, fold back (dim count is
+      // small; rows never leave the cluster)
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("cell_id"), expr("transform(dims, d -> cast(d.m as float))").as("cell_emb"))
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF ANN: assign corpus vectors to nearest-centroid cells, probe
-    * the nprobe nearest cells per query. The coarse quantizer here
-    * takes the first `numCells` vectors as centroids (deterministic);
-    * a k-means refinement plugs into the same shape.
+    * the nprobe nearest cells per query. Coarse quantizer = the
+    * deterministic Lloyd k-means above.
     */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id")).limit(numCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    val centroids = kmeansCentroids(corpus, numCells).cache()
     def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
       df.crossJoin(broadcast(centroids))

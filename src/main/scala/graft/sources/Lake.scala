@@ -21,6 +21,18 @@ object Lake {
     df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode(mode).partitionBy("p_date").parquet(path)
 
+  /** Save as a bucketed (and bucket-sorted) catalog table: two tables
+    * bucketed on their join keys with the same bucket count join
+    * WITHOUT a shuffle — the co-location strategy for repeated
+    * fact-fact joins at scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCol: String,
+                    mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** List partition values present under a lake path. */
   def listPartitions(spark: SparkSession, path: String, partCol: String = "p_date"): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

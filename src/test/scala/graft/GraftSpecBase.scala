@@ -13,7 +13,10 @@ trait GraftSpecBase extends AnyFunSuite {
 
 object GraftSpecBase {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("graft-test", cores = 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s = GraftSession.builder("graft-test", cores = 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -36,6 +36,40 @@ class OperatorsSpec extends GraftSpecBase {
     assert(spark.read.parquet(tmp).count() == 1)
   }
 
+  test("bucketed tables join with zero shuffle") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sources.Lake.writeBucketed(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity"), "b_li", 8, "l_orderkey")
+      sources.Lake.writeBucketed(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice"), "b_ord", 8, "o_orderkey")
+      val j = spark.table("b_li")
+        .join(spark.table("b_ord"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("IVF k-means centroids are well-formed") {
+    val emb = Tables.embeddings(spark, sf)
+    val c = similarity.Similarity.kmeansCentroids(emb, k = 8, iters = 2).collect()
+    assert(c.length == 8)
+    assert(c.forall(_.getAs[Seq[Float]]("cell_emb").length == 64))
+  }
+
+  test("approximate sketches stay within tolerance of exact answers") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = o.select(approx_count_distinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"HLL $approx vs $exact")
+    val ep = o.select(percentile(col("o_totalprice"), lit(0.5))).head().getDouble(0)
+    val ap = o.select(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)))
+      .head().getDouble(0)
+    assert(math.abs(ap - ep) / ep < 0.05, s"approx pct $ap vs $ep")
+  }
+
   test("coerceTypes mirrors the reference producer normalization") {
     val df = Seq((72, "3", "1", "true", "x"))
       .toDF("station_id", "num_bikes", "is_installed", "is_renting", "junk_bool")
