@@ -44,6 +44,11 @@ object SparkEntry {
     "a8_percentiles" -> ((s, d) => analytics.Queries.percentiles(s, d)),
     "a9_moment_stats" -> ((s, d) => analytics.Queries.momentStats(s, d)),
     "a10_lag_lead" -> ((s, d) => analytics.Queries.lagLeadDeltas(s, d)),
+    "x1_hash_sample" -> ((s, d) => text.Curation.x1HashSample(s, d)),
+    "x2_source_cap" -> ((s, d) => text.Curation.x2SourceCap(s, d)),
+    "x3_normalize" -> ((s, d) => text.Curation.x3Normalize(s, d)),
+    "x4_curation" -> ((s, d) => text.Curation.x4Curation(s, d)),
+    "d6_dedup_clusters" -> ((s, d) => dedup.Clusters.d6(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -282,5 +287,45 @@ object SparkEntry {
         | FROM lineitem
         | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "x1_hash_sample" ->
+      """SELECT doc_id, source FROM documents WHERE doc_id % 10 < 3 ORDER BY doc_id""".stripMargin,
+    "x2_source_cap" ->
+      """SELECT doc_id, source, quality_score FROM (
+        | SELECT doc_id, source, quality_score,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
+        | FROM (
+        |  SELECT doc_id, source,
+        |   round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        |  FROM (
+        |   SELECT doc_id, source, len(toks) AS n_tokens,
+        |    round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |   FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))))
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "x3_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_curation" ->
+      """WITH n AS (
+        | SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS text
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source, text,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        | FROM (
+        |  SELECT doc_id, source, text, len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM n))),
+        |f AS (SELECT * FROM s WHERE quality_score >= 0.5),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |d AS (SELECT f.* FROM f JOIN k USING (doc_id))
+        |SELECT doc_id, source, quality_score FROM (
+        | SELECT doc_id, source, quality_score,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
+        | FROM d)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
   )
 }

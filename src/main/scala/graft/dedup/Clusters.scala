@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate clustering: connected components over the near-dup
+  * pair graph, so each duplicate GROUP keeps exactly one
+  * representative (keep-min-id) — pairwise output alone can't answer
+  * "which docs survive".
+  *
+  * Algorithm: iterative min-label propagation — each node adopts the
+  * minimum label in its neighborhood until fixpoint. Iterations are
+  * O(diameter); near-dup clusters are small and dense, so this
+  * converges in 2-3 rounds. Each round = one join + one aggregate
+  * (all distributed; the driver only sees the 1-row convergence
+  * check). At extreme graph scale swap in large-star/small-star; the
+  * surrounding contract is unchanged.
+  */
+object Clusters {
+
+  /** @param pairs (a_id, b_id) near-dup edges
+    * @param nodes one row per doc_id (isolated docs form their own
+    *              singleton clusters)
+    * @return (doc_id, cluster_id) with cluster_id = min doc_id in the
+    *         component
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changes = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** d6: cluster the MinHash-LSH near-dup pairs and emit only docs in
+    * non-singleton clusters with their keep/drop verdict.
+    */
+  def d6(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir))
+    val cc = connectedComponents(docs, pairs.select("a_id", "b_id"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .filter(col("cluster_size") > 1)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators: deterministic sampling, per-source
+  * caps, normalization/redaction, and the composed end-to-end
+  * selection pipeline. All narrow maps + one window shuffle for the
+  * caps — the standard shape of a pretraining-data mixing job.
+  */
+object Curation {
+
+  /** Deterministic hash sampling (keep fraction ≈ num/den) — replay-
+    * stable under reruns and partition changes, unlike rand().
+    */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int = 100): DataFrame =
+    df.filter(pmod(xxhash64(col(idCol)), lit(den)) < num)
+
+  /** Modulo sampling — the SQL-portable deterministic variant (used
+    * by the verified query so the oracle can replicate it exactly).
+    */
+  def modSample(df: DataFrame, idCol: String, num: Int, den: Int = 10): DataFrame =
+    df.filter(pmod(col(idCol), lit(den)) < num)
+
+  /** Cap documents per source, best-first: one shuffle on source,
+    * rank within, early filter.
+    */
+  def capPerSource(df: DataFrame, sourceCol: String, orderBy: Column,
+                   tiebreak: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(orderBy.desc, tiebreak)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cap)
+      .drop("__rank")
+  }
+
+  /** Text normalization: lowercase, collapse whitespace, trim; plus
+    * redaction of numeric tokens (the PII-redaction shape — swap the
+    * pattern for emails/phones/etc.).
+    */
+  def normalizeRedact(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[0-9]+", "<num>"), "\\s+", " "))
+
+  // ---- Verified entry points ----
+
+  def x1HashSample(spark: SparkSession, dir: String): DataFrame =
+    modSample(Tables.documents(spark, dir), "doc_id", num = 3)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  def x2SourceCap(spark: SparkSession, dir: String): DataFrame =
+    capPerSource(
+      TextAnalysis.qualityScore(Tables.documents(spark, dir)),
+      "source", col("quality_score"), col("doc_id"), cap = 10)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  def x3Normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalizeRedact(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+
+  /** The composed curation pipeline: normalize → score → quality
+    * filter → exact-dedup keep-min-id → per-source cap. One narrow
+    * chain plus two shuffles (dedup hash, source window).
+    */
+  def x4Curation(spark: SparkSession, dir: String, minScore: Double = 0.5,
+                 cap: Int = 20): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      Tables.documents(spark, dir).withColumn("text", normalizeRedact(col("text"))))
+      .filter(col("quality_score") >= minScore)
+    val keepIds = scored
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = scored.join(keepIds, "doc_id")
+    capPerSource(deduped, "source", col("quality_score"), col("doc_id"), cap)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and near the target rate") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = text.Curation.hashSample(docs, "doc_id", 20).select("doc_id").collect().toSet
+    val s2 = text.Curation.hashSample(docs, "doc_id", 20).select("doc_id").collect().toSet
+    assert(s1 == s2, "same seed/hash -> same sample")
+    val rate = s1.size.toDouble / docs.count()
+    assert(rate > 0.1 && rate < 0.3, s"rate $rate")
+  }
+
+  test("per-source caps keep the best-scored docs") {
+    val r = text.Curation.x2SourceCap(spark, sf)
+    val perSource = r.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 10))
+    // highest-quality doc of some source survives
+    val scored = text.TextAnalysis.qualityScore(Tables.documents(spark, sf))
+    val best = scored.orderBy(col("quality_score").desc, col("doc_id")).select("doc_id").head().getLong(0)
+    assert(r.filter(col("doc_id") === best).count() == 1)
+  }
+
+  test("normalizeRedact lowercases, redacts digits, collapses space") {
+    val got = Seq("  Call  ME at 555 999!  ").toDF("text")
+      .select(text.Curation.normalizeRedact(col("text"))).head().getString(0)
+    assert(got == "call me at <num> <num>!")
+  }
+
+  test("connected components: clusters agree with the pair graph") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val cc = dedup.Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, "chain collapses to min id")
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+    assert(cc(4L) == 4L && cc(7L) == 7L && cc(8L) == 8L, "isolates are singletons")
+  }
+
+  test("d6 keeps exactly one representative per near-dup cluster") {
+    val r = dedup.Clusters.d6(spark, sf).collect()
+    assert(r.nonEmpty)
+    val byCluster = r.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getBoolean(3)) == 1, s"cluster $cid must keep exactly one")
+      assert(rows.map(_.getLong(0)).min == cid, "cluster id is the min doc id")
+    }
+  }
+}
