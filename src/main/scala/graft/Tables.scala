@@ -27,6 +27,16 @@ object Tables {
     normalizeEventTs(table(s, d, "events"))
   }
 
+  /** Register every test table as a temp view so `spark.sql` works
+    * against the same names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -80,7 +80,7 @@ object Queries {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
       .orderBy(col("l_suppkey"), col("rn"))
   }

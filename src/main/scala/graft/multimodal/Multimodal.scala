@@ -26,7 +26,7 @@ object Multimodal {
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(
         col("doc_id"),
-        octet_length(col("payload")).as("byte_len"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
         hex(substring(col("payload"), 1, 2)).as("magic_hex"),
         md5(col("payload")).as("content_md5"))
 

@@ -30,7 +30,7 @@ object Similarity {
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -61,7 +61,7 @@ object Similarity {
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -122,7 +122,7 @@ object Similarity {
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
 

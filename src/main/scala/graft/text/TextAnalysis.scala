@@ -30,8 +30,8 @@ object TextAnalysis {
     val t = col(textCol)
     docs
       .withColumn("toks", tokens(t))
-      .withColumn("len_chars", length(t))
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("len_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("punct_ratio",
         round((length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t), 6))
       .withColumn("stopword_ratio",
@@ -52,8 +52,8 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
-      .withColumn("ws_tokens", size(tokens(t)))
-      .withColumn("bpe_ish_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
+      .withColumn("ws_tokens", size(tokens(t)).cast("long"))
+      .withColumn("bpe_ish_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long"))
   }
 
   /** Document fingerprint (t3): order-insensitive content fingerprint

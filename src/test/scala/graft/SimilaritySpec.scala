@@ -14,7 +14,7 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r.filter(col("q_id") === col("n_id")).count() == 0)
     // ranks are 1..10 and cosine is non-increasing in rank
     val one = r.filter(col("q_id") === 0).orderBy(col("rank")).collect()
-    assert(one.map(_.getInt(2)).toSeq == (1 to 10))
+    assert(one.map(_.getLong(2)).toSeq == (1L to 10L))
     val cos = one.map(_.getDouble(3))
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
   }

@@ -19,8 +19,8 @@ class TextSpec extends GraftSpecBase {
   test("quality score features computed correctly on a known doc") {
     val df = Seq((1L, "the cat sat.")).toDF("doc_id", "text")
     val r = text.TextAnalysis.qualityScore(df).head()
-    assert(r.getAs[Int]("len_chars") == 12)
-    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Long]("len_chars") == 12L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
     assert(r.getAs[Double]("punct_ratio") == math.rint(1.0 / 12 * 1e6) / 1e6)
     assert(r.getAs[Double]("stopword_ratio") == math.rint(1.0 / 3 * 1e6) / 1e6)
   }
