@@ -144,6 +144,31 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The 100 TB path for embedding near-dup: hyperplane-LSH bucket
+    * both sides (narrow map), candidates = same bucket or a single
+    * differing plane bit, exact cosine only on candidates. Recall per
+    * pair is 1-(θ/π)^... per plane — high for true near-dups
+    * (cos → 1 ⟹ bucket agreement → 1), tunable via planes/probes.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.4,
+                           numPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", hyperplane_bucket(col("embedding"), numPlanes, seed))
+    val probed = bucketed
+      .withColumn("probe", explode(expr(
+        s"concat(array(int(bucket)), transform(sequence(0, ${numPlanes - 1}), i -> int(bucket) ^ shiftleft(1, i)))")))
+    val a = probed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- Verified entry points ----
 
   def d1(spark: SparkSession, dir: String): DataFrame =

@@ -29,6 +29,21 @@ class DedupSpec extends GraftSpecBase {
       "token-multiset-identical docs must collide exactly")
   }
 
+  test("LSH embedding near-dup: exact-precision subset of the brute-force pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = dedup.Dedup.embeddingNearDups(emb, threshold = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = dedup.Dedup.embeddingNearDupsLsh(emb, threshold = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), "every LSH pair must be a true near-dup (precision 1)")
+    val recall = lsh.size.toDouble / exact.size
+    // cos 0.4 pairs are far from duplicates (66 deg apart) — LSH recall
+    // is intentionally partial at this angle; true near-dups (cos→1)
+    // collide with probability →1
+    assert(recall >= 0.15, s"recall $recall")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val r = dedup.Dedup.embeddingNearDups(Tables.embeddings(spark, sf), threshold = 0.4)
     val rows = r.collect()
