@@ -176,6 +176,51 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** Per-document text statistics in ONE pass: length, token count,
+  * punctuation count, stopword hits, summed token length — the
+  * feature inputs of quality scoring. Exists for the same reason as
+  * WordShingles: expressing these via split()+lambda built-ins lets
+  * project-collapse inline the (possibly regex-heavy) text expression
+  * into every lambda element evaluation.
+  */
+case class TextStats(child: Expression, stopwords: Seq[String], punct: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("len_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("punct_count", LongType, nullable = false),
+    StructField("stopword_count", LongType, nullable = false),
+    StructField("token_len_sum", LongType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var punctCount = 0L
+    var i = 0
+    while (i < s.length) {
+      if (punct.indexOf(s.charAt(i)) >= 0) punctCount += 1
+      i += 1
+    }
+    val toks = ShingleSupport.tokenize(s)
+    var stop = 0L
+    var lenSum = 0L
+    var t = 0
+    while (t < toks.length) {
+      if (stopSet.contains(toks(t))) stop += 1
+      lenSum += toks(t).length
+      t += 1
+    }
+    InternalRow(s.length.toLong, toks.length.toLong, punctCount, stop, lenSum)
+  }
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
+}
+
 object ShingleSupport {
   /** Whitespace tokenizer (any run of whitespace splits; no regex). */
   def tokenize(s: String): Array[String] = {
@@ -297,6 +342,8 @@ object GraftFunctions {
   def hyperplane_bucket(c: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBucket(ex(c), numPlanes, seed))
   def word_shingles(c: Column, n: Int = 3): Column = col(WordShingles(ex(c), n))
+  def text_stats(c: Column, stopwords: Seq[String], punct: String = ".,!?;:"): Column =
+    col(TextStats(ex(c), stopwords, punct))
   def shingle_hashes(c: Column, n: Int = 3, distinct: Boolean = true): Column =
     col(ShingleHashes(ex(c), n, distinct))
 

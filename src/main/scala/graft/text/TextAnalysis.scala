@@ -27,22 +27,25 @@ object TextAnalysis {
     * stopword-bearing text scores higher).
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    // Raw counts come from ONE pass over the text (custom expression;
+    // a split()+lambda pipeline would re-evaluate the text expression
+    // per array element after project collapse — see SURVEY §6b).
+    // Ratios are cheap scalar math on the struct fields.
     docs
-      .withColumn("toks", tokens(t))
-      .withColumn("len_chars", length(t).cast("long"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("__ts", graft.functions.GraftFunctions.text_stats(col(textCol), stopwords))
+      .withColumn("len_chars", col("__ts.len_chars"))
+      .withColumn("n_tokens", col("__ts.n_tokens"))
       .withColumn("punct_ratio",
-        round((length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t), 6))
+        round(col("__ts.punct_count").cast("double") / col("len_chars"), 6))
       .withColumn("stopword_ratio",
-        round(expr(s"size(filter(toks, x -> x IN ($stopwordSqlList)))").cast("double") / col("n_tokens"), 6))
+        round(col("__ts.stopword_count").cast("double") / col("n_tokens"), 6))
       .withColumn("mean_word_len",
-        round(expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").cast("double") / col("n_tokens"), 6))
+        round(col("__ts.token_len_sum").cast("double") / col("n_tokens"), 6))
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.5)
           + col("stopword_ratio") * lit(0.3)
           + (lit(1.0) - col("punct_ratio")) * lit(0.2), 6))
-      .drop("toks")
+      .drop("__ts")
   }
 
   /** Token counting (t2): whitespace tokens plus a BPE-ish regex
