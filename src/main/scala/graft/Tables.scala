@@ -7,6 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads — Catalyst still gets projection + predicate pushdown.
   */
 object Tables {
+  /** The driver's test parquet is single-file single-row-group, so
+    * Spark cannot split the scans; a forced repartition was measured
+    * (sf0.1, 32 cores) to cost more in scheduling + state-store
+    * sharding than the narrow-stage parallelism it buys at this data
+    * size. On a real lake the files have many row groups and scans
+    * parallelize natively — so the loaders stay plain reads.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

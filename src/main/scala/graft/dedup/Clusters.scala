@@ -30,25 +30,35 @@ object Clusters {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // Only edge-touched nodes can ever change label — propagate over
+    // that (typically tiny) subgraph and union untouched nodes back as
+    // singletons at the end. At 100 TB the loop state is O(edges), not
+    // O(corpus).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      // carry the changed flag through the same plan so convergence
+      // detection is a filter over the cached frame, not a second join
       val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("changed"))
         .cache()
-      val changes = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val changes = updated.filter(col("changed")).count()
       labels.unpersist()
       labels = updated
       converged = changes == 0
       i += 1
     }
     edges.unpersist()
-    labels
+    val out = nodes.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id").as("cc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc_id"), col("doc_id")).as("cluster_id"))
+    out
   }
 
   /** d6: cluster the MinHash-LSH near-dup pairs and emit only docs in

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -65,35 +65,68 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Best (max-cosine) centroid id for a vector, ties → smallest id.
+    * The centroids are plan literals, so this is a pure narrow map —
+    * no join, no shuffle — exactly what assignment should cost when
+    * the quantizer is k×dim and the corpus is 100 TB.
+    */
+  private def assignBest(embCol: Column, cents: Array[(Int, Array[Float])]): Column = {
+    val scored = array(cents.map { case (cid, e) =>
+      struct(cosine_sim(embCol, typedlit(e.toSeq)).as("cos"), lit(-cid).as("ncell"))
+    }: _*)
+    -array_max(scored).getField("ncell")
+  }
+
+  /** The `nprobe` nearest cell ids for a query vector (cos desc, id
+    * asc). Same literal-centroid narrow map as [[assignBest]].
+    */
+  private def probeCells(embCol: Column, cents: Array[(Int, Array[Float])],
+                         nprobe: Int): Column = {
+    val scored = array(cents.map { case (cid, e) =>
+      struct((-cosine_sim(embCol, typedlit(e.toSeq))).as("negcos"), lit(cid).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
   /** Lloyd k-means coarse quantizer (cosine geometry), deterministic
     * init (first k vectors by id). Only the k×dim centroid matrix
-    * ever reaches the driver — the data never does; each iteration is
-    * one broadcast-join assign + one per-dim mean.
+    * ever reaches the driver — the data never does. Centroids are kept
+    * driver-side between iterations and pushed into the plan as
+    * literals, so each iteration costs exactly one narrow assignment
+    * map plus one (cell, dim) average shuffle; at 100 TB you'd train
+    * on a sample with the identical code path.
     */
+  private[similarity] def centroidMatrix(corpus: DataFrame, k: Int,
+                                         iters: Int): Array[(Int, Array[Float])] = {
+    var cents: Array[(Int, Array[Float])] = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .withColumn("cell_id", assignBest(col("embedding"), cents))
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell_id"), col("dim")).agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getAs[Int]("cell_id"))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m").toFloat))
+          case None => (cid, old) // empty cell keeps its previous centroid
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   def kmeansCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    var centroids = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
-    var i = 0
-    while (i < iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
-      val assigned = corpus.crossJoin(broadcast(centroids))
-        .withColumn("cell_cos", cosine_sim(col("embedding"), col("cell_emb")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("cell_id"), col("embedding"))
-      // per-dim mean: explode dims, average, fold back (dim count is
-      // small; rows never leave the cluster)
-      centroids = assigned
-        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cell_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
-        .select(col("cell_id"), expr("transform(dims, d -> cast(d.m as float))").as("cell_emb"))
-      i += 1
-    }
-    centroids
+    import spark.implicits._
+    centroidMatrix(corpus, k, iters).toSeq
+      .map { case (cid, e) => (cid, e.toSeq) }
+      .toDF("cell_id", "cell_emb")
   }
 
   /** IVF ANN: assign corpus vectors to nearest-centroid cells, probe
@@ -102,19 +135,11 @@ object Similarity {
     */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
              numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = kmeansCentroids(corpus, numCells).cache()
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cell_cos").desc, col("cell_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cell_cos", cosine_sim(col(embCol), col("cell_emb")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("cell_emb", "cell_cos", "cell_rank")
-    }
-    val c = assign(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-      "n_id", "n_emb", 1)
-    val q = assign(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", nprobe)
+    val cents = centroidMatrix(corpus, numCells, iters = 3)
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("cell_id", assignBest(col("n_emb"), cents))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell_id", explode(probeCells(col("q_emb"), cents, nprobe)))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
