@@ -18,17 +18,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed JVM warmup: batch + streaming machinery
+    // untimed JVM warmup: batch + STATEFUL streaming machinery (the
+    // state-store + streaming-agg codegen init is a per-JVM constant
+    // that would otherwise land on the first windowed stream query)
     try {
       SparkEntry.entry(spark).count()
+      import org.apache.spark.sql.functions.{window, count => cnt}
       val q = spark.readStream.format("rate").option("numPartitions", "1").load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(window(org.apache.spark.sql.functions.col("timestamp"), "1 second"))
+        .agg(cnt("*"))
         .writeStream.format("memory").queryName("__bench_warmup")
+        .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(30000); q.stop()
     } catch { case _: Throwable => () }

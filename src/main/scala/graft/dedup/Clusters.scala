@@ -22,18 +22,60 @@ object Clusters {
   /** @param pairs (a_id, b_id) near-dup edges
     * @param nodes one row per doc_id (isolated docs form their own
     *              singleton clusters)
+    * @param driverEdgeLimit when the edge count is at or below this,
+    *        union-find runs on the driver (near-dup edge sets are
+    *        orders of magnitude smaller than the corpus — even a
+    *        100 TB corpus typically yields millions of edges, which is
+    *        driver-trivial); above it, distributed min-label
+    *        propagation takes over. Only edges ever reach the driver,
+    *        never the corpus.
     * @return (doc_id, cluster_id) with cluster_id = min doc_id in the
     *         component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          driverEdgeLimit: Long = 10L * 1000 * 1000): DataFrame = {
+    val spark = nodes.sparkSession
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
-    // Only edge-touched nodes can ever change label — propagate over
-    // that (typically tiny) subgraph and union untouched nodes back as
-    // singletons at the end. At 100 TB the loop state is O(edges), not
-    // O(corpus).
+    val edgeCount = edges.count()
+    val labels =
+      if (edgeCount <= driverEdgeLimit) driverUnionFind(spark, edges)
+      else propagateMinLabel(edges, maxIters)
+    edges.unpersist()
+    nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "cc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Path-compressed union-find over a driver-collected edge list. */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+    }
+    val out = parent.keys.toSeq.map(x => (x, find(x)))
+    import spark.implicits._
+    out.toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation (the over-the-limit path):
+    * only edge-touched nodes carry loop state, and convergence is a
+    * filter over the cached frame — no extra join per round.
+    */
+  private def propagateMinLabel(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).cache()
     var converged = false
@@ -41,8 +83,6 @@ object Clusters {
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      // carry the changed flag through the same plan so convergence
-      // detection is a filter over the cached frame, not a second join
       val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
@@ -54,11 +94,7 @@ object Clusters {
       converged = changes == 0
       i += 1
     }
-    edges.unpersist()
-    val out = nodes.select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("cluster_id").as("cc_id")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cc_id"), col("doc_id")).as("cluster_id"))
-    out
+    labels.select(col("doc_id"), col("cluster_id"))
   }
 
   /** d6: cluster the MinHash-LSH near-dup pairs and emit only docs in

@@ -33,11 +33,15 @@ class CurationSpec extends GraftSpecBase {
   test("connected components: clusters agree with the pair graph") {
     val nodes = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
-    val cc = dedup.Clusters.connectedComponents(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, "chain collapses to min id")
-    assert(cc(5L) == 5L && cc(6L) == 5L)
-    assert(cc(4L) == 4L && cc(7L) == 7L && cc(8L) == 8L, "isolates are singletons")
+    // driverEdgeLimit default exercises union-find; 0 forces the
+    // distributed min-label propagation — both must agree
+    for (limit <- Seq(10L * 1000 * 1000, 0L)) {
+      val cc = dedup.Clusters.connectedComponents(nodes, pairs, driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, "chain collapses to min id")
+      assert(cc(5L) == 5L && cc(6L) == 5L)
+      assert(cc(4L) == 4L && cc(7L) == 7L && cc(8L) == 8L, "isolates are singletons")
+    }
   }
 
   test("d6 keeps exactly one representative per near-dup cluster") {
