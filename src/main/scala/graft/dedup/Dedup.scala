@@ -38,32 +38,43 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Ordered within-bucket candidate pairs: group the (key, id, sig)
+    * stream by bucket key, sort members by id, emit each (i < j) pair.
+    * ONE pass over the signatures and ONE shuffle on the bucket key —
+    * the self-join formulation would compute signatures twice and
+    * (at scale, where broadcast is impossible) shuffle them twice.
+    * Bucket membership is bounded by construction (band width /
+    * chunk width), so the per-bucket member list is small.
+    */
+  private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
+                          idCol: String, sigCol: String): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(idCol), col(sigCol)))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(members, (a, i) ->
+           |  transform(slice(members, i + 2, size(members)),
+           |    b -> struct(a.$idCol as a_id, b.$idCol as b_id,
+           |                a.$sigCol as sa, b.$sigCol as sb))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
+      .dropDuplicates("a_id", "b_id")
+
   /** d2: MinHash(128) signatures + banded LSH (16 bands × 8 rows).
     * Narrow per-row signature (custom Expression, one pass over the
-    * shingle hashes), explode only 16 band rows per doc, self-join on
-    * (band, band-slice) — the candidate pairs are then scored by
-    * signature agreement (estimated jaccard), no exact re-scan
-    * needed.
+    * shingle hashes), explode only 16 band rows per doc, bucket on
+    * (band, band-slice), pair within buckets — the candidate pairs
+    * are then scored by signature agreement (estimated jaccard), no
+    * exact re-scan needed.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val sigs = withShingleHashes(docs)
+    val banded = withShingleHashes(docs)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
-      .select(col("doc_id"), col("sig"))
-    val banded = sigs
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_sig", expr(s"slice(sig, band * $rows + 1, $rows)"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .dropDuplicates("a_id", "b_id")
+    bucketPairs(banded, Seq("band", "band_sig"), "doc_id", "sig")
       .withColumn("est_jaccard",
         round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / numPerms, 6))
@@ -86,14 +97,7 @@ object Dedup {
     val chunked = sigs
       .select(col("doc_id"), col("sim"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sim >> (c * 16)) & 65535"))
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    a.join(b,
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sim").as("sa"), col("b.sim").as("sb"))
-      .dropDuplicates("a_id", "b_id")
+    bucketPairs(chunked, Seq("c", "chunk"), "doc_id", "sim")
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
