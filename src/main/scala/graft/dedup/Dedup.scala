@@ -120,8 +120,11 @@ object Dedup {
     val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
       .withColumn("n", size(col("sh")))
     val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-    val a = ex.alias("a")
-    val b = ex.alias("b")
+    // shuffle-hash, not broadcast: at scale the posting stream can't
+    // broadcast, and with identical shuffles on both sides Spark
+    // plans a ReusedExchange — the shingle pass runs ONCE.
+    val a = ex.hint("shuffle_hash").alias("a")
+    val b = ex.hint("shuffle_hash").alias("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n").as("na"), col("b.n").as("nb"))

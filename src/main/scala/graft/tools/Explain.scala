@@ -14,8 +14,11 @@ object Explain {
       println(s"==== $n ====")
       df.explain("formatted")
       val t0 = System.nanoTime()
-      val c = df.count()
+      // collect (not count) so THIS QueryExecution is the one that runs
+      // and the printed plan is the final adaptive plan with reuse nodes
+      val c = df.collect().length
       println(s"$n rows=$c time=${(System.nanoTime() - t0) / 1e9}")
+      println(s"---- final adaptive plan ----\n${df.queryExecution.executedPlan}")
     }
     spark.stop()
   }
