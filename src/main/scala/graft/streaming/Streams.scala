@@ -91,15 +91,28 @@ object Streams {
   /** Run a (bounded) streaming DataFrame to completion into a memory
     * sink and return the result as a batch DataFrame. Used to prove
     * stream/batch parity on file-backed sources.
+    *
+    * @param statePartitions state-store shard count for this query
+    *        (frozen into the checkpoint at start). Stateful-stage cost
+    *        is per-shard file IO every micro-batch, so shards should
+    *        track state volume: a handful locally, hundreds on a real
+    *        cluster. None keeps the session's shuffle-partition count.
     */
-  def runToMemory(df: DataFrame, outputMode: String = "complete"): DataFrame = {
-    val name = s"graft_mem_${runCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+  def runToMemory(df: DataFrame, outputMode: String = "complete",
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val name = s"graft_mem_${runCounter.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set(key, prev)
   }
 
   /** SURVEY §2 p6: the reference's gold aggregation executed through
@@ -115,7 +128,7 @@ object Streams {
       fileStream(spark, dir, schema, globFilter = Some("events.parquet")))
     val silver = Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
     val gold = Medallion.goldWindow(silver, "ts", "event_type")
-    runToMemory(gold)
+    runToMemory(gold, statePartitions = Some(8))
       .orderBy(col("window_start"), col("event_type"))
   }
 }
