@@ -49,6 +49,9 @@ object SparkEntry {
     "x3_normalize" -> ((s, d) => text.Curation.x3Normalize(s, d)),
     "x4_curation" -> ((s, d) => text.Curation.x4Curation(s, d)),
     "d6_dedup_clusters" -> ((s, d) => dedup.Clusters.d6(s, d)),
+    "st3_range_join" -> ((s, d) => operators.RangeJoin.st3(s, d)),
+    "x5_stratified_sample" -> ((s, d) => text.Curation.x5StratifiedSample(s, d)),
+    "d7_contamination" -> ((s, d) => dedup.Contamination.d7(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -327,5 +330,17 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
         | FROM d)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "st3_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        | p.ts_us - c.ts_us AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase') p
+        | ON c.user_id = p.user_id
+        | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 30 * 60 * 1000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "x5_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 6 END)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

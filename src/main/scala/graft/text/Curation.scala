@@ -42,6 +42,20 @@ object Curation {
   def normalizeRedact(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[0-9]+", "<num>"), "\\s+", " "))
 
+  /** Stratified deterministic sampling: per-stratum keep rates (num
+    * out of `den`), selected by id-mod so the sample is replay-stable
+    * and partition-independent — the language/domain rebalancing step
+    * of a data-mixing pipeline. Narrow (a filter); no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Int], defaultRate: Int,
+                       den: Int = 10): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(den)) < rateExpr)
+  }
+
   // ---- Verified entry points ----
 
   def x1HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -59,6 +73,15 @@ object Curation {
   def x3Normalize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), normalizeRedact(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+
+  /** x5: downsample dominant English, keep the rest denser — the
+    * language-rebalancing shape. Rates per 10: en 4, zh 8, others 6.
+    */
+  def x5StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "lang", "doc_id",
+      rates = Map("en" -> 4, "zh" -> 8), defaultRate = 6)
+      .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
   /** The composed curation pipeline: normalize → score → quality
