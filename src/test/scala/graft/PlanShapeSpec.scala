@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Locks in the plan properties the 100 TB design depends on. A
+  * passing result here means Catalyst is still producing the shapes
+  * SURVEY §4 promises — regressions in pushdown, broadcast choice,
+  * exchange reuse, or join strategy fail loudly instead of silently
+  * costing a cluster.
+  */
+class PlanShapeSpec extends GraftSpecBase {
+
+  /** Execute and return the final adaptive plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("a1: filter and projection reach the parquet scan") {
+    val plan = finalPlan(analytics.Queries.pricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [LessThanOrEqual(l_shipdate"),
+      s"filter must push to the scan:\n$plan")
+    assert(!plan.contains("l_orderkey"), s"unused columns must be pruned:\n$plan")
+  }
+
+  test("a3: star join broadcasts every dimension, fact side never shuffles pre-agg") {
+    val plan = finalPlan(analytics.Queries.multiJoinVolume(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 5, s"expected 5 broadcast joins, got $broadcasts:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"fact side must only shuffle for the final agg:\n$plan")
+  }
+
+  test("d4: self-join reuses the shingle shuffle (single signature pass)") {
+    val plan = finalPlan(dedup.Dedup.d4(spark, sf))
+    assert(plan.contains("ReusedExchange"), s"shingle exchange must be reused:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length +
+      "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"documents must not be scanned per join side:\n$plan")
+  }
+
+  test("st3: range join plans as equi-join, not a cross product") {
+    val plan = finalPlan(operators.RangeJoin.st3(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("d7: corpus side of contamination never shuffles") {
+    val plan = finalPlan(dedup.Contamination.d7(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
+    assert(plan.contains("LeftSemi, BuildRight"),
+      s"corpus side must stream through a broadcast semi-join:\n$plan")
+    // allowed hash exchanges: the tiny benchmark-side distinct (pre-
+    // broadcast) and the final per-doc agg — never one keyed on the
+    // corpus join key s for the semi-join itself
+    val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(corpusShuffles <= 1, s"corpus must only shuffle for the per-doc agg:\n$plan")
+  }
+}
