@@ -52,6 +52,7 @@ object SparkEntry {
     "st3_range_join" -> ((s, d) => operators.RangeJoin.st3(s, d)),
     "x5_stratified_sample" -> ((s, d) => text.Curation.x5StratifiedSample(s, d)),
     "d7_contamination" -> ((s, d) => dedup.Contamination.d7(s, d)),
+    "m3_frame_sample" -> ((s, d) => multimodal.Multimodal.m3(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet

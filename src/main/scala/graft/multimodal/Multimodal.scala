@@ -67,6 +67,37 @@ object Multimodal {
       math.abs((h % 1000000L).toDouble) / 1000000.0)
   }
 
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, ts_ms: Long,
+                                 frame_hash: Long)
+
+  /** m3: frame sampling — one binary "video" row explodes into at
+    * most `maxFrames` evenly-strided frame rows, decoded per
+    * partition. The fan-out is bounded by construction (stride =
+    * ceil(n/maxFrames)), so downstream row counts stay O(docs ×
+    * maxFrames) no matter how long the media runs — the property that
+    * keeps a 100 TB video corpus joinable. STUB decode as in m2.
+    */
+  def frameSample(docs: DataFrame, maxFrames: Int = 4): Dataset[FrameFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val binary = docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    binary.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val m = fakeDecode(id, bytes)
+        val stride = math.max(1, (m.n_frames + maxFrames - 1) / maxFrames)
+        (0 until m.n_frames by stride).iterator.zipWithIndex.map {
+          case (frame, idx) =>
+            // 33 ms/frame stands in for the container timestamp
+            FrameFeatures(id, idx, frame * 33L,
+              java.util.Arrays.hashCode(bytes).toLong * 31 + frame)
+        }
+      }
+    }
+  }
+
   // ---- Verified entry points ----
 
   def m1(spark: SparkSession, dir: String): DataFrame =
@@ -74,4 +105,8 @@ object Multimodal {
 
   def m2(spark: SparkSession, dir: String): DataFrame =
     featureExtract(Tables.documents(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  def m3(spark: SparkSession, dir: String): DataFrame =
+    frameSample(Tables.documents(spark, dir)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

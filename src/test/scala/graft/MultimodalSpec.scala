@@ -14,6 +14,19 @@ class MultimodalSpec extends GraftSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("frame sample: bounded fan-out, stride covers the clip") {
+    val docs = Tables.documents(spark, sf)
+    val r = multimodal.Multimodal.frameSample(docs, maxFrames = 4)
+    val perDoc = r.toDF().groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(perDoc.nonEmpty && perDoc.forall(n => n >= 1 && n <= 4),
+      "every doc emits between 1 and maxFrames frames")
+    // deterministic across runs
+    val a = r.collect().toSet
+    val b = multimodal.Multimodal.frameSample(docs, maxFrames = 4).collect().toSet
+    assert(a == b)
+  }
+
   test("feature extract: deterministic stub features, one row per doc") {
     val a = multimodal.Multimodal.m2(spark, sf).collect().toSeq
     val b = multimodal.Multimodal.m2(spark, sf).collect().toSeq
