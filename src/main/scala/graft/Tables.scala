@@ -17,6 +17,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a frame across the local cores ahead of CPU-heavy narrow
+    * compute (signatures, shingles, pairwise cosine). No-op whenever
+    * the source already splits (any real lake: many files/row
+    * groups); only the single-row-group local test files need it.
+    * Applied surgically at the few compute-bound call sites — a
+    * blanket spread in the loaders was measured net-negative (see
+    * SURVEY §6b).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = GraftSession.defaultCores
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

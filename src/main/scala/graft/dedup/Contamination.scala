@@ -29,7 +29,7 @@ object Contamination {
     val benchShingles = benchmark
       .select(explode(shingle_hashes(col("text"), n)).as("s"))
       .distinct()
-    val corpusShingles = corpus
+    val corpusShingles = Tables.spread(corpus)
       .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("s"))
     corpusShingles
       .join(broadcast(benchShingles), Seq("s"), "left_semi")

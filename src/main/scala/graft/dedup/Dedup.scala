@@ -29,7 +29,7 @@ object Dedup {
     * strings never materialize).
     */
   private def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("sh", shingle_hashes(col("text"), n))
+    Tables.spread(docs).withColumn("sh", shingle_hashes(col("text"), n))
 
   /** d1: exact dedup by content hash — one shuffle on the hash;
     * keep-lowest-id policy.
@@ -90,7 +90,7 @@ object Dedup {
     * bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs
+    val sigs = Tables.spread(docs)
       .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
       .withColumn("sim", simhash64(col("tok_hashes")))
       .select(col("doc_id"), col("sim"))
@@ -141,7 +141,7 @@ object Dedup {
     * bucketing first.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val a = emb.select(col("vec_id"), col("embedding")).alias("a")
+    val a = Tables.spread(emb.select(col("vec_id"), col("embedding"))).alias("a")
     val b = emb.select(col("vec_id"), col("embedding")).alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
