@@ -61,6 +61,27 @@ class SkewStreamSpec extends GraftSpecBase {
     assert(want > 0)
   }
 
+  test("streaming dropDuplicates within watermark removes planted dups") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_dup").toString
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "a"), (1L, ts(0), "a"),   // exact dup key (id, ts)
+      (2L, ts(1), "b"),
+      (2L, ts(5), "b2"),                    // same id, later ts -> kept
+      (3L, ts(2), "c"), (3L, ts(2), "c"))
+    rows.toDF("id", "ts", "v").write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val deduped = streaming.Streams.fileStream(spark, tmp, schema)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id", "ts")
+    val got = streaming.Streams.runToMemory(deduped, outputMode = "append",
+        statePartitions = Some(4))
+      .select("id", "ts").collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == Set((1L, ts(0)), (2L, ts(1)), (2L, ts(5)), (3L, ts(2))))
+  }
+
   test("foreachBatch sink receives update-mode gold batches") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
