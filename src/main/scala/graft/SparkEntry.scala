@@ -53,6 +53,8 @@ object SparkEntry {
     "x5_stratified_sample" -> ((s, d) => text.Curation.x5StratifiedSample(s, d)),
     "d7_contamination" -> ((s, d) => dedup.Contamination.d7(s, d)),
     "m3_frame_sample" -> ((s, d) => multimodal.Multimodal.m3(s, d)),
+    "t5_top_tokens" -> ((s, d) => text.TextAnalysis.t5TopTokens(s, d)),
+    "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -343,5 +345,10 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 6 END)
         |ORDER BY doc_id""".stripMargin,
+    "t5_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
   )
 }

@@ -56,6 +56,38 @@ object Curation {
     df.filter(pmod(col(idCol), lit(den)) < rateExpr)
   }
 
+  final case class PackedDoc(doc_id: Long, bin_id: Long, n_tokens: Int)
+
+  /** Sequence packing: assign documents to fixed-token-budget bins
+    * (context windows) — the final assembly step of a pretraining
+    * data pipeline. Next-fit greedy per partition: O(1) packer state,
+    * one pass, no shuffle beyond the deterministic within-partition
+    * sort; bin ids are globally unique via the partition index in the
+    * high bits. Docs longer than the budget get a singleton bin
+    * (truncation is the trainer's policy, not the packer's).
+    * Next-fit wastes more than global best-fit but needs no global
+    * state — the trade that actually runs on 100 TB.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    maxTokens: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(tokenCol).cast("int"))
+      .as[(Long, Int)]
+      .sortWithinPartitions(col(idCol))
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var used = 0
+        it.map { case (id, n) =>
+          if (used > 0 && used + n > maxTokens) { bin += 1; used = 0 }
+          used += n
+          PackedDoc(id, (part << 32) | bin, n)
+        }
+      }
+      .toDF()
+  }
+
   // ---- Verified entry points ----
 
   def x1HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -82,6 +114,16 @@ object Curation {
     stratifiedSample(Tables.documents(spark, dir), "lang", "doc_id",
       rates = Map("en" -> 4, "zh" -> 8), defaultRate = 6)
       .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** x6: pack the corpus into 512-token context windows using the
+    * whitespace token count.
+    */
+  def x6PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      TextAnalysis.tokenCounts(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("ws_tokens")),
+      idCol = "doc_id", tokenCol = "ws_tokens", maxTokens = 512)
       .orderBy(col("doc_id"))
 
   /** The composed curation pipeline: normalize → score → quality

@@ -117,4 +117,23 @@ object TextAnalysis {
     langId(Tables.documents(spark, dir))
       .select("doc_id", "lang_pred", "lang_score")
       .orderBy("doc_id")
+
+  /** Corpus vocabulary: token → frequency, top-k — the
+    * vocabulary-building / corpus-statistics pass. One explode + one
+    * count shuffle; partial (map-side) aggregation makes the shuffle
+    * carry distinct-tokens-per-partition, not token occurrences, so
+    * the shape holds when the corpus is 100 TB and the vocab is
+    * millions.
+    */
+  def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  def t5TopTokens(spark: SparkSession, dir: String): DataFrame =
+    topTokens(Tables.documents(spark, dir))
 }

@@ -44,6 +44,25 @@ class CurationSpec extends GraftSpecBase {
     }
   }
 
+  test("sequence packing: budget respected, every doc packed once, bins dense") {
+    val docs = text.TextAnalysis.tokenCounts(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("ws_tokens"))
+    val max = 512
+    val packed = text.Curation.packSequences(docs, "doc_id", "ws_tokens", max)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._1).distinct.length == docs.count(), "every doc exactly once")
+    val bins = rows.groupBy(_._2).map { case (_, ds) => ds.map(_._3).sum }
+    val (over, within) = bins.partition(_ > max)
+    // a bin may exceed the budget only as a singleton overflow doc
+    val singletonOverflows = rows.groupBy(_._2).values
+      .count(ds => ds.length == 1 && ds.head._3 > max)
+    assert(over.size == singletonOverflows, s"${over.size} oversized bins")
+    if (within.nonEmpty) {
+      val fill = within.sum.toDouble / (within.size * max)
+      assert(fill > 0.5, s"next-fit fill factor $fill too low")
+    }
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)
