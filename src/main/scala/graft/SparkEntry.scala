@@ -55,6 +55,7 @@ object SparkEntry {
     "m3_frame_sample" -> ((s, d) => multimodal.Multimodal.m3(s, d)),
     "t5_top_tokens" -> ((s, d) => text.TextAnalysis.t5TopTokens(s, d)),
     "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
+    "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
@@ -345,6 +346,13 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 6 END)
         |ORDER BY doc_id""".stripMargin,
+    "a11_promo_share" ->
+      """SELECT
+        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_revenue,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |       sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "t5_top_tokens" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)

@@ -85,6 +85,27 @@ object Queries {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** TPC-H Q14-style promo share: lineitem ⋈ broadcast part, one
+    * conditional aggregate — the classic fact⋈dim ratio query. The
+    * dim broadcasts at any realistic part-to-lineitem ratio, so the
+    * fact table never shuffles at all (single partial+final agg).
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"))
+  }
+
   /** Exact distinct + conditional aggregation per order priority. */
   def distinctStats(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
