@@ -356,5 +356,9 @@ object GraftFunctions {
       es => CosineSimilarity(es(0), es(1)))
     GraftBridge.registerFunction(spark, "word_shingles", es => WordShingles(es.head, 3))
     GraftBridge.registerFunction(spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
+    GraftBridge.registerFunction(spark, "hyperplane_bucket",
+      es => HyperplaneBucket(es.head, 16, 42L))
+    GraftBridge.registerFunction(spark, "text_stats",
+      es => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:"))
   }
 }

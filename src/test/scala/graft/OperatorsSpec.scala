@@ -91,6 +91,12 @@ class OperatorsSpec extends GraftSpecBase {
     assert(math.abs(r - 1.0) < 1e-12)
     val sh = spark.sql("SELECT size(word_shingles('a b c d')) AS n").head().getInt(0)
     assert(sh == 2, "4 tokens -> 2 distinct 3-gram shingles")
+    val hb = spark.sql(
+      "SELECT hyperplane_bucket(array(cast(1.0 as float), cast(0.5 as float))) AS b")
+      .head().getInt(0)
+    assert(hb >= 0 && hb < 65536, "16-plane bucket in range")
+    val ts = spark.sql("SELECT text_stats('the cat sat.').n_tokens AS n").head().getLong(0)
+    assert(ts == 3L)
     // GraftExtensions wires the same builders through
     // spark.sql.extensions at session-build time
     assert(new plans.GraftExtensions() != null)
