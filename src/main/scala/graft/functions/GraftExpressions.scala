@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,8 +37,9 @@ object MixConstants {
   * seeded odd multipliers (a 64-bit multiply-shift universal hash).
   */
 case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   import MixConstants.mix64
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -69,7 +71,8 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
   * positive.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -104,7 +107,8 @@ case class SimHash64(child: Expression)
   * element; this expression scans the text exactly once.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -135,8 +139,9 @@ case class WordShingles(child: Expression, n: Int)
   * (the SimHash input).
   */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   import MixConstants.mix64
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
@@ -184,7 +189,8 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   * into every lambda element evaluation.
   */
 case class TextStats(child: Expression, stopwords: Seq[String], punct: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("len_chars", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false),
@@ -247,7 +253,12 @@ object ShingleSupport {
   * null-free float arrays (embedding columns).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftExpectsInputTypes {
+  // array<float> ONLY: codegen reads 4-byte slots (getFloat) — on an
+  // array<double> input it would silently misread half-slots, so the
+  // type check turns garbage-at-runtime into an analysis error.
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
@@ -302,23 +313,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * symmetry around 0).
   */
 case class HyperplaneBucket(child: Expression, numPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   import MixConstants.mix64
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_bucket"
 
-  // planes(p)(d) in [-1, 1), deterministic in (seed, p, d).
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(numPlanes, 1024) { (p, d) =>
-      (mix64(seed + p.toLong * 1024 + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  // Plane components live in a seed-keyed virtual grid — component
+  // (p, d) = mix64(seed + p*(1<<20) + d), uniform in [-1, 1) — so any
+  // embedding width works (1536/3072-dim LLM embeddings included).
+  // The table is materialized lazily at the first eval and regrown if
+  // a wider vector appears; a concurrent regrow just recomputes the
+  // same deterministic values, so the benign race needs no lock.
+  @transient private var planes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    var t = planes
+    if (t == null || t(0).length < dim) {
+      t = Array.tabulate(numPlanes, dim) { (p, d) =>
+        (mix64(seed + p.toLong * (1L << 20) + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+      planes = t
     }
+    t
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
+    val tbl = planesFor(v.length)
     var bucket = 0
     var p = 0
     while (p < numPlanes) {
-      val plane = planes(p)
+      val plane = tbl(p)
       var dot = 0.0
       var d = 0
       while (d < v.length) { dot += v(d) * plane(d); d += 1 }
@@ -347,18 +373,32 @@ object GraftFunctions {
   def shingle_hashes(c: Column, n: Int = 3, distinct: Boolean = true): Column =
     col(ShingleHashes(ex(c), n, distinct))
 
+  /** The single source of truth for SQL-surface registration —
+    * (name, usage, builder). Both registration paths
+    * ([[register]] for programmatic sessions and
+    * [[graft.plans.GraftExtensions]] for `spark.sql.extensions`
+    * pure-SQL sessions) iterate THIS list, so the two surfaces can
+    * never diverge.
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_signature", "minhash_signature(hashes) - 128-perm minhash signature",
+      (es: Seq[Expression]) => MinHashSignature(es.head, 128, 42L)),
+    ("simhash64", "simhash64(hashes) - 64-bit simhash",
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("word_shingles", "word_shingles(text) - distinct word 3-gram shingles",
+      (es: Seq[Expression]) => WordShingles(es.head, 3)),
+    ("shingle_hashes", "shingle_hashes(text) - hashed distinct word 3-grams",
+      (es: Seq[Expression]) => ShingleHashes(es.head, 3)),
+    ("hyperplane_bucket", "hyperplane_bucket(vec) - 16-plane LSH bucket of a float vector",
+      (es: Seq[Expression]) => HyperplaneBucket(es.head, 16, 42L)),
+    ("text_stats", "text_stats(text) - one-pass text statistics struct",
+      (es: Seq[Expression]) => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:")))
+
   /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
-  def register(spark: SparkSession): Unit = {
-    GraftBridge.registerFunction(spark, "minhash_signature",
-      es => MinHashSignature(es.head, 128, 42L))
-    GraftBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
-    GraftBridge.registerFunction(spark, "cosine_sim",
-      es => CosineSimilarity(es(0), es(1)))
-    GraftBridge.registerFunction(spark, "word_shingles", es => WordShingles(es.head, 3))
-    GraftBridge.registerFunction(spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
-    GraftBridge.registerFunction(spark, "hyperplane_bucket",
-      es => HyperplaneBucket(es.head, 16, 42L))
-    GraftBridge.registerFunction(spark, "text_stats",
-      es => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:"))
-  }
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, _, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
 }

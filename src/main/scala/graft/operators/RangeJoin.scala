@@ -6,8 +6,8 @@ import graft.Tables
 
 /** Bounded-interval range join: pair each left row with the right
   * rows of the same key whose timestamp falls in
-  * [left.ts, left.ts + width) — "purchases within 30 minutes of a
-  * click", the funnel/attribution primitive.
+  * [left.ts, left.ts + width] (inclusive on both ends) — "purchases
+  * within 30 minutes of a click", the funnel/attribution primitive.
   *
   * A naive `l.key = r.key AND r.ts BETWEEN l.ts AND l.ts + w` join
   * makes Catalyst pick a per-key cross product (every left row meets

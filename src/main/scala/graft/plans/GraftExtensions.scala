@@ -2,35 +2,26 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.GraftFunctions
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions at session build time, so a pure-SQL
   * user gets them via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`).
+  *
+  * Backed by [[GraftFunctions.sqlFunctions]] — the same builder list
+  * the programmatic `register` path uses, so the two SQL surfaces
+  * cannot diverge.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
-    e.injectFunction((FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(hashes) - 128-perm minhash signature"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, 128, 42L)))
-    e.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(hashes) - 64-bit simhash"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
-    e.injectFunction((FunctionIdentifier("word_shingles"),
-      info("word_shingles", "word_shingles(text) - distinct word 3-gram shingles"),
-      (es: Seq[Expression]) => WordShingles(es.head, 3)))
-    e.injectFunction((FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes", "shingle_hashes(text) - hashed distinct word 3-grams"),
-      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.sqlFunctions.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 }

@@ -14,3 +14,16 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 }
+
+/** [[org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes]]
+  * with a concrete-`DataType` signature: `AbstractDataType` is
+  * `private[sql]`, so out-of-tree expressions can't override
+  * `inputTypes` directly — this trait (compiled inside the sql
+  * package) forwards a public-type member into it, keeping Spark's
+  * standard analysis-time input-type error messages.
+  */
+trait GraftExpectsInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  def graftInputTypes: Seq[types.DataType]
+  override def inputTypes: Seq[types.AbstractDataType] = graftInputTypes
+}

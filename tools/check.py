@@ -14,10 +14,21 @@ for t in "region nation customer supplier part orders lineitem events documents 
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Iterate the UNION of expected queries (Verify manifest), oracle keys,
+# and whatever dirs exist — a query that crashed in Verify (missing
+# output dir) is a FAIL, not a silent skip.
+expected = set(k for k in oracle)
+expected |= set(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+mpath = f"{out_dir}/manifest.json"
+manifest = json.load(open(mpath)) if os.path.exists(mpath) else {"queries": [], "failed": {}}
+expected |= set(manifest["queries"])
 fails = 0
-for name in sorted(os.listdir(out_dir)):
+for name in sorted(expected):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
+        fails += 1
+        err = manifest.get("failed", {}).get(name, "no output written")
+        print(f"{name}: FAIL missing output ({err})")
         continue
     got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
     got = got[sorted(got.columns)]
