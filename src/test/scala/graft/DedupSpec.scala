@@ -44,6 +44,37 @@ class DedupSpec extends GraftSpecBase {
     assert(recall >= 0.15, s"recall $recall")
   }
 
+  test("blocked grid join equals the all-pairs reference exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val ref = dedup.Dedup.embeddingNearDups(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ref.nonEmpty)
+    assert(blocked == ref, s"missing=${(ref -- blocked).take(5)} extra=${(blocked -- ref).take(5)}")
+  }
+
+  test("LSH near-dup is exact on actually-near duplicates") {
+    // Plant real near-dups (cos ≈ 0.999); chance pairs among 64-dim
+    // gaussians sit ≈6σ below the 0.9 threshold, so `exact` is
+    // exactly the planted set — and LSH must recover all of it.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 100L).map(i => (i, gauss()))
+    val dups = base.take(30).map { case (i, v) =>
+      (1000L + i, v.zip(gauss()).map { case (x, g) => x + 0.02f * g })
+    }
+    val df = (base ++ dups).map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = dedup.Dedup.embeddingNearDups(df, threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = dedup.Dedup.embeddingNearDupsLsh(df, threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 30, s"expected exactly the 30 planted dups, got ${exact.size}")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val r = dedup.Dedup.embeddingNearDups(Tables.embeddings(spark, sf), threshold = 0.4)
     val rows = r.collect()

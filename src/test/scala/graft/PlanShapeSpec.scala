@@ -49,6 +49,14 @@ class PlanShapeSpec extends GraftSpecBase {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("d5: blocked all-pairs join is an equi-join — no BNLJ/cartesian, bounded build side") {
+    val plan = finalPlan(dedup.Dedup.d5(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact near-dup entry must never plan an unbounded nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"grid cells must join as a shuffled equi-join:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
