@@ -358,5 +358,76 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // t4: stopword-profile argmax; ties break to the lexicographically
+    // LARGEST language code (Spark sorts struct(hits, lang) descending)
+    "t4_lang_id" ->
+      """SELECT doc_id,
+        | CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+        |      WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |      WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |      WHEN h_en >= h_de THEN 'en'
+        |      ELSE 'de' END AS lang_pred,
+        | CAST(greatest(h_en, h_de, h_es, h_fr) AS INTEGER) AS lang_score
+        |FROM (
+        | SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS h_en,
+        |  len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS h_de,
+        |  len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'que', 'es'))) AS h_es,
+        |  len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS h_fr
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // x6: replay of the chunked next-fit packer as a linear recursion
+    // over each 64-id chunk (depth = docs per chunk)
+    "x6_pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n,
+        |  doc_id // 64 AS chunk,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS INTEGER) AS rn
+        | FROM documents),
+        |state AS (
+        | SELECT chunk, rn, doc_id, n, 0 AS bin, n AS used FROM toks WHERE rn = 1
+        | UNION ALL
+        | SELECT t.chunk, t.rn, t.doc_id, t.n,
+        |  CASE WHEN s.used > 0 AND s.used + t.n > 512 THEN s.bin + 1 ELSE s.bin END,
+        |  CASE WHEN s.used > 0 AND s.used + t.n > 512 THEN t.n ELSE s.used + t.n END
+        | FROM toks t JOIN state s ON t.chunk = s.chunk AND t.rn = s.rn + 1)
+        |SELECT doc_id, chunk * 1048576 + bin AS bin_id, n AS n_tokens
+        |FROM state ORDER BY doc_id""".stripMargin,
+    // d6: connected components = transitive closure over the exact
+    // jaccard pair set (the same pairs d4 verifies), min-id labels
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        | SELECT src AS id, src AS r FROM edges
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size, (l.doc_id = l.cluster_id) AS keep
+        |FROM labels l JOIN sizes s USING (cluster_id)
+        |WHERE s.cluster_size > 1
+        |ORDER BY l.doc_id""".stripMargin,
+    // d7: 8-gram string-shingle overlap vs the src0 benchmark set
+    "d7_contamination" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        | FROM t WHERE len(toks) >= 8),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE source <> 'src0')
+        |SELECT c.doc_id, count(*) AS shared_shingles, count(*) >= 3 AS contaminated
+        |FROM corpus c JOIN bench USING (s)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 }

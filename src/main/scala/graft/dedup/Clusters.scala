@@ -97,12 +97,18 @@ object Clusters {
     labels.select(col("doc_id"), col("cluster_id"))
   }
 
-  /** d6: cluster the MinHash-LSH near-dup pairs and emit only docs in
-    * non-singleton clusters with their keep/drop verdict.
+  /** d6: cluster the exact-Jaccard near-dup pairs and emit only docs
+    * in non-singleton clusters with their keep/drop verdict. Uses the
+    * SHARED persisted pair set (one pair computation feeds both d4
+    * and d6 — the pair query and its clustering consumer never pay
+    * for the pairs twice), and exact edges make the whole operator
+    * verifiable by the SQL oracle (transitive closure over the d4
+    * pair set). `connectedComponents` itself is edge-source-agnostic;
+    * minhash/simhash pair sets plug in unchanged.
     */
   def d6(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir))
+    val pairs = Dedup.cachedJaccardPairs(spark, dir)
     val cc = connectedComponents(docs, pairs.select("a_id", "b_id"))
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")

