@@ -42,6 +42,7 @@ object SparkEntry {
     "st1_sessionize" -> ((s, d) => streaming.Sessionize.st1(s, d)),
     "st2_asof_join" -> ((s, d) => operators.AsOfJoin.st2(s, d)),
     "a8_percentiles" -> ((s, d) => analytics.Queries.percentiles(s, d)),
+    "a8b_approx_percentiles" -> ((s, d) => analytics.Queries.approxPercentiles(s, d)),
     "a9_moment_stats" -> ((s, d) => analytics.Queries.momentStats(s, d)),
     "a10_lag_lead" -> ((s, d) => analytics.Queries.lagLeadDeltas(s, d)),
     "x1_hash_sample" -> ((s, d) => text.Curation.x1HashSample(s, d)),
@@ -276,6 +277,16 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
         | round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // a8b: oracle states the EXACT percentiles and `true` tolerance
+    // flags — the Spark side computes both sketch and exact, so any
+    // sketch drift beyond 1% relative error hash-mismatches here
+    "a8b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50_exact,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95_exact,
+        | true AS p50_within_tol,
+        | true AS p95_within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a9_moment_stats" ->
       """SELECT l_linestatus,

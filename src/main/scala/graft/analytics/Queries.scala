@@ -151,6 +151,30 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** a8b: the 100 TB percentile path — approx_percentile (bounded
+    * sketch memory, map-side mergeable partials, no per-group sort)
+    * gated against the exact value INSIDE the query: the verified
+    * output carries the exact percentile plus a boolean per quantile
+    * asserting the sketch landed within 1% relative error, so the SQL
+    * oracle (which states `true`) fails the moment the approximation
+    * degrades. accuracy=10000 bounds rank error at n/10000.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("e95"))
+      .select(col("l_returnflag"),
+        round(col("e50"), 4).as("price_p50_exact"),
+        round(col("e95"), 4).as("price_p95_exact"),
+        (abs(col("a50") - col("e50")) <= col("e50") * 0.01).as("p50_within_tol"),
+        (abs(col("a95") - col("e95")) <= col("e95") * 0.01).as("p95_within_tol"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Second-moment statistics: stddev/variance/correlation per group
     * (single-pass streaming aggregators; map-side partials).
     */

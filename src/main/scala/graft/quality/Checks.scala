@@ -60,6 +60,43 @@ object Checks {
   def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
     required.filterNot(df.columns.toSet)
 
+  /** Declarative check-suite loader — the Spark-native analogue of the
+    * reference's YAML check file (soda/checks/checks_gold.yml:1-12):
+    * checks live in CONFIG, not code, so a suite change is a config
+    * change. JSON shape:
+    * {{{
+    * {"checks": [
+    *   {"type": "row_count_above", "min": 0},
+    *   {"type": "missing_count", "column": "user_id", "max": 0},
+    *   {"type": "duplicate_count", "column": "event_id", "max": 0},
+    *   {"type": "avg_between", "column": "value", "lo": 0, "hi": 1000},
+    *   {"type": "min_at_least", "column": "value", "lo": 0}
+    * ]}
+    * }}}
+    * Unknown types fail fast with the offending node in the message.
+    * (Jackson ships inside Spark; no extra dependency.)
+    */
+  def fromJson(json: String): Seq[Check] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val arr = root.path("checks")
+    require(arr.isArray, s"config must have a 'checks' array, got: $json")
+    import scala.jdk.CollectionConverters._
+    arr.elements().asScala.map { n =>
+      def str(f: String) = n.path(f).asText()
+      def num(f: String, dflt: Long = 0L) = if (n.has(f)) n.path(f).asLong() else dflt
+      def dbl(f: String) = n.path(f).asDouble()
+      str("type") match {
+        case "row_count_above"  => RowCountAbove(num("min"))
+        case "missing_count"    => MissingCount(str("column"), num("max"))
+        case "duplicate_count"  => DuplicateCount(str("column"), num("max"))
+        case "avg_between"      => AvgBetween(str("column"), dbl("lo"), dbl("hi"))
+        case "min_at_least"     => MinAtLeast(str("column"), dbl("lo"))
+        case other => throw new IllegalArgumentException(s"unknown check type '$other' in $n")
+      }
+    }.toSeq
+  }
+
   /** Compile a check suite into one aggregation pass; returns a long
     * DataFrame (check_name, value, passed) ordered by check_name.
     */

@@ -28,9 +28,9 @@ object Sources {
       .option("delimiter", delimiter)
       .csv(path)
 
-  /** JDBC reader shape (partitioned parallel read) — the inverse of
-    * the reference's gold JDBC sink. Untestable offline; kept as the
-    * production call surface.
+  /** JDBC reader (partitioned parallel read) — the inverse of the
+    * reference's gold JDBC sink. Round-tripped against embedded Derby
+    * in JdbcSpec, including the partition split.
     */
   def readJdbc(spark: SparkSession, url: String, table: String,
                partitionColumn: String, lowerBound: Long, upperBound: Long,

@@ -75,8 +75,8 @@ object Streams {
       .outputMode("update")
 
   /** JDBC batch writer for use inside foreachBatchSink — mirrors
-    * spark_streaming_job.py:127-137. Untestable offline (no JDBC
-    * server); kept as the production sink shape.
+    * spark_streaming_job.py:127-137. Round-tripped against embedded
+    * Derby in JdbcSpec; Postgres is the production default driver.
     */
   def jdbcBatchWriter(url: String, table: String, user: String, password: String,
                       driver: String = "org.postgresql.Driver"): (DataFrame, Long) => Unit =

@@ -61,4 +61,26 @@ class PipelineSpec extends GraftSpecBase {
     val df = Seq((1, 2)).toDF("a", "b")
     assert(quality.Checks.missingColumns(df, Seq("a", "c")) == Seq("c"))
   }
+
+  test("declarative JSON config reproduces the p5 gold suite exactly") {
+    // the reference declares this suite in YAML
+    // (soda/checks/checks_gold.yml:1-12); same semantics from config
+    val config =
+      """{"checks": [
+        |  {"type": "row_count_above", "min": 0},
+        |  {"type": "missing_count", "column": "user_id", "max": 0},
+        |  {"type": "duplicate_count", "column": "event_id", "max": 0},
+        |  {"type": "avg_between", "column": "value", "lo": 0, "hi": 1000},
+        |  {"type": "min_at_least", "column": "value", "lo": 0}
+        |]}""".stripMargin
+    val fromConfig = quality.Checks
+      .run(Tables.events(spark, sf), quality.Checks.fromJson(config))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val fromCode = quality.Checks.p5EventChecks(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(fromConfig.sameElements(fromCode))
+    intercept[IllegalArgumentException] {
+      quality.Checks.fromJson("""{"checks": [{"type": "nope"}]}""")
+    }
+  }
 }
