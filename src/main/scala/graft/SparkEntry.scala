@@ -428,6 +428,79 @@ object SparkEntry {
         |FROM labels l JOIN sizes s USING (cluster_id)
         |WHERE s.cluster_size > 1
         |ORDER BY l.doc_id""".stripMargin,
+    // d3: bit-exact DuckDB replay of the simhash pipeline — FNV-1a 64
+    // per token then the splitmix64 finalizer applied twice
+    // (ShingleHashes n=1 mixes the token hash, then the 1-gram combine
+    // mixes again), all in HUGEINT mod-2^64 arithmetic with 32-bit-split
+    // modular multiplies (BIGINT would overflow-error, HUGEINT can't
+    // hold a 64x64 product); bit-majority vote, then all-pairs
+    // bit_count(xor) <= 3 — which is exactly what the Spark side's
+    // pigeonhole blocking returns (3 flipped bits cannot touch all
+    // four 16-bit chunks). Layered list_transform stages keep each
+    // lambda tiny (a nested textual expansion re-evaluates
+    // subexpressions exponentially).
+    "d3_simhash" ->
+      """WITH th AS (
+        | SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS ths
+        | FROM documents),
+        |sims AS (
+        | SELECT doc_id,
+        |  list_sum(list_transform(generate_series(0, 63), j ->
+        |    CASE WHEN 2 * len(list_filter(ths, t -> (t >> j) % 2 = 1)) > len(ths)
+        |         THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS u
+        | FROM th),
+        |sg AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS sim
+        | FROM sims)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // m2: the deterministic stub decode is a 31x byte fold mod 2^64 —
+    // replayable in HUGEINT (31*(2^64) fits without splitting)
+    "m2_feature_extract" ->
+      """WITH h AS (
+        | SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(byte_len AS INTEGER) AS byte_len,
+        | CAST(64 + u % 1024 AS INTEGER) AS width,
+        | CAST(64 + (u // 131072) % 1024 AS INTEGER) AS height,
+        | CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
+        | abs(CAST((CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END) AS BIGINT) % 1000000)
+        |   / 1000000.0 AS feat_norm
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // m3: frame stride/count from the same fold; frame_hash replays
+    // java.util.Arrays.hashCode (31x fold mod 2^32, signed)
+    "m3_frame_sample" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u,
+        |  list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, c) -> (31 * acc + c) % 4294967296) AS ju
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
+        |  CASE WHEN ju >= 2147483648 THEN ju - 4294967296 ELSE ju END AS jhash,
+        |  CAST(((1 + (u // 8589934592) % 16) + 3) // 4 AS INTEGER) AS stride
+        | FROM h)
+        |SELECT doc_id,
+        | CAST(frame // stride AS INTEGER) AS frame_idx,
+        | CAST(frame * 33 AS BIGINT) AS ts_ms,
+        | CAST(jhash * 31 + frame AS BIGINT) AS frame_hash
+        |FROM (SELECT doc_id, stride, jhash, unnest(generate_series(0, n_frames - 1, stride)) AS frame FROM s)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
