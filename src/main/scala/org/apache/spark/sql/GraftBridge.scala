@@ -13,6 +13,16 @@ object GraftBridge {
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Function names an extensions instance would inject at session
+    * build (`registerFunctions` is `private[sql]`) — lets specs pin
+    * surface parity without building a second SparkSession.
+    */
+  def extensionFunctionNames(ext: SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }
 
 /** [[org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes]]

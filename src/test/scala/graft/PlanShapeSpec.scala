@@ -61,6 +61,14 @@ class PlanShapeSpec extends GraftSpecBase {
       s"grid cells must join as a shuffled equi-join:\n$plan")
   }
 
+  test("s3: no quantizer training in the query plan — assignment is a narrow literal-centroid map") {
+    val plan = finalPlan(similarity.Similarity.s3(spark, sf))
+    assert(!plan.contains("posexplode"),
+      s"centroid training must never posexplode the corpus inside the query:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query side must broadcast into the cell join:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")

@@ -19,4 +19,21 @@ class SqlParitySpec extends GraftSpecBase {
   test("a6 semi/anti: spark.sql == DataFrame")(parity("a6_semi_anti"))
   test("d1 exact dedup: spark.sql == DataFrame")(parity("d1_exact_dedup"))
   test("x1 sampling: spark.sql == DataFrame")(parity("x1_hash_sample"))
+
+  test("both SQL registration surfaces expose the identical function set") {
+    // register() (programmatic) and GraftExtensions (pure-SQL session)
+    // both iterate GraftFunctions.sqlFunctions; this pins the contract
+    // so a new expression can't be added to one surface only.
+    val names = functions.GraftFunctions.sqlFunctions.map(_._1).toSet
+    assert(names.contains("hyperplane_bucket") && names.contains("text_stats"))
+    functions.GraftFunctions.register(spark)
+    names.foreach { n =>
+      assert(spark.catalog.functionExists(n), s"register() missing $n")
+    }
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new plans.GraftExtensions().apply(ext)
+    val injected = org.apache.spark.sql.GraftBridge.extensionFunctionNames(ext).toSet
+    assert(names.subsetOf(injected),
+      s"extensions path missing ${names -- injected}")
+  }
 }
