@@ -8,12 +8,15 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake derived from the content
-  * hash; everything around it — the binary schema, the
-  * partition-batched execution shape, the typed output — is the real
-  * production plumbing. Swap `fakeDecode` for a codec call and
-  * nothing else changes.
+  * Decode is REAL for uncompressed containers that need no codec
+  * library — BMP and WAV headers parse with pure byte arithmetic
+  * ([[Multimodal.decodeBmp]]/[[Multimodal.decodeWav]], spec-covered
+  * on real format bytes) — and a deterministic content-hash fake
+  * stands in for codec-requiring formats (no image/audio codec libs
+  * in this environment). Everything around the decode — the binary
+  * schema, magic-sniff dispatch, partition-batched execution, typed
+  * output — is the real production plumbing: swap `fakeDecode` for a
+  * codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -36,11 +39,8 @@ object Multimodal {
   /** m2: batched decode → feature-extract over a binary column via
     * mapPartitions — the Scala-side analogue of `mapInPandas`: one
     * iterator per partition so a real codec could amortize model/
-    * codec initialization across the batch.
-    *
-    * STUB: `fakeDecode` fabricates deterministic dimensions from the
-    * content bytes (stands in for an image decode; no codec libs in
-    * this container).
+    * codec initialization across the batch. Decode = real header
+    * parse for BMP/WAV, deterministic fake otherwise (see [[decode]]).
     */
   def featureExtract(docs: DataFrame): Dataset[MediaFeatures] = {
     val spark = docs.sparkSession
@@ -51,11 +51,68 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     binary.mapPartitions { batch =>
       // per-partition init happens HERE (codec/model handle)
-      batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+      batch.map { case (id, bytes) => decode(id, bytes) }
     }
   }
 
-  /** Deterministic stand-in for a real decoder. */
+  /** Decode dispatch: REAL header parsing for uncompressed containers
+    * that need no codec library (BMP images, WAV audio — pure byte
+    * arithmetic), deterministic fake for everything else (compressed
+    * codecs aren't in this environment). A production deployment
+    * swaps `fakeDecode` for the codec call; the dispatch, batching,
+    * and schema do not change.
+    */
+  private[graft] def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+    decodeBmp(id, bytes).orElse(decodeWav(id, bytes)).getOrElse(fakeDecode(id, bytes))
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** BMP: 'BM' magic + BITMAPINFOHEADER width/height (little-endian
+    * at offsets 18/22). Single "frame". Real pixels, no codec needed.
+    */
+  private[graft] def decodeBmp(id: Long, b: Array[Byte]): Option[MediaFeatures] = {
+    if (b.length < 26 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    // reserved bytes 6-9 are zero in every real BMP; text payloads
+    // (no NUL in printable encodings) can never satisfy this, so the
+    // sniff cannot misfire on a text corpus
+    if (b(6) != 0 || b(7) != 0 || b(8) != 0 || b(9) != 0) return None
+    val w = u32(b, 18).toInt
+    val h = math.abs(u32(b, 22).toInt) // negative height = top-down rows
+    if (w <= 0 || h == 0) return None
+    Some(MediaFeatures(id, b.length, w, h, 1, 0.0))
+  }
+
+  /** WAV: RIFF/WAVE magic + fmt chunk. width := sample rate, height
+    * := channels, frames := whole seconds of audio (duration proxy
+    * from byte rate) — typed metadata a training pipeline filters on.
+    */
+  private[graft] def decodeWav(id: Long, b: Array[Byte]): Option[MediaFeatures] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    // walk chunks to the fmt header (usually at 12, but not always)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = u32(b, off + 4).toInt
+      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && off + 8 + 16 <= b.length) {
+        val channels = u16(b, off + 10)
+        val sampleRate = u32(b, off + 12).toInt
+        val byteRate = u32(b, off + 16)
+        if (channels <= 0 || sampleRate <= 0 || byteRate <= 0) return None
+        val seconds = ((b.length - 44).toLong max 0L) / byteRate
+        return Some(MediaFeatures(id, b.length, sampleRate, channels,
+          1 + seconds.toInt, 0.0))
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Deterministic stand-in for codec-requiring formats. */
   private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var h = 1125899906842597L // FNV-ish rolling hash over content
     var i = 0
@@ -86,7 +143,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     binary.mapPartitions { batch =>
       batch.flatMap { case (id, bytes) =>
-        val m = fakeDecode(id, bytes)
+        val m = decode(id, bytes)
         val stride = math.max(1, (m.n_frames + maxFrames - 1) / maxFrames)
         (0 until m.n_frames by stride).iterator.zipWithIndex.map {
           case (frame, idx) =>

@@ -34,4 +34,37 @@ class MultimodalSpec extends GraftSpecBase {
     assert(a.nonEmpty)
     assert(a.forall(_.getAs[Int]("width") >= 64))
   }
+
+  test("real BMP header decode: width/height from actual format bytes") {
+    // minimal 3x2 24-bit BMP: 14-byte file header + 40-byte info header
+    val buf = java.nio.ByteBuffer.allocate(54 + 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(78).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+    buf.putInt(0).putInt(24).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val m = multimodal.Multimodal.decodeBmp(7L, buf.array())
+    assert(m.isDefined && m.get.width == 3 && m.get.height == 2 && m.get.n_frames == 1)
+  }
+
+  test("real WAV header decode: sample rate/channels/duration from actual format bytes") {
+    // canonical 44-byte PCM WAV header + 1 second of 8kHz mono u8 audio
+    val rate = 8000
+    val data = rate // 1 second at 1 byte/sample
+    val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + data).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    buf.putInt(rate).putInt(rate).putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(data)
+    val m = multimodal.Multimodal.decodeWav(7L, buf.array())
+    assert(m.isDefined, "canonical WAV must parse")
+    assert(m.get.width == rate && m.get.height == 1 && m.get.n_frames == 2,
+      s"got ${m.get}") // 1 + floor(8000/8000) seconds
+  }
+
+  test("text payloads never sniff as media — fake decode path stays deterministic") {
+    val text = "BMarley told a story about RIFFs and WAVEs in the studio today ok"
+    val bytes = text.getBytes("UTF-8")
+    assert(multimodal.Multimodal.decodeBmp(1L, bytes).isEmpty,
+      "ASCII text has no NUL reserved bytes — BMP sniff must reject")
+    assert(multimodal.Multimodal.decodeWav(1L, bytes).isEmpty)
+  }
 }
