@@ -43,6 +43,7 @@ object SparkEntry {
     "st2_asof_join" -> ((s, d) => operators.AsOfJoin.st2(s, d)),
     "a8_percentiles" -> ((s, d) => analytics.Queries.percentiles(s, d)),
     "a8b_approx_percentiles" -> ((s, d) => analytics.Queries.approxPercentiles(s, d)),
+    "a5b_approx_distinct" -> ((s, d) => analytics.Queries.approxDistinct(s, d)),
     "a9_moment_stats" -> ((s, d) => analytics.Queries.momentStats(s, d)),
     "a10_lag_lead" -> ((s, d) => analytics.Queries.lagLeadDeltas(s, d)),
     "x1_hash_sample" -> ((s, d) => text.Curation.x1HashSample(s, d)),
@@ -278,6 +279,13 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
         | round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // a5b: same tolerance-flag pattern as a8b — oracle states the
+    // exact distinct counts and `true` flags
+    "a5b_approx_distinct" ->
+      """SELECT o_orderpriority,
+        | count(DISTINCT o_custkey) AS exact_custs,
+        | true AS approx_within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // a8b: oracle states the EXACT percentiles and `true` tolerance
     // flags — the Spark side computes both sketch and exact, so any
     // sketch drift beyond 1% relative error hash-mismatches here

@@ -151,6 +151,25 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** a5b: the 100 TB count-distinct path — approx_count_distinct
+    * (HyperLogLog++: fixed sketch memory, map-side mergeable, no
+    * distinct shuffle of the key universe) gated against the exact
+    * count inside the query, same tolerance-flag pattern as a8b: the
+    * oracle states `true`, so sketch drift past 5% fails the hash
+    * compare. rsd 0.02 makes 5% a ≈2.5σ bound.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"))
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.05).as("approx_within_5pct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** a8b: the 100 TB percentile path — approx_percentile (bounded
     * sketch memory, map-side mergeable partials, no per-group sort)
     * gated against the exact value INSIDE the query: the verified

@@ -56,4 +56,34 @@ object Lake {
     doomed.foreach { v => fs.delete(new Path(path, s"$partCol=$v"), true) }
     doomed
   }
+
+  /** Compact a partition's small files into ~targetBytes outputs —
+    * the small-files housekeeping every streaming bronze lake needs
+    * (each micro-batch appends a file per task; a year of 30-second
+    * batches is ~10⁶ tiny files per partition, and scan planning cost
+    * scales with file count, not bytes). Rewrites one partition
+    * directory at a time (atomic swap via temp dir + rename), sized
+    * by the partition's actual byte footprint.
+    *
+    * @return (files before, files after)
+    */
+  def compactPartition(spark: SparkSession, path: String, partValue: String,
+                       partCol: String = "p_date",
+                       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, s"$partCol=$partValue")
+    val dataFiles = fs.listStatus(dir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles.length
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (before <= nOut) return (before, before) // already compact
+    val tmp = new Path(path, s".compact_tmp_$partCol=$partValue")
+    spark.read.parquet(dir.toString)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    val after = fs.listStatus(dir).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    (before, after)
+  }
 }

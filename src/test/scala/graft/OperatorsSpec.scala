@@ -36,6 +36,24 @@ class OperatorsSpec extends GraftSpecBase {
     assert(spark.read.parquet(tmp).count() == 1)
   }
 
+  test("compaction bin-packs a partition's small files, preserving rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 1000).map(i => (f"2024-01-01 10:00:${i % 60}%02d", i))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    // 16 writer tasks -> 16 small files in the partition
+    sources.Lake.writeDatePartitioned(df.repartition(16), tmp)
+    val (before, after) = sources.Lake.compactPartition(spark, tmp, "2024-01-01",
+      targetBytes = 1024L * 1024 * 1024)
+    assert(before >= 16, s"expected many small files, saw $before")
+    assert(after == 1, s"one fat target file expected, saw $after")
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == (1 to 1000).sum)
+    // idempotent: already-compact partition is untouched
+    assert(sources.Lake.compactPartition(spark, tmp, "2024-01-01",
+      targetBytes = 1024L * 1024 * 1024) == ((1, 1)))
+  }
+
   test("bucketed tables join with zero shuffle") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
