@@ -530,6 +530,83 @@ object SparkEntry {
         | FROM cand)
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // s3: full IVF replay — mod-4 id sample, 3 unrolled Lloyd
+    // iterations (per-cell ordered elementwise mean, float32-rounded
+    // exactly like the Scala trainer), window-argmax cell assignment
+    // (ties -> smallest cell, matching assignBest), 12-cell probe,
+    // exact cosine top-k
+    "s3_ivf_knn" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sample AS (
+        | SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+        |cents0 AS (
+        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+        | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
+        |asg_cents1_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents0 c),
+        |asg_cents1 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents1_rn WHERE rn = 1),
+        |cents1 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents0 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents1 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |asg_cents2_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents1 c),
+        |asg_cents2 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents2_rn WHERE rn = 1),
+        |cents2 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents1 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents2 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |asg_cents3_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents2 c),
+        |asg_cents3 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents3_rn WHERE rn = 1),
+        |cents3 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents2 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents3 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |corpus_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM e s CROSS JOIN cents3 c),
+        |corpus AS (SELECT vid AS vec_id, emb, cell FROM corpus_rn WHERE rn = 1),
+        |probes AS (
+        | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |cand AS (
+        | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
+        | FROM (SELECT * FROM probes WHERE pr <= 12) p
+        | JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+        |scored AS (
+        | SELECT q_id, n_id,
+        |  list_cosine_similarity(q_emb, n_emb) AS cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
+        | FROM cand)
+        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),

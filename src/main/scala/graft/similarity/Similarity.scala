@@ -100,11 +100,19 @@ object Similarity {
     * 100 TB corpus is only ever touched by the narrow literal-centroid
     * assignment map in [[ivfKnn]].
     */
+  /** Training-sample selector: deterministic id-mod (replay-stable,
+    * partition-independent, and — unlike a hash — replayable by the
+    * SQL oracle). For adversarial id distributions (e.g. ids striped
+    * by source) pass a hash-based predicate instead:
+    * `pmod(xxhash64(col("vec_id")), lit(mod)) === 0`.
+    */
   private[similarity] def centroidMatrix(corpus: DataFrame, k: Int, iters: Int,
                                          sampleMod: Int = 4,
-                                         sampleCap: Int = 20000): Array[(Int, Array[Float])] = {
+                                         sampleCap: Int = 20000,
+                                         samplePredicate: Option[Column] = None): Array[(Int, Array[Float])] = {
+    val pred = samplePredicate.getOrElse(pmod(col("vec_id"), lit(sampleMod)) === 0)
     val sample: Array[Array[Float]] = corpus
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .filter(pred)
       .orderBy(col("vec_id")).limit(sampleCap) // TakeOrdered: no full sort shuffle
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
