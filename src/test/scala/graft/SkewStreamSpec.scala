@@ -31,6 +31,38 @@ class SkewStreamSpec extends GraftSpecBase {
     assert(d == s)
   }
 
+  test("AQE splits a skewed join partition at runtime (hot-key resilience without salting)") {
+    // one key carries ~90% of the left side; with the skew thresholds
+    // scaled down to test-data size, AQE must mark the sort-merge join
+    // skew-handled instead of leaving one straggler task.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select((col("id") % 1000).as("pad"),
+          when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"))
+      val right = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true") || plan.contains("isSkew=true"),
+        s"AQE must flag the hot-key join as skew-handled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchases enriched with recent signups") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
