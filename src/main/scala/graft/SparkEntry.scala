@@ -608,12 +608,14 @@ object SparkEntry {
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // d2: full minhash replay — token/shingle hashes as in d3
-    // (HUGEINT mod-2^64, layered transforms), then the 128-perm
-    // signature computed VECTORIZED: shingle-rows x perm-constant
-    // table cross join with plain column arithmetic + unsigned min
-    // (HUGEINT in [0,2^64) compares unsigned for free), banded
-    // candidate check on the slot-equality list. ~18s in DuckDB at
-    // sf0.01 (the lambda-only formulation measured 46s).
+    // (HUGEINT mod-2^64, layered transforms; token-level mix then
+    // three chained window mixes), then the 128-perm signature
+    // computed VECTORIZED: shingle-rows x perm-constant table cross
+    // join with plain column arithmetic + unsigned min (HUGEINT in
+    // [0,2^64) compares unsigned for free), banded candidates via
+    // an equi-join on 8-slot signature slices exactly like the
+    // Spark side. ~17s in DuckDB at sf0.01 (lambda-only
+    // formulation measured 46s).
     "d2_minhash_lsh" ->
       """WITH base AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS th FROM documents),
         |w AS (SELECT doc_id, th, generate_series(1, len(th) - 2) AS idxs FROM base WHERE len(th) >= 3),
@@ -630,18 +632,19 @@ object SparkEntry {
         | FROM shrows CROSS JOIN perms
         | GROUP BY doc_id, p),
         |sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hv GROUP BY doc_id),
-        |pairs AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  list_transform(generate_series(1, 128), k -> a.sig[k] = b.sig[k]) AS eq
-        | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+        |bands AS (
+        | SELECT doc_id, bnd, sig[bnd * 8 + 1 : bnd * 8 + 8] AS bsig, sig
+        | FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bnd)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS siga, b.sig AS sigb
+        | FROM bands a JOIN bands b
+        |   ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
         |scored AS (
         | SELECT a_id, b_id,
-        |  round(CAST(len(list_filter(eq, e -> e)) AS DOUBLE) / 128, 6) AS est_jaccard,
-        |  len(list_filter(generate_series(0, 15), bnd ->
-        |    len(list_filter(generate_series(1, 8), r -> eq[bnd * 8 + r])) = 8)) > 0 AS banded
-        | FROM pairs)
+        |  round(CAST(len(list_filter(generate_series(1, 128), k -> siga[k] = sigb[k])) AS DOUBLE) / 128, 6) AS est_jaccard
+        | FROM cand)
         |SELECT a_id, b_id, est_jaccard FROM scored
-        |WHERE banded AND est_jaccard >= 0.5
+        |WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
     "d7_contamination" ->
