@@ -112,14 +112,34 @@ object Dedup {
     * Semantically identical to the naive all-pairs intersect (a pair
     * with zero shared shingles has j = 0 and can never pass the
     * threshold) but costs Σ_shingle df² instead of n²·|sh| — the
-    * only shuffles are the shingle join and the per-pair count. At
-    * 100 TB add df-capped prefix filtering on top; the shape is
-    * unchanged.
+    * only shuffles are the shingle join and the per-pair count.
+    *
+    * `maxDf` is the 100 TB safety valve: a boilerplate shingle shared
+    * by df documents emits df² candidate pairs from ONE join key — a
+    * hot-key detonator AQE cannot split (the pairs are real work, not
+    * partition skew). Shingles with df > maxDf are dropped from the
+    * posting stream BEFORE the self-join, bounding join cost at
+    * maxDf · |postings|; such shingles carry almost no jaccard
+    * discrimination (they shrink `shared` for pairs that co-contain
+    * them, so capped jaccard only ever under-estimates — the filter
+    * is candidate-safe, never a false-positive source). The df count
+    * rides the SAME hash-exchange on `s` the join needs (a window,
+    * not an extra shuffle+join), so the capped plan still has exactly
+    * one posting shuffle, reused across both join sides. The default
+    * cap (1000) is far above any df in the verified corpora (max 25
+    * at sf0.1), so the entry's results are bit-identical to uncapped
+    * — asserted in DedupSpec.
     */
-  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDf: Long = 1000L): DataFrame = {
     val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
       .withColumn("n", size(col("sh")))
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val posts = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val ex = posts
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "n", "s")
     // shuffle-hash, not broadcast: at scale the posting stream can't
     // broadcast, and with identical shuffles on both sides Spark
     // plans a ReusedExchange — the shingle pass runs ONCE.

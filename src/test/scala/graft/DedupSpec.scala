@@ -22,6 +22,35 @@ class DedupSpec extends GraftSpecBase {
     assert(recall >= 0.9, s"LSH recall over exact j>=0.7 pairs was $recall")
   }
 
+  test("d4 df cap does not bind on the verified corpus (capped == uncapped)") {
+    val docs = Tables.documents(spark, sf)
+    def pairs(maxDf: Long) = dedup.Dedup.exactJaccardPairs(docs, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(1000L) // the entry default
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.nonEmpty, "test data should contain near-dups")
+    assert(capped == uncapped,
+      s"default cap must be invisible here: missing=${(uncapped -- capped).take(5)}")
+  }
+
+  test("d4 df cap defuses a planted hot shingle (bounded candidate set)") {
+    import spark.implicits._
+    // 60 docs sharing one boilerplate 3-gram, otherwise disjoint text:
+    // the hot shingle is each pair's ONLY overlap, so at threshold 0
+    // the pair count IS the candidate count the inverted index emits.
+    val docs = (0L until 60L)
+      .map(i => (i, s"all rights reserved unique$i token$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.0,
+      maxDf = Long.MaxValue).count()
+    assert(uncapped == 60L * 59 / 2,
+      s"uncapped hot shingle must emit all C(60,2) candidate pairs, got $uncapped")
+    val capped = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.0,
+      maxDf = 10L).count()
+    assert(capped == 0,
+      s"df cap must drop the df=60 shingle before the self-join, got $capped pairs")
+  }
+
   test("simhash finds the permuted near-dups with hamming 0") {
     val pairs = dedup.Dedup.simhashPairs(Tables.documents(spark, sf))
     assert(pairs.count() > 0)
