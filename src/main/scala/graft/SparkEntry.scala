@@ -25,6 +25,7 @@ object SparkEntry {
     "p5_dq_checks" -> ((s, d) => quality.Checks.p5EventChecks(s, d)),
     "p6_stream_gold" -> ((s, d) => streaming.Streams.p6StreamGold(s, d)),
     "p7_backfill_silver" -> ((s, d) => pipeline.Medallion.p7Backfill(s, d)),
+    "p8_lake_day" -> ((s, d) => sources.Lake.p8LakeDay(s, d)),
     "t1_quality_score" -> ((s, d) => text.TextAnalysis.t1Quality(s, d)),
     "t2_token_count" -> ((s, d) => text.TextAnalysis.t2Tokens(s, d)),
     "t3_fingerprint" -> ((s, d) => text.TextAnalysis.t3Fingerprint(s, d)),
@@ -199,6 +200,17 @@ object SparkEntry {
         |  FROM (SELECT *, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS k FROM events))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // p8: one-day read of the date-partitioned lake; the oracle
+    // filters the flat events table to the same (min) day
+    "p8_lake_day" ->
+      """SELECT event_type,
+        | strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p_date,
+        | count(*) AS n_events,
+        | round(avg(value), 4) AS avg_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type""".stripMargin,
     "t1_quality_score" ->
       """SELECT doc_id, len_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
         | round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score

@@ -62,8 +62,12 @@ object Lake {
     * (each micro-batch appends a file per task; a year of 30-second
     * batches is ~10⁶ tiny files per partition, and scan planning cost
     * scales with file count, not bytes). Rewrites one partition
-    * directory at a time (atomic swap via temp dir + rename), sized
-    * by the partition's actual byte footprint.
+    * directory at a time (temp dir + rename — NOT atomic: a reader
+    * listing the lake between the delete and the rename sees the
+    * partition missing; run compaction from the single process that
+    * owns housekeeping, the reference's cron model, or use a
+    * manifest/table format for concurrent-reader lakes), sized by
+    * the partition's actual byte footprint.
     *
     * @return (files before, files after)
     */
@@ -85,5 +89,43 @@ object Lake {
     fs.rename(tmp, dir)
     val after = fs.listStatus(dir).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
     (before, after)
+  }
+
+  // ---- Verified entry point ----
+
+  /** One (lake path, first day) materialization per source dir per
+    * JVM: the events table written date-partitioned exactly like the
+    * reference's bronze layout (spark_streaming_job.py:65-72 appends
+    * micro-batches under date-laid-out dirs). The day literal is
+    * data-derived (min event date) so the entry tracks any corpus.
+    */
+  private val lakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def eventsLake(spark: SparkSession, dir: String): (String, String) =
+    lakeCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      writeDatePartitioned(ev, path)
+      val day = ev.agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+      (path, day)
+    })
+
+  /** p8: read ONE day back out of the date-partitioned lake — the #1
+    * scan-cost lever at 100 TB: the `p_date = day` predicate is a
+    * PartitionFilter, so 29 of the corpus's 30 day-directories are
+    * never listed, opened, or read (asserted on `inputFiles` and the
+    * scan's PartitionFilters in PlanShapeSpec, along with dynamic
+    * partition pruning for the fact⋈dim shape). Aggregation after the
+    * pruned scan is the standard daily-rollup query.
+    */
+  def p8LakeDay(spark: SparkSession, dir: String): DataFrame = {
+    val (path, day) = eventsLake(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("p_date") === day)
+      .groupBy(col("event_type"), col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
 
 /** Locks in the plan properties the 100 TB design depends on. A
   * passing result here means Catalyst is still producing the shapes
@@ -67,6 +68,38 @@ class PlanShapeSpec extends GraftSpecBase {
       s"centroid training must never posexplode the corpus inside the query:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"query side must broadcast into the cell join:\n$plan")
+  }
+
+  test("p8: one-day lake read prunes the other 29 date partitions") {
+    val (path, day) = sources.Lake.eventsLake(spark, sf)
+    // runtime truth: the files the executed scan actually opened
+    val files = spark.read.parquet(path).filter(col("p_date") === day)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"p_date=$day")),
+      s"scan must touch only the $day partition: ${files.take(3).mkString(",")}")
+    val plan = finalPlan(sources.Lake.p8LakeDay(spark, sf))
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date") ||
+      plan.contains("PartitionFilters: [(p_date"),
+      s"day predicate must be a partition filter, not a data filter:\n$plan")
+  }
+
+  test("lake fact join a filtered date dim fires dynamic partition pruning") {
+    import spark.implicits._
+    val (path, day) = sources.Lake.eventsLake(spark, sf)
+    // dim must be a real (file-backed) relation — a local Seq collapses
+    // its filter via ConvertToLocalRelation before the DPP rule looks
+    // for a selective build-side predicate — and the predicate must
+    // stay `attr = literal` (a bare boolean attr fails isLikelySelective)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq((java.sql.Date.valueOf(day), "pick"), (java.sql.Date.valueOf("2030-12-31"), "skip"))
+      .toDF("d_date", "tag").write.mode("overwrite").parquet(dimPath)
+    val joined = spark.read.parquet(path)
+      .join(spark.read.parquet(dimPath).filter(col("tag") === "pick"),
+        col("p_date") === col("d_date"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = finalPlan(joined)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a DynamicPruningExpression partition filter:\n$plan")
   }
 
   test("d7: corpus side of contamination never shuffles") {
