@@ -97,22 +97,25 @@ object Streams {
     *        is per-shard file IO every micro-batch, so shards should
     *        track state volume: a handful locally, hundreds on a real
     *        cluster. None keeps the session's shuffle-partition count.
+    *        The override rides a CLONED session (shared SparkContext,
+    *        isolated SQLConf), so it is per-query: concurrent work on
+    *        the caller's session never observes it (StreamingSpec pins
+    *        this with a mid-query conf watcher).
     */
   def runToMemory(df: DataFrame, outputMode: String = "complete",
                   statePartitions: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val name = s"graft_mem_${runCounter.incrementAndGet()}"
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-    } finally spark.conf.set(key, prev)
+    val scoped = statePartitions match {
+      case Some(n) => org.apache.spark.sql.GraftBridge.withConfScope(df,
+        "spark.sql.shuffle.partitions" -> n.toString)
+      case None => df
+    }
+    val name = s"graft_mem_${runCounter.incrementAndGet()}"
+    val q = scoped.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    scoped.sparkSession.table(name)
   }
 
   /** SURVEY §2 p6: the reference's gold aggregation executed through

@@ -14,6 +14,21 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Rebind a frame's logical plan onto a cloned session carrying
+    * per-query conf overrides. `cloneSession` copies the full session
+    * state (runtime conf, temp views, registered functions) and shares
+    * the SparkContext, so the plan re-analyzes identically — but conf
+    * writes on the clone are invisible to the original session and to
+    * any query running on it concurrently. (`cloneSession` and
+    * `Dataset.ofRows` are both `private[sql]`, hence the bridge.)
+    */
+  def withConfScope(df: Dataset[Row], conf: (String, String)*): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val scoped = cdf.sparkSession.cloneSession()
+    conf.foreach { case (k, v) => scoped.conf.set(k, v) }
+    classic.Dataset.ofRows(scoped, cdf.queryExecution.logical)
+  }
+
   /** Function names an extensions instance would inject at session
     * build (`registerFunctions` is `private[sql]`) — lets specs pin
     * surface parity without building a second SparkSession.

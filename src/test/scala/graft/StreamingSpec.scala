@@ -23,6 +23,47 @@ class StreamingSpec extends GraftSpecBase {
     assert(got.length == 1 && got(0).getString(0) == "s1" && got(0).getInt(1) == 5)
   }
 
+  test("kafka-shaped messages flow through decodeKafkaJson to silver in a real micro-batch") {
+    // The spark-sql-kafka connector jar is absent offline, so the
+    // broker itself can't run here — instead a MemoryStream emits
+    // frames with the EXACT Kafka source schema (binary key/value +
+    // topic/partition/offset/timestamp) and the reference's station
+    // JSON payload, and the full decode→silver chain executes as a
+    // genuine streaming micro-batch, then must match the batch path
+    // bit-for-bit. Duplicate records are byte-identical so the dedup
+    // winner is order-independent across the two execution modes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val jsons = (0 until 120).map { i =>
+      val st = i % 10; val rep = 1700000000L + (i / 20) * 60
+      s"""{"station_id": "s$st", "num_bikes_available": ${st % 7},""" +
+        s""" "num_ebikes_available": ${(i / 20) % 3}, "num_docks_available": ${10 - st % 7},""" +
+        s""" "is_installed": true, "is_renting": ${st % 2 == 0},""" +
+        s""" "is_returning": true, "last_reported": $rep}"""
+    }
+    def kafkaShape(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit(null).cast("binary").as("key"),
+      encode(col("value"), "UTF-8").as("value"),
+      lit("station_status").as("topic"),
+      lit(0).as("partition"),
+      lit(0L).as("offset"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"))
+    def toSilver(kafka: org.apache.spark.sql.DataFrame) =
+      pipeline.StationStatus.silver(
+        streaming.Streams.decodeKafkaJson(kafka, pipeline.StationStatus.schema))
+    val mem = MemoryStream[String]
+    mem.addData(jsons: _*)
+    val streamed = streaming.Streams.runToMemory(
+      toSilver(kafkaShape(mem.toDF())), outputMode = "append")
+    val batch = toSilver(kafkaShape(jsons.toDF("value")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("station_id"), col("last_reported"), col("num_bikes_available"),
+        col("pct_bikes_available"), col("event_ts").cast("long"))
+        .collect().map(_.toSeq).toSet
+    assert(streamed.count() == 60, "10 stations x 6 report times, duplicates dropped")
+    assert(key(streamed) == key(batch), "stream and batch silver must agree exactly")
+  }
+
   test("parquet append sink writes through a checkpointed stream") {
     val tmp = Files.createTempDirectory("graft_sink").toString
     val src = s"$sf/events.parquet"
@@ -56,6 +97,32 @@ class StreamingSpec extends GraftSpecBase {
     assert(rows.length == 2)
     assert(rows(0).n_events == 2 && rows(0).total_value == 3.0)
     assert(rows(1).n_events == 1 && rows(1).total_value == 4.0)
+  }
+
+  test("runToMemory state-partition override never leaks into the caller's session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // watcher thread snapshots the caller-session conf WHILE the
+    // stateful query runs — the old set/restore implementation was
+    // only safe serially; this pins per-query isolation
+    @volatile var running = true
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val watcher = new Thread(() => while (running) { seen.add(spark.conf.get(key)); Thread.sleep(1) })
+    watcher.start()
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      mem.addData((1 until 100).map(i => (i.toLong % 5, i.toDouble)): _*)
+      val agg = mem.toDF().toDF("k", "v").groupBy(col("k")).agg(sum(col("v")).as("s"))
+      val out = streaming.Streams.runToMemory(agg, statePartitions = Some(2))
+      assert(out.count() == 5)
+      assert(out.sparkSession ne spark, "override must run on a cloned session")
+      assert(out.sparkSession.conf.get(key) == "2", "clone must carry the override")
+    } finally { running = false; watcher.join() }
+    assert(seen.size == 1 && seen.contains(before),
+      s"caller session must only ever see $before, saw $seen")
+    assert(spark.conf.get(key) == before)
   }
 
   test("batch sessionization splits on gap and aggregates") {
