@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON metrics line.
+  * SPARK_GRAFT_SF_DIR and prints one JSON metrics line — per-query
+  * MEDIAN over SPARK_GRAFT_REPS timed passes (default 3), with
+  * /proc/loadavg and timestamps recorded around every pass so a
+  * load-inflated run is distinguishable from a regression in the
+  * artifact alone.
   *
   * An untimed warmup (flagship batch query + a one-row streaming
   * query) is run first so JIT/codegen/state-store initialization —
@@ -45,24 +49,54 @@ object Bench {
       }
     }
 
+    // Host-load context: a loaded VM inflates wall times uniformly and
+    // is otherwise indistinguishable from a code regression in the
+    // artifact — so the metric line self-describes the load around
+    // every pass, and the headline is a median over SPARK_GRAFT_REPS
+    // (default 3) timed passes, which a transient load spike on one
+    // pass cannot move.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val names = selected.keys.toSeq.sorted
+    val tsStart = java.time.Instant.now().toString
+    val loadStart = loadavg()
     // A failed query must be VISIBLE: it benches as the string "err"
     // (never a normal-looking wall time) and is listed in "errors".
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val passes = (1 to reps).map { _ =>
+      val r = names.map { name =>
+        val fn = selected(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
+      (r, loadavg())
     }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "\"err\"") }
+    val perQuery = names.map { n =>
+      val runs = passes.map(_._1(n))
+      (n, median(runs.map(_._1)), runs.forall(_._2))
+    }
+    val qs = perQuery.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "\"err\"") }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val errors = perQuery.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = perQuery.collect { case (_, v, true) => v }.sum
+    val passTotals = passes.map(_._1.values.collect { case (v, true) => v }.sum)
+      .mkString("[", ",", "]")
+    val passLoads = passes.map(p => s"\"" + p._2 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
     spark.stop()
   }
 }
