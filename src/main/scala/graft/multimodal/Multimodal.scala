@@ -8,12 +8,13 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * Decode is REAL for uncompressed containers that need no codec
-  * library — BMP and WAV headers parse with pure byte arithmetic
-  * ([[Multimodal.decodeBmp]]/[[Multimodal.decodeWav]], spec-covered
-  * on real format bytes) — and a deterministic content-hash fake
-  * stands in for codec-requiring formats (no image/audio codec libs
-  * in this environment). Everything around the decode — the binary
+  * Decode is REAL for every format whose dimensions live in a plain
+  * header outside the compressed stream — BMP, WAV, PNG (IHDR), and
+  * JPEG (SOF marker walk) parse with pure byte arithmetic
+  * ([[Multimodal.decodeBmp]]/[[decodeWav]]/[[decodePng]]/
+  * [[decodeJpeg]], spec-covered on real encoder output) — and a
+  * deterministic content-hash fake stands in only where a full codec
+  * would be required (no image/audio codec libs in this environment). Everything around the decode — the binary
   * schema, magic-sniff dispatch, partition-batched execution, typed
   * output — is the real production plumbing: swap `fakeDecode` for a
   * codec call and nothing else changes.
@@ -63,13 +64,66 @@ object Multimodal {
     * and schema do not change.
     */
   private[graft] def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
-    decodeBmp(id, bytes).orElse(decodeWav(id, bytes)).getOrElse(fakeDecode(id, bytes))
+    decodeBmp(id, bytes).orElse(decodeWav(id, bytes))
+      .orElse(decodePng(id, bytes)).orElse(decodeJpeg(id, bytes))
+      .getOrElse(fakeDecode(id, bytes))
 
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** PNG: 8-byte signature then the IHDR chunk, whose width/height sit
+    * big-endian at fixed offsets 16/20 (IHDR is required to be first).
+    * Pure byte arithmetic — the dimensions live outside the
+    * zlib-compressed pixel stream, so no codec is needed.
+    */
+  private[graft] def decodePng(id: Long, b: Array[Byte]): Option[MediaFeatures] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length < 24 || !sig.indices.forall(i => b(i) == sig(i))) return None
+    // bytes 12-15 must spell IHDR
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+    Some(MediaFeatures(id, b.length, w.toInt, h.toInt, 1, 0.0))
+  }
+
+  /** JPEG: SOI marker then a marker walk to the first SOF0/1/2 frame
+    * header (baseline, extended-sequential, progressive), whose
+    * payload carries height/width big-endian after the precision
+    * byte. The walk is bounded by segment lengths — entropy-coded
+    * data is never touched, so again no codec.
+    */
+  private[graft] def decodeJpeg(id: Long, b: Array[Byte]): Option[MediaFeatures] = {
+    if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (b(off) != 0xff.toByte) return None // desynced: not a marker
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xff) { off += 1 } // fill byte
+      else if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone marker, no length field
+      } else {
+        val segLen = be16(b, off + 2)
+        if (segLen < 2) return None
+        if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) && off + 9 <= b.length) {
+          val h = be16(b, off + 5)
+          val w = be16(b, off + 7)
+          if (w <= 0 || h <= 0) return None
+          return Some(MediaFeatures(id, b.length, w, h, 1, 0.0))
+        }
+        off += 2 + segLen
+      }
+    }
+    None
+  }
 
   /** BMP: 'BM' magic + BITMAPINFOHEADER width/height (little-endian
     * at offsets 18/22). Single "frame". Real pixels, no codec needed.

@@ -60,6 +60,43 @@ class MultimodalSpec extends GraftSpecBase {
       s"got ${m.get}") // 1 + floor(8000/8000) seconds
   }
 
+  test("real PNG decode: dimensions from actual javax.imageio encoder output") {
+    // a REAL png produced by the JDK's encoder — signature, IHDR,
+    // zlib-compressed IDAT and all
+    val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = multimodal.Multimodal.decodePng(7L, bos.toByteArray)
+    assert(m.isDefined && m.get.width == 17 && m.get.height == 9 && m.get.n_frames == 1,
+      s"got $m")
+    // dispatch must route it to the real parser, not the fake
+    val d = multimodal.Multimodal.decode(7L, bos.toByteArray)
+    assert(d.width == 17 && d.height == 9)
+  }
+
+  test("real JPEG decode: dimensions via SOF marker walk on actual encoder output") {
+    val img = new java.awt.image.BufferedImage(33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val m = multimodal.Multimodal.decodeJpeg(7L, bos.toByteArray)
+    assert(m.isDefined && m.get.width == 33 && m.get.height == 21, s"got $m")
+    val d = multimodal.Multimodal.decode(7L, bos.toByteArray)
+    assert(d.width == 33 && d.height == 21)
+  }
+
+  test("progressive JPEG (SOF2) parses via the same marker walk") {
+    // handcrafted: SOI, APP0 stub, SOF2 frame header for 300x200
+    val buf = java.nio.ByteBuffer.allocate(64)
+    buf.put(0xff.toByte).put(0xd8.toByte)                       // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(4).putShort(0) // APP0 len 4
+    buf.put(0xff.toByte).put(0xc2.toByte).putShort(11)          // SOF2 len 11
+    buf.put(8.toByte).putShort(200).putShort(300)               // precision, h, w
+    buf.put(3.toByte).put(new Array[Byte](3))
+    val m = multimodal.Multimodal.decodeJpeg(7L, buf.array())
+    assert(m.isDefined && m.get.width == 300 && m.get.height == 200, s"got $m")
+  }
+
   test("text payloads never sniff as media — fake decode path stays deterministic") {
     val text = "BMarley told a story about RIFFs and WAVEs in the studio today ok"
     val bytes = text.getBytes("UTF-8")
