@@ -51,6 +51,7 @@ object SparkEntry {
     "x2_source_cap" -> ((s, d) => text.Curation.x2SourceCap(s, d)),
     "x3_normalize" -> ((s, d) => text.Curation.x3Normalize(s, d)),
     "x4_curation" -> ((s, d) => text.Curation.x4Curation(s, d)),
+    "x4b_curation_neardup" -> ((s, d) => text.Curation.x4bCuration(s, d)),
     "d6_dedup_clusters" -> ((s, d) => dedup.Clusters.d6(s, d)),
     "st3_range_join" -> ((s, d) => operators.RangeJoin.st3(s, d)),
     "x5_stratified_sample" -> ((s, d) => text.Curation.x5StratifiedSample(s, d)),
@@ -60,6 +61,59 @@ object SparkEntry {
     "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
     "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
   )
+
+  /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
+    * replays the 128-perm minhash + banded-LSH candidate pipeline
+    * over any doc-set CTE (`d2` runs it on `documents`, `x4b` on the
+    * curated survivor set `d`), ending in a `scored(a_id, b_id,
+    * est_jaccard)` CTE; `curationCtes` is the normalize -> score ->
+    * quality-filter -> exact-dedup head shared by x4 and x4b,
+    * ending in the survivor CTE `d`.
+    */
+  private def minhashPairCtes(src: String): String =
+    """base AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS th FROM %SRC%),
+        |w AS (SELECT doc_id, th, generate_series(1, len(th) - 2) AS idxs FROM base WHERE len(th) >= 3),
+        |h1 AS (SELECT doc_id, th, idxs, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(idxs, i -> th[i]), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS m1 FROM w),
+        |h2 AS (SELECT doc_id, th, idxs, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(generate_series(1, len(idxs)), k -> xor(m1[k], th[idxs[k] + 1])), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS m2 FROM h1),
+        |h3 AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(generate_series(1, len(idxs)), k -> xor(m2[k], th[idxs[k] + 2])), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS raw FROM h2),
+        |shrows AS (SELECT doc_id, unnest(list_distinct(raw)) AS x FROM h3),
+        |perms(p, a, b) AS (VALUES (0, CAST('13679457532755275413' AS HUGEINT), CAST('13432527470776545160' AS HUGEINT)),(1, CAST('18105923034897077331' AS HUGEINT), CAST('17864077645780634326' AS HUGEINT)),(2, CAST('13469799137962766343' AS HUGEINT), CAST('8913683988413733765' AS HUGEINT)),(3, CAST('291080821224767267' AS HUGEINT), CAST('2038608524547893592' AS HUGEINT)),(4, CAST('13477024926058894539' AS HUGEINT), CAST('6762955539682377832' AS HUGEINT)),(5, CAST('17993093053756489803' AS HUGEINT), CAST('14438123640516013942' AS HUGEINT)),(6, CAST('13566731111258911605' AS HUGEINT), CAST('7931773194558452508' AS HUGEINT)),(7, CAST('11319972279577420103' AS HUGEINT), CAST('3892645080117226033' AS HUGEINT)),(8, CAST('9056593541966880723' AS HUGEINT), CAST('10849667979899222076' AS HUGEINT)),(9, CAST('13477849763770103655' AS HUGEINT), CAST('4719769192585930289' AS HUGEINT)),(10, CAST('3616225228971510763' AS HUGEINT), CAST('10120733601449672245' AS HUGEINT)),(11, CAST('15462672028412579011' AS HUGEINT), CAST('3965022595533706929' AS HUGEINT)),(12, CAST('3178540356880283481' AS HUGEINT), CAST('16550353102095353028' AS HUGEINT)),(13, CAST('368342364169337291' AS HUGEINT), CAST('6003839248161056871' AS HUGEINT)),(14, CAST('7424157817344609039' AS HUGEINT), CAST('15037995407070714543' AS HUGEINT)),(15, CAST('10260536580878929051' AS HUGEINT), CAST('15028230723423410763' AS HUGEINT)),(16, CAST('5329533497540776603' AS HUGEINT), CAST('10034679062275131300' AS HUGEINT)),(17, CAST('16570158482149399475' AS HUGEINT), CAST('7086638178683056257' AS HUGEINT)),(18, CAST('6271748679462446237' AS HUGEINT), CAST('9769939611674103587' AS HUGEINT)),(19, CAST('13663500456917897595' AS HUGEINT), CAST('10489464471626960117' AS HUGEINT)),(20, CAST('1002036849063315981' AS HUGEINT), CAST('685060799451887893' AS HUGEINT)),(21, CAST('14944177521445700419' AS HUGEINT), CAST('7932416640711727352' AS HUGEINT)),(22, CAST('15224156538121406901' AS HUGEINT), CAST('17637387166446545346' AS HUGEINT)),(23, CAST('4439252105671733795' AS HUGEINT), CAST('15057826196960218502' AS HUGEINT)),(24, CAST('17264232662068481735' AS HUGEINT), CAST('17894217328592812498' AS HUGEINT)),(25, CAST('11337970468298749807' AS HUGEINT), CAST('18105566178415619511' AS HUGEINT)),(26, CAST('17714652617231823143' AS HUGEINT), CAST('18119689086777206668' AS HUGEINT)),(27, CAST('7075883509774426401' AS HUGEINT), CAST('5718913436695043505' AS HUGEINT)),(28, CAST('17360999193197444373' AS HUGEINT), CAST('4824385676517010403' AS HUGEINT)),(29, CAST('2532601429470541125' AS HUGEINT), CAST('15060681878671775511' AS HUGEINT)),(30, CAST('1243045329627533101' AS HUGEINT), CAST('1866550240620900528' AS HUGEINT)),(31, CAST('5149949291087212247' AS HUGEINT), CAST('13520556390570570131' AS HUGEINT)),(32, CAST('2475505609494469523' AS HUGEINT), CAST('2522708310006964940' AS HUGEINT)),(33, CAST('14779109287369959189' AS HUGEINT), CAST('12911555454244211934' AS HUGEINT)),(34, CAST('10415119907296966887' AS HUGEINT), CAST('17957624262515163977' AS HUGEINT)),(35, CAST('8322708147046919739' AS HUGEINT), CAST('12583251242654464876' AS HUGEINT)),(36, CAST('7402764794868543633' AS HUGEINT), CAST('5692280587187851116' AS HUGEINT)),(37, CAST('15762048743580106609' AS HUGEINT), CAST('5412126991504962750' AS HUGEINT)),(38, CAST('8288105064287199793' AS HUGEINT), CAST('3066530030326113719' AS HUGEINT)),(39, CAST('213235391877949751' AS HUGEINT), CAST('2936217767587523410' AS HUGEINT)),(40, CAST('1766186853405588597' AS HUGEINT), CAST('13032462758197477675' AS HUGEINT)),(41, CAST('15112002237677987833' AS HUGEINT), CAST('14593856488226084738' AS HUGEINT)),(42, CAST('12978548834978922355' AS HUGEINT), CAST('4588524522137214616' AS HUGEINT)),(43, CAST('12390575530792971711' AS HUGEINT), CAST('10826722299036291093' AS HUGEINT)),(44, CAST('8361847590266283331' AS HUGEINT), CAST('10252629665644599760' AS HUGEINT)),(45, CAST('12847895688012758659' AS HUGEINT), CAST('283545940951472360' AS HUGEINT)),(46, CAST('16743392734764332447' AS HUGEINT), CAST('10203985545584359410' AS HUGEINT)),(47, CAST('4413419251928811825' AS HUGEINT), CAST('7641485672361121627' AS HUGEINT)),(48, CAST('12488321346544387775' AS HUGEINT), CAST('3628886295211392483' AS HUGEINT)),(49, CAST('16611378828665872033' AS HUGEINT), CAST('13179204359784223196' AS HUGEINT)),(50, CAST('12320550652532879441' AS HUGEINT), CAST('12301270148063061047' AS HUGEINT)),(51, CAST('7518142022867140873' AS HUGEINT), CAST('6443721252915813847' AS HUGEINT)),(52, CAST('3884191051923679857' AS HUGEINT), CAST('4434623615375371796' AS HUGEINT)),(53, CAST('2567215163496524159' AS HUGEINT), CAST('3082911595961197696' AS HUGEINT)),(54, CAST('17926071438690182313' AS HUGEINT), CAST('12886239756459850089' AS HUGEINT)),(55, CAST('17582785007600462387' AS HUGEINT), CAST('5556391513672054180' AS HUGEINT)),(56, CAST('10443721792965224423' AS HUGEINT), CAST('18131988017634935936' AS HUGEINT)),(57, CAST('10854456172974466049' AS HUGEINT), CAST('8389253293679179366' AS HUGEINT)),(58, CAST('4348727781342549897' AS HUGEINT), CAST('7294718685450441387' AS HUGEINT)),(59, CAST('10456070020140924673' AS HUGEINT), CAST('11012009786045520870' AS HUGEINT)),(60, CAST('1439860313952550465' AS HUGEINT), CAST('14223775187781137396' AS HUGEINT)),(61, CAST('13878831836636946993' AS HUGEINT), CAST('18150830474300286535' AS HUGEINT)),(62, CAST('14249732241852757271' AS HUGEINT), CAST('12721046935469164921' AS HUGEINT)),(63, CAST('6613474315883560813' AS HUGEINT), CAST('16978397421569485293' AS HUGEINT)),(64, CAST('5709529872722685115' AS HUGEINT), CAST('14565752631745422850' AS HUGEINT)),(65, CAST('6324342846970663237' AS HUGEINT), CAST('333013510707886610' AS HUGEINT)),(66, CAST('7514200000578077153' AS HUGEINT), CAST('13477402351732944336' AS HUGEINT)),(67, CAST('7544784243361311007' AS HUGEINT), CAST('8346100818921284029' AS HUGEINT)),(68, CAST('10909245258051103221' AS HUGEINT), CAST('489503802456916415' AS HUGEINT)),(69, CAST('12569283570280214053' AS HUGEINT), CAST('2935772237847478965' AS HUGEINT)),(70, CAST('9191661375739200469' AS HUGEINT), CAST('4285767305400068431' AS HUGEINT)),(71, CAST('2422743717134523639' AS HUGEINT), CAST('3638928751631197414' AS HUGEINT)),(72, CAST('206112525064394601' AS HUGEINT), CAST('9297691789713465307' AS HUGEINT)),(73, CAST('10342009793269020263' AS HUGEINT), CAST('15009683458566077745' AS HUGEINT)),(74, CAST('1434110149463548485' AS HUGEINT), CAST('18268749646997184021' AS HUGEINT)),(75, CAST('17850908991922152409' AS HUGEINT), CAST('2914380442709976269' AS HUGEINT)),(76, CAST('13181733461238856629' AS HUGEINT), CAST('6616389739668441417' AS HUGEINT)),(77, CAST('78350552875603143' AS HUGEINT), CAST('14125433436979177977' AS HUGEINT)),(78, CAST('10565451817265287239' AS HUGEINT), CAST('1678227255434177717' AS HUGEINT)),(79, CAST('4545245708110107337' AS HUGEINT), CAST('12080575812442232812' AS HUGEINT)),(80, CAST('16616562186316015769' AS HUGEINT), CAST('13048158563546023526' AS HUGEINT)),(81, CAST('1669485836469994413' AS HUGEINT), CAST('12190486122897749068' AS HUGEINT)),(82, CAST('7764880849542401125' AS HUGEINT), CAST('9400993982111403755' AS HUGEINT)),(83, CAST('5621867568970652369' AS HUGEINT), CAST('12013518963520482432' AS HUGEINT)),(84, CAST('16774671638949507337' AS HUGEINT), CAST('17095148956929344043' AS HUGEINT)),(85, CAST('2349795952729772421' AS HUGEINT), CAST('10831612129113404590' AS HUGEINT)),(86, CAST('4100462258288108073' AS HUGEINT), CAST('16599994709314851193' AS HUGEINT)),(87, CAST('14529253353511111529' AS HUGEINT), CAST('15251669095119325999' AS HUGEINT)),(88, CAST('3911689957754131815' AS HUGEINT), CAST('15971158118921158609' AS HUGEINT)),(89, CAST('594492520465601301' AS HUGEINT), CAST('7255830705509247015' AS HUGEINT)),(90, CAST('9720658696779892243' AS HUGEINT), CAST('16910822789333739666' AS HUGEINT)),(91, CAST('2570829354940271745' AS HUGEINT), CAST('10281707179180492535' AS HUGEINT)),(92, CAST('11264245849058558797' AS HUGEINT), CAST('8136366241869743180' AS HUGEINT)),(93, CAST('9573739971386752087' AS HUGEINT), CAST('5041728370232640815' AS HUGEINT)),(94, CAST('12623609056511380039' AS HUGEINT), CAST('7580044024164808114' AS HUGEINT)),(95, CAST('7761314653172008095' AS HUGEINT), CAST('3366007655283134767' AS HUGEINT)),(96, CAST('11814690440435435921' AS HUGEINT), CAST('6891898409403446906' AS HUGEINT)),(97, CAST('1105320251969121883' AS HUGEINT), CAST('17343262202220562448' AS HUGEINT)),(98, CAST('13501766296712335639' AS HUGEINT), CAST('13214800971078148629' AS HUGEINT)),(99, CAST('13739094096181386463' AS HUGEINT), CAST('16831762735033169500' AS HUGEINT)),(100, CAST('8210609491974554501' AS HUGEINT), CAST('4382590103070185798' AS HUGEINT)),(101, CAST('7464496237744838505' AS HUGEINT), CAST('4863137989774621669' AS HUGEINT)),(102, CAST('6153227672419271685' AS HUGEINT), CAST('7757563950941602299' AS HUGEINT)),(103, CAST('13157387464470375413' AS HUGEINT), CAST('16280494742147394026' AS HUGEINT)),(104, CAST('15156656305153769037' AS HUGEINT), CAST('9102940088911286829' AS HUGEINT)),(105, CAST('5302934877338729551' AS HUGEINT), CAST('3591310641178525461' AS HUGEINT)),(106, CAST('15721607689647135745' AS HUGEINT), CAST('3714432240112385972' AS HUGEINT)),(107, CAST('7350668447369684287' AS HUGEINT), CAST('8298218915660572452' AS HUGEINT)),(108, CAST('2164534462834122149' AS HUGEINT), CAST('18437047743522589496' AS HUGEINT)),(109, CAST('13744174975128628763' AS HUGEINT), CAST('1784937755037984706' AS HUGEINT)),(110, CAST('16732235586306984517' AS HUGEINT), CAST('843186567711051837' AS HUGEINT)),(111, CAST('10108932951917845085' AS HUGEINT), CAST('10933956566130174471' AS HUGEINT)),(112, CAST('15186231919485255385' AS HUGEINT), CAST('8999802954715218159' AS HUGEINT)),(113, CAST('3594022018564067379' AS HUGEINT), CAST('8826591015326365747' AS HUGEINT)),(114, CAST('13957543819327916831' AS HUGEINT), CAST('7738825323609040495' AS HUGEINT)),(115, CAST('8661739536773468721' AS HUGEINT), CAST('10764764186557308228' AS HUGEINT)),(116, CAST('16865123829182479995' AS HUGEINT), CAST('11666028803861412160' AS HUGEINT)),(117, CAST('1834259532742582725' AS HUGEINT), CAST('17047879759299074604' AS HUGEINT)),(118, CAST('2953978149157085429' AS HUGEINT), CAST('8055474199420154557' AS HUGEINT)),(119, CAST('15277699873020400955' AS HUGEINT), CAST('16572825319487891809' AS HUGEINT)),(120, CAST('18161880236535812061' AS HUGEINT), CAST('15955440571319364142' AS HUGEINT)),(121, CAST('3932050099488213061' AS HUGEINT), CAST('13988760277360615667' AS HUGEINT)),(122, CAST('14173269494356648193' AS HUGEINT), CAST('9070587492826488163' AS HUGEINT)),(123, CAST('9014437191441640791' AS HUGEINT), CAST('10702361435307540126' AS HUGEINT)),(124, CAST('2939829710348414437' AS HUGEINT), CAST('10445262313494891432' AS HUGEINT)),(125, CAST('1651925021461507357' AS HUGEINT), CAST('13135863309941376199' AS HUGEINT)),(126, CAST('8928822556985265511' AS HUGEINT), CAST('124246009997301819' AS HUGEINT)),(127, CAST('6302864214067040527' AS HUGEINT), CAST('15695697087449242853' AS HUGEINT))),
+        |hv AS (
+        | SELECT doc_id, p,
+        |  min((( (x % 4294967296) * (a % 4294967296)
+        |       + (((x % 4294967296) * (a // 4294967296) + (x // 4294967296) * (a % 4294967296)) % 4294967296) * 4294967296
+        |      ) % CAST('18446744073709551616' AS HUGEINT) + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        | FROM shrows CROSS JOIN perms
+        | GROUP BY doc_id, p),
+        |sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hv GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bnd, sig[bnd * 8 + 1 : bnd * 8 + 8] AS bsig, sig
+        | FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bnd)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS siga, b.sig AS sigb
+        | FROM bands a JOIN bands b
+        |   ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |scored AS (
+        | SELECT a_id, b_id,
+        |  round(CAST(len(list_filter(generate_series(1, 128), k -> siga[k] = sigb[k])) AS DOUBLE) / 128, 6) AS est_jaccard
+        | FROM cand)""".stripMargin.replace("%SRC%", src)
+
+  private val curationCtes: String =
+    """n AS (
+        | SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS text
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source, text,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        | FROM (
+        |  SELECT doc_id, source, text, len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM n))),
+        |f AS (SELECT * FROM s WHERE quality_score >= 0.5),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |d AS (SELECT f.* FROM f JOIN k USING (doc_id))""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
     * tables, registered by table name). Column aliases MUST match the
@@ -344,27 +398,35 @@ object SparkEntry {
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "x4_curation" ->
-      """WITH n AS (
-        | SELECT doc_id, source,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS text
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, source, text,
-        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
-        | FROM (
-        |  SELECT doc_id, source, text, len(toks) AS n_tokens,
-        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
-        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM n))),
-        |f AS (SELECT * FROM s WHERE quality_score >= 0.5),
-        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
-        |d AS (SELECT f.* FROM f JOIN k USING (doc_id))
+    "x4_curation" -> ("WITH " + curationCtes +
+      """
         |SELECT doc_id, source, quality_score FROM (
         | SELECT doc_id, source, quality_score,
         |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
         | FROM d)
-        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin),
+    // x4b: x4 plus minhash near-dup clustering between scoring and
+    // capping - the pair stage replays the d2 pipeline over the
+    // curated survivor set `d`, the d6-style recursive closure
+    // assigns min-id labels, and only cluster representatives
+    // (or untouched singletons) reach the per-source cap
+    "x4b_curation_neardup" -> ("WITH RECURSIVE " + curationCtes + ",\n" +
+      minhashPairCtes("d") +
+      """,
+        |p AS (SELECT a_id, b_id FROM scored WHERE est_jaccard >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        | SELECT src AS id, src AS r FROM edges
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |kept AS (SELECT d.* FROM d LEFT JOIN labels USING (doc_id)
+        |         WHERE coalesce(cluster_id, doc_id) = doc_id)
+        |SELECT doc_id, source, quality_score FROM (
+        | SELECT doc_id, source, quality_score,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
+        | FROM kept)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin),
     "st3_range_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
         | p.ts_us - c.ts_us AS gap_us
@@ -628,36 +690,11 @@ object SparkEntry {
     // an equi-join on 8-slot signature slices exactly like the
     // Spark side. ~17s in DuckDB at sf0.01 (lambda-only
     // formulation measured 46s).
-    "d2_minhash_lsh" ->
-      """WITH base AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS th FROM documents),
-        |w AS (SELECT doc_id, th, generate_series(1, len(th) - 2) AS idxs FROM base WHERE len(th) >= 3),
-        |h1 AS (SELECT doc_id, th, idxs, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(idxs, i -> th[i]), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS m1 FROM w),
-        |h2 AS (SELECT doc_id, th, idxs, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(generate_series(1, len(idxs)), k -> xor(m1[k], th[idxs[k] + 1])), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS m2 FROM h1),
-        |h3 AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(generate_series(1, len(idxs)), k -> xor(m2[k], th[idxs[k] + 2])), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS raw FROM h2),
-        |shrows AS (SELECT doc_id, unnest(list_distinct(raw)) AS x FROM h3),
-        |perms(p, a, b) AS (VALUES (0, CAST('13679457532755275413' AS HUGEINT), CAST('13432527470776545160' AS HUGEINT)),(1, CAST('18105923034897077331' AS HUGEINT), CAST('17864077645780634326' AS HUGEINT)),(2, CAST('13469799137962766343' AS HUGEINT), CAST('8913683988413733765' AS HUGEINT)),(3, CAST('291080821224767267' AS HUGEINT), CAST('2038608524547893592' AS HUGEINT)),(4, CAST('13477024926058894539' AS HUGEINT), CAST('6762955539682377832' AS HUGEINT)),(5, CAST('17993093053756489803' AS HUGEINT), CAST('14438123640516013942' AS HUGEINT)),(6, CAST('13566731111258911605' AS HUGEINT), CAST('7931773194558452508' AS HUGEINT)),(7, CAST('11319972279577420103' AS HUGEINT), CAST('3892645080117226033' AS HUGEINT)),(8, CAST('9056593541966880723' AS HUGEINT), CAST('10849667979899222076' AS HUGEINT)),(9, CAST('13477849763770103655' AS HUGEINT), CAST('4719769192585930289' AS HUGEINT)),(10, CAST('3616225228971510763' AS HUGEINT), CAST('10120733601449672245' AS HUGEINT)),(11, CAST('15462672028412579011' AS HUGEINT), CAST('3965022595533706929' AS HUGEINT)),(12, CAST('3178540356880283481' AS HUGEINT), CAST('16550353102095353028' AS HUGEINT)),(13, CAST('368342364169337291' AS HUGEINT), CAST('6003839248161056871' AS HUGEINT)),(14, CAST('7424157817344609039' AS HUGEINT), CAST('15037995407070714543' AS HUGEINT)),(15, CAST('10260536580878929051' AS HUGEINT), CAST('15028230723423410763' AS HUGEINT)),(16, CAST('5329533497540776603' AS HUGEINT), CAST('10034679062275131300' AS HUGEINT)),(17, CAST('16570158482149399475' AS HUGEINT), CAST('7086638178683056257' AS HUGEINT)),(18, CAST('6271748679462446237' AS HUGEINT), CAST('9769939611674103587' AS HUGEINT)),(19, CAST('13663500456917897595' AS HUGEINT), CAST('10489464471626960117' AS HUGEINT)),(20, CAST('1002036849063315981' AS HUGEINT), CAST('685060799451887893' AS HUGEINT)),(21, CAST('14944177521445700419' AS HUGEINT), CAST('7932416640711727352' AS HUGEINT)),(22, CAST('15224156538121406901' AS HUGEINT), CAST('17637387166446545346' AS HUGEINT)),(23, CAST('4439252105671733795' AS HUGEINT), CAST('15057826196960218502' AS HUGEINT)),(24, CAST('17264232662068481735' AS HUGEINT), CAST('17894217328592812498' AS HUGEINT)),(25, CAST('11337970468298749807' AS HUGEINT), CAST('18105566178415619511' AS HUGEINT)),(26, CAST('17714652617231823143' AS HUGEINT), CAST('18119689086777206668' AS HUGEINT)),(27, CAST('7075883509774426401' AS HUGEINT), CAST('5718913436695043505' AS HUGEINT)),(28, CAST('17360999193197444373' AS HUGEINT), CAST('4824385676517010403' AS HUGEINT)),(29, CAST('2532601429470541125' AS HUGEINT), CAST('15060681878671775511' AS HUGEINT)),(30, CAST('1243045329627533101' AS HUGEINT), CAST('1866550240620900528' AS HUGEINT)),(31, CAST('5149949291087212247' AS HUGEINT), CAST('13520556390570570131' AS HUGEINT)),(32, CAST('2475505609494469523' AS HUGEINT), CAST('2522708310006964940' AS HUGEINT)),(33, CAST('14779109287369959189' AS HUGEINT), CAST('12911555454244211934' AS HUGEINT)),(34, CAST('10415119907296966887' AS HUGEINT), CAST('17957624262515163977' AS HUGEINT)),(35, CAST('8322708147046919739' AS HUGEINT), CAST('12583251242654464876' AS HUGEINT)),(36, CAST('7402764794868543633' AS HUGEINT), CAST('5692280587187851116' AS HUGEINT)),(37, CAST('15762048743580106609' AS HUGEINT), CAST('5412126991504962750' AS HUGEINT)),(38, CAST('8288105064287199793' AS HUGEINT), CAST('3066530030326113719' AS HUGEINT)),(39, CAST('213235391877949751' AS HUGEINT), CAST('2936217767587523410' AS HUGEINT)),(40, CAST('1766186853405588597' AS HUGEINT), CAST('13032462758197477675' AS HUGEINT)),(41, CAST('15112002237677987833' AS HUGEINT), CAST('14593856488226084738' AS HUGEINT)),(42, CAST('12978548834978922355' AS HUGEINT), CAST('4588524522137214616' AS HUGEINT)),(43, CAST('12390575530792971711' AS HUGEINT), CAST('10826722299036291093' AS HUGEINT)),(44, CAST('8361847590266283331' AS HUGEINT), CAST('10252629665644599760' AS HUGEINT)),(45, CAST('12847895688012758659' AS HUGEINT), CAST('283545940951472360' AS HUGEINT)),(46, CAST('16743392734764332447' AS HUGEINT), CAST('10203985545584359410' AS HUGEINT)),(47, CAST('4413419251928811825' AS HUGEINT), CAST('7641485672361121627' AS HUGEINT)),(48, CAST('12488321346544387775' AS HUGEINT), CAST('3628886295211392483' AS HUGEINT)),(49, CAST('16611378828665872033' AS HUGEINT), CAST('13179204359784223196' AS HUGEINT)),(50, CAST('12320550652532879441' AS HUGEINT), CAST('12301270148063061047' AS HUGEINT)),(51, CAST('7518142022867140873' AS HUGEINT), CAST('6443721252915813847' AS HUGEINT)),(52, CAST('3884191051923679857' AS HUGEINT), CAST('4434623615375371796' AS HUGEINT)),(53, CAST('2567215163496524159' AS HUGEINT), CAST('3082911595961197696' AS HUGEINT)),(54, CAST('17926071438690182313' AS HUGEINT), CAST('12886239756459850089' AS HUGEINT)),(55, CAST('17582785007600462387' AS HUGEINT), CAST('5556391513672054180' AS HUGEINT)),(56, CAST('10443721792965224423' AS HUGEINT), CAST('18131988017634935936' AS HUGEINT)),(57, CAST('10854456172974466049' AS HUGEINT), CAST('8389253293679179366' AS HUGEINT)),(58, CAST('4348727781342549897' AS HUGEINT), CAST('7294718685450441387' AS HUGEINT)),(59, CAST('10456070020140924673' AS HUGEINT), CAST('11012009786045520870' AS HUGEINT)),(60, CAST('1439860313952550465' AS HUGEINT), CAST('14223775187781137396' AS HUGEINT)),(61, CAST('13878831836636946993' AS HUGEINT), CAST('18150830474300286535' AS HUGEINT)),(62, CAST('14249732241852757271' AS HUGEINT), CAST('12721046935469164921' AS HUGEINT)),(63, CAST('6613474315883560813' AS HUGEINT), CAST('16978397421569485293' AS HUGEINT)),(64, CAST('5709529872722685115' AS HUGEINT), CAST('14565752631745422850' AS HUGEINT)),(65, CAST('6324342846970663237' AS HUGEINT), CAST('333013510707886610' AS HUGEINT)),(66, CAST('7514200000578077153' AS HUGEINT), CAST('13477402351732944336' AS HUGEINT)),(67, CAST('7544784243361311007' AS HUGEINT), CAST('8346100818921284029' AS HUGEINT)),(68, CAST('10909245258051103221' AS HUGEINT), CAST('489503802456916415' AS HUGEINT)),(69, CAST('12569283570280214053' AS HUGEINT), CAST('2935772237847478965' AS HUGEINT)),(70, CAST('9191661375739200469' AS HUGEINT), CAST('4285767305400068431' AS HUGEINT)),(71, CAST('2422743717134523639' AS HUGEINT), CAST('3638928751631197414' AS HUGEINT)),(72, CAST('206112525064394601' AS HUGEINT), CAST('9297691789713465307' AS HUGEINT)),(73, CAST('10342009793269020263' AS HUGEINT), CAST('15009683458566077745' AS HUGEINT)),(74, CAST('1434110149463548485' AS HUGEINT), CAST('18268749646997184021' AS HUGEINT)),(75, CAST('17850908991922152409' AS HUGEINT), CAST('2914380442709976269' AS HUGEINT)),(76, CAST('13181733461238856629' AS HUGEINT), CAST('6616389739668441417' AS HUGEINT)),(77, CAST('78350552875603143' AS HUGEINT), CAST('14125433436979177977' AS HUGEINT)),(78, CAST('10565451817265287239' AS HUGEINT), CAST('1678227255434177717' AS HUGEINT)),(79, CAST('4545245708110107337' AS HUGEINT), CAST('12080575812442232812' AS HUGEINT)),(80, CAST('16616562186316015769' AS HUGEINT), CAST('13048158563546023526' AS HUGEINT)),(81, CAST('1669485836469994413' AS HUGEINT), CAST('12190486122897749068' AS HUGEINT)),(82, CAST('7764880849542401125' AS HUGEINT), CAST('9400993982111403755' AS HUGEINT)),(83, CAST('5621867568970652369' AS HUGEINT), CAST('12013518963520482432' AS HUGEINT)),(84, CAST('16774671638949507337' AS HUGEINT), CAST('17095148956929344043' AS HUGEINT)),(85, CAST('2349795952729772421' AS HUGEINT), CAST('10831612129113404590' AS HUGEINT)),(86, CAST('4100462258288108073' AS HUGEINT), CAST('16599994709314851193' AS HUGEINT)),(87, CAST('14529253353511111529' AS HUGEINT), CAST('15251669095119325999' AS HUGEINT)),(88, CAST('3911689957754131815' AS HUGEINT), CAST('15971158118921158609' AS HUGEINT)),(89, CAST('594492520465601301' AS HUGEINT), CAST('7255830705509247015' AS HUGEINT)),(90, CAST('9720658696779892243' AS HUGEINT), CAST('16910822789333739666' AS HUGEINT)),(91, CAST('2570829354940271745' AS HUGEINT), CAST('10281707179180492535' AS HUGEINT)),(92, CAST('11264245849058558797' AS HUGEINT), CAST('8136366241869743180' AS HUGEINT)),(93, CAST('9573739971386752087' AS HUGEINT), CAST('5041728370232640815' AS HUGEINT)),(94, CAST('12623609056511380039' AS HUGEINT), CAST('7580044024164808114' AS HUGEINT)),(95, CAST('7761314653172008095' AS HUGEINT), CAST('3366007655283134767' AS HUGEINT)),(96, CAST('11814690440435435921' AS HUGEINT), CAST('6891898409403446906' AS HUGEINT)),(97, CAST('1105320251969121883' AS HUGEINT), CAST('17343262202220562448' AS HUGEINT)),(98, CAST('13501766296712335639' AS HUGEINT), CAST('13214800971078148629' AS HUGEINT)),(99, CAST('13739094096181386463' AS HUGEINT), CAST('16831762735033169500' AS HUGEINT)),(100, CAST('8210609491974554501' AS HUGEINT), CAST('4382590103070185798' AS HUGEINT)),(101, CAST('7464496237744838505' AS HUGEINT), CAST('4863137989774621669' AS HUGEINT)),(102, CAST('6153227672419271685' AS HUGEINT), CAST('7757563950941602299' AS HUGEINT)),(103, CAST('13157387464470375413' AS HUGEINT), CAST('16280494742147394026' AS HUGEINT)),(104, CAST('15156656305153769037' AS HUGEINT), CAST('9102940088911286829' AS HUGEINT)),(105, CAST('5302934877338729551' AS HUGEINT), CAST('3591310641178525461' AS HUGEINT)),(106, CAST('15721607689647135745' AS HUGEINT), CAST('3714432240112385972' AS HUGEINT)),(107, CAST('7350668447369684287' AS HUGEINT), CAST('8298218915660572452' AS HUGEINT)),(108, CAST('2164534462834122149' AS HUGEINT), CAST('18437047743522589496' AS HUGEINT)),(109, CAST('13744174975128628763' AS HUGEINT), CAST('1784937755037984706' AS HUGEINT)),(110, CAST('16732235586306984517' AS HUGEINT), CAST('843186567711051837' AS HUGEINT)),(111, CAST('10108932951917845085' AS HUGEINT), CAST('10933956566130174471' AS HUGEINT)),(112, CAST('15186231919485255385' AS HUGEINT), CAST('8999802954715218159' AS HUGEINT)),(113, CAST('3594022018564067379' AS HUGEINT), CAST('8826591015326365747' AS HUGEINT)),(114, CAST('13957543819327916831' AS HUGEINT), CAST('7738825323609040495' AS HUGEINT)),(115, CAST('8661739536773468721' AS HUGEINT), CAST('10764764186557308228' AS HUGEINT)),(116, CAST('16865123829182479995' AS HUGEINT), CAST('11666028803861412160' AS HUGEINT)),(117, CAST('1834259532742582725' AS HUGEINT), CAST('17047879759299074604' AS HUGEINT)),(118, CAST('2953978149157085429' AS HUGEINT), CAST('8055474199420154557' AS HUGEINT)),(119, CAST('15277699873020400955' AS HUGEINT), CAST('16572825319487891809' AS HUGEINT)),(120, CAST('18161880236535812061' AS HUGEINT), CAST('15955440571319364142' AS HUGEINT)),(121, CAST('3932050099488213061' AS HUGEINT), CAST('13988760277360615667' AS HUGEINT)),(122, CAST('14173269494356648193' AS HUGEINT), CAST('9070587492826488163' AS HUGEINT)),(123, CAST('9014437191441640791' AS HUGEINT), CAST('10702361435307540126' AS HUGEINT)),(124, CAST('2939829710348414437' AS HUGEINT), CAST('10445262313494891432' AS HUGEINT)),(125, CAST('1651925021461507357' AS HUGEINT), CAST('13135863309941376199' AS HUGEINT)),(126, CAST('8928822556985265511' AS HUGEINT), CAST('124246009997301819' AS HUGEINT)),(127, CAST('6302864214067040527' AS HUGEINT), CAST('15695697087449242853' AS HUGEINT))),
-        |hv AS (
-        | SELECT doc_id, p,
-        |  min((( (x % 4294967296) * (a % 4294967296)
-        |       + (((x % 4294967296) * (a // 4294967296) + (x // 4294967296) * (a % 4294967296)) % 4294967296) * 4294967296
-        |      ) % CAST('18446744073709551616' AS HUGEINT) + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
-        | FROM shrows CROSS JOIN perms
-        | GROUP BY doc_id, p),
-        |sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hv GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, bnd, sig[bnd * 8 + 1 : bnd * 8 + 8] AS bsig, sig
-        | FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bnd)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS siga, b.sig AS sigb
-        | FROM bands a JOIN bands b
-        |   ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        |scored AS (
-        | SELECT a_id, b_id,
-        |  round(CAST(len(list_filter(generate_series(1, 128), k -> siga[k] = sigb[k])) AS DOUBLE) / 128, 6) AS est_jaccard
-        | FROM cand)
+    "d2_minhash_lsh" -> ("WITH " + minhashPairCtes("documents") +
+      """
         |SELECT a_id, b_id, est_jaccard FROM scored
         |WHERE est_jaccard >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),

@@ -70,6 +70,10 @@ object Dedup {
                       numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
     val banded = withShingleHashes(docs)
+      // <3-token docs have no shingles; an empty signature is all
+      // unsigned-max and would spuriously pair every such doc — drop
+      // them from pairing (they remain singletons downstream)
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -140,17 +140,49 @@ object Curation {
     * chain plus two shuffles (dedup hash, source window).
     */
   def x4Curation(spark: SparkSession, dir: String, minScore: Double = 0.5,
-                 cap: Int = 20): DataFrame = {
+                 cap: Int = 20): DataFrame =
+    capPerSource(scoreAndExactDedup(Tables.documents(spark, dir), minScore),
+      "source", col("quality_score"), col("doc_id"), cap)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Shared head of the curation chain: normalize → score → quality
+    * filter → exact-dedup keep-min-id.
+    */
+  private[graft] def scoreAndExactDedup(docs: DataFrame, minScore: Double): DataFrame = {
     val scored = TextAnalysis.qualityScore(
-      Tables.documents(spark, dir).withColumn("text", normalizeRedact(col("text"))))
+      docs.withColumn("text", normalizeRedact(col("text"))))
       .filter(col("quality_score") >= minScore)
     val keepIds = scored
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val deduped = scored.join(keepIds, "doc_id")
-    capPerSource(deduped, "source", col("quality_score"), col("doc_id"), cap)
+    scored.join(keepIds, "doc_id")
+  }
+
+  /** x4b: the full production curation chain — x4 plus NEAR-dup
+    * clustering between scoring and capping: minhash-LSH pairs over
+    * the normalized surviving text (one signature pass, one bucket
+    * shuffle — [[graft.dedup.Dedup.minhashLshPairs]]), connected
+    * components over the pair graph, keep-min-id per cluster, THEN
+    * the per-source cap. Exact dedup alone misses boilerplate
+    * rewrites; this is the chain a pretraining corpus actually runs,
+    * and every stage stays the scale shape its standalone entry
+    * proved (the pair stage is banded LSH, never all-pairs).
+    */
+  def curateNearDup(docs: DataFrame, minScore: Double = 0.5,
+                    cap: Int = 20): DataFrame = {
+    val deduped = scoreAndExactDedup(docs, minScore)
+    val pairs = graft.dedup.Dedup.minhashLshPairs(deduped, threshold = 0.5)
+    val cc = graft.dedup.Clusters.connectedComponents(
+      deduped.select(col("doc_id")), pairs.select("a_id", "b_id"))
+    val kept = deduped.join(
+      cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
+    capPerSource(kept, "source", col("quality_score"), col("doc_id"), cap)
       .select(col("doc_id"), col("source"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  def x4bCuration(spark: SparkSession, dir: String): DataFrame =
+    curateNearDup(Tables.documents(spark, dir))
 }

@@ -73,6 +73,34 @@ class CurationSpec extends GraftSpecBase {
       "bin ids must not depend on partition layout")
   }
 
+  test("x4b drops planted near-dups that exact dedup cannot see") {
+    import spark.implicits._
+    // ≥100 tokens, stopword-rich, punctuation- and digit-free (digits
+    // would collapse under <num> redaction), every content token
+    // unique → quality ≈ 0.85 past the 0.5 gate, and a 2-token edit
+    // leaves 3-gram jaccard ≈ 0.87 — planted NEAR-dup territory where
+    // 16x8 banded LSH recall is ≈1
+    def tok(i: Int, tag: Char) =
+      "" + tag + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    def doc(tag: Char) = Array.tabulate(100)(i =>
+      if (i % 2 == 0) Seq("the", "and", "of", "to", "is")(i / 2 % 5)
+      else tok(i / 2, tag)).mkString(" ")
+    val base = doc('w')
+    val nearDup = base.split(" ").dropRight(2).mkString(" ") + " zedq zedr"
+    val other = doc('q')
+    val docs = Seq((1L, base, "srcA"), (2L, nearDup, "srcA"), (3L, other, "srcA"))
+      .toDF("doc_id", "text", "source")
+    val kept = text.Curation.curateNearDup(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"near-dup doc 2 (not byte-identical, >0.5 jaccard) must cluster with 1 and drop: $kept")
+    // exact-dedup-only x4 head keeps all three — proving x4b's drop
+    // comes from the NEAR-dup stage
+    val exactOnly = text.Curation.scoreAndExactDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactOnly == Set(1L, 2L, 3L))
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)
