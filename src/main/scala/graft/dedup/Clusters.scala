@@ -74,8 +74,18 @@ object Clusters {
   /** Distributed min-label propagation (the over-the-limit path):
     * only edge-touched nodes carry loop state, and convergence is a
     * filter over the cached frame — no extra join per round.
+    *
+    * Every third round the loop frame is `localCheckpoint`ed instead
+    * of cached: caching alone keeps the LOGICAL plan chaining one
+    * join per round, so by the iteration counts this path exists for
+    * (long-diameter graphs past the driver limit) planning and task
+    * serialization cost grows linearly with rounds — checkpointing
+    * truncates the lineage to the materialized blocks. Local (not
+    * HDFS) checkpoint is the right trade here: the frame is loop
+    * state that is rebuilt from the cached edges on executor loss.
     */
-  private def propagateMinLabel(edges: DataFrame, maxIters: Int): DataFrame = {
+  private def propagateMinLabel(edges: DataFrame, maxIters: Int,
+                                checkpointEvery: Int = 3): DataFrame = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).cache()
     var converged = false
@@ -83,11 +93,13 @@ object Clusters {
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+      val step = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("changed"))
-        .cache()
+      val updated =
+        if (i % checkpointEvery == checkpointEvery - 1) step.localCheckpoint()
+        else step.cache()
       val changes = updated.filter(col("changed")).count()
       labels.unpersist()
       labels = updated

@@ -101,6 +101,20 @@ class CurationSpec extends GraftSpecBase {
     assert(exactOnly == Set(1L, 2L, 3L))
   }
 
+  test("distributed min-label propagation converges on a deep chain (bounded lineage path)") {
+    import spark.implicits._
+    // path graph 0-1-...-9: diameter 9, so the loop runs ~10 rounds —
+    // several localCheckpoint truncations deep — before the min label
+    // reaches the far end; driverEdgeLimit=0 forces the distributed
+    // path that normally only activates above 10M edges
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val nodes = (0L to 9L).toDF("doc_id")
+    val cc = dedup.Clusters.connectedComponents(nodes, pairs, driverEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 10)
+    assert(cc.forall(_._2 == 0L), s"all labels must reach min id 0: ${cc.toSeq.sorted}")
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)

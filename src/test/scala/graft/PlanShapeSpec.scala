@@ -102,6 +102,21 @@ class PlanShapeSpec extends GraftSpecBase {
       s"fact scan must carry a DynamicPruningExpression partition filter:\n$plan")
   }
 
+  test("st2: AS-OF via union+window costs exactly one hash shuffle") {
+    // the union of both sides flows into ONE window exchange on the
+    // join key — a regression to a range join or a per-side shuffle
+    // would double the exchange count
+    val plan = finalPlan(operators.AsOfJoin.st2(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("x2: per-source cap costs exactly one hash shuffle (the window)") {
+    val plan = finalPlan(text.Curation.x2SourceCap(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
