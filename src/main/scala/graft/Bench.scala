@@ -90,13 +90,19 @@ object Bench {
     }
     val qs = perQuery.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "\"err\"") }
       .mkString("{", ",", "}")
+    // first-pass (cold-cache) per-query times: entries that persist a
+    // shared intermediate (d4/d6's pair set, x4b's survivor set) serve
+    // later passes from cache, so the median alone would hide their
+    // real first-run cost
+    val qsP1 = names.map { n => s"\"" + n + "\":" + passes.head._1(n)._1 }
+      .mkString("{", ",", "}")
     val errors = perQuery.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = perQuery.collect { case (_, v, true) => v }.sum
     val passTotals = passes.map(_._1.values.collect { case (v, true) => v }.sum)
       .mkString("[", ",", "]")
     val passLoads = passes.map(p => s"\"" + p._2 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"queries_pass1":$qsP1,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
     spark.stop()
   }
 }

@@ -172,7 +172,9 @@ object Curation {
     */
   def curateNearDup(docs: DataFrame, minScore: Double = 0.5,
                     cap: Int = 20): DataFrame = {
-    val deduped = scoreAndExactDedup(docs, minScore)
+    // the survivor set feeds three consumers (pair generation, the
+    // node list, and the final keep join) — materialize it once
+    val deduped = scoreAndExactDedup(docs, minScore).persist()
     val pairs = graft.dedup.Dedup.minhashLshPairs(deduped, threshold = 0.5)
     val cc = graft.dedup.Clusters.connectedComponents(
       deduped.select(col("doc_id")), pairs.select("a_id", "b_id"))
