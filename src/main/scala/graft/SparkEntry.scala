@@ -60,6 +60,7 @@ object SparkEntry {
     "t5_top_tokens" -> ((s, d) => text.TextAnalysis.t5TopTokens(s, d)),
     "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
     "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
+    "a12_bucket_join" -> ((s, d) => analytics.Queries.bucketJoinRevenue(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -446,6 +447,16 @@ object SparkEntry {
         | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
         |       sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    // a12: bucketing changes the physical layout, never the result —
+    // the oracle is the plain join
+    "a12_bucket_join" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "t5_top_tokens" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)

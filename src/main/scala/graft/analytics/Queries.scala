@@ -234,4 +234,29 @@ object Queries {
       .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
+
+  /** a12: co-located fact⋈fact join over BUCKETED tables — per-order
+    * revenue for urgent orders. Both facts are bucketed and
+    * bucket-sorted on the orderkey ([[graft.sources.Lake
+    * .bucketedOrderTables]]), so the merge join consumes the bucket
+    * layout directly and the per-order aggregation inherits the join's
+    * partitioning: the WHOLE plan runs with zero hash exchanges
+    * (PlanShapeSpec-asserted). This is the 100 TB answer to "we join
+    * these two facts on this key every day": one bucketed write,
+    * every subsequent join/agg on the key shuffle-free. The `merge`
+    * hint pins SMJ — broadcast would be correct but would bench the
+    * wrong thing at small SF.
+    */
+  def bucketJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = graft.sources.Lake.bucketedOrderTables(spark, dir)
+    spark.table(ot)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -111,6 +111,35 @@ object Lake {
       (path, day)
     })
 
+  /** One bucketed (orders, lineitem) catalog-table pair per source
+    * dir per JVM: both facts bucketed AND bucket-sorted on their join
+    * key with the same bucket count, written as EXTERNAL tables
+    * (explicit temp path — `bucketBy` requires `saveAsTable`, the
+    * path option keeps the data out of the default warehouse). This
+    * is the co-location contract [[writeBucketed]] promises: every
+    * subsequent orderkey join or aggregation reads pre-partitioned,
+    * pre-sorted buckets and plans with ZERO exchanges — at 100 TB
+    * the one-time bucketed write amortizes across every repeated
+    * fact-fact join on the key.
+    */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def bucketedOrderTables(spark: SparkSession, dir: String,
+                                         buckets: Int = 8): (String, String) =
+    bucketCache.computeIfAbsent(dir, { _ =>
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val (ot, lt) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
+      def write(df: DataFrame, table: String, key: String): Unit =
+        df.write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", java.nio.file.Files.createTempDirectory(s"graft_$table").toString)
+          .saveAsTable(table)
+      write(graft.Tables.orders(spark, dir), ot, "o_orderkey")
+      write(graft.Tables.lineitem(spark, dir), lt, "l_orderkey")
+      (ot, lt)
+    })
+
   /** p8: read ONE day back out of the date-partitioned lake — the #1
     * scan-cost lever at 100 TB: the `p_date = day` predicate is a
     * PartitionFilter, so 29 of the corpus's 30 day-directories are

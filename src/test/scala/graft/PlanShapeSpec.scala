@@ -102,6 +102,15 @@ class PlanShapeSpec extends GraftSpecBase {
       s"fact scan must carry a DynamicPruningExpression partition filter:\n$plan")
   }
 
+  test("a12: bucketed fact-fact join and per-key agg run with ZERO hash exchanges") {
+    val plan = finalPlan(analytics.Queries.bucketJoinRevenue(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket layout must satisfy both the join and the agg distribution:\n$plan")
+    assert(plan.toLowerCase.contains("bucket"),
+      s"scan must report bucketed read:\n$plan")
+  }
+
   test("st2: AS-OF via union+window costs exactly one hash shuffle") {
     // the union of both sides flows into ONE window exchange on the
     // join key — a regression to a range join or a per-side shuffle
