@@ -58,9 +58,11 @@ object SparkEntry {
     "d7_contamination" -> ((s, d) => dedup.Contamination.d7(s, d)),
     "m3_frame_sample" -> ((s, d) => multimodal.Multimodal.m3(s, d)),
     "t5_top_tokens" -> ((s, d) => text.TextAnalysis.t5TopTokens(s, d)),
+    "t6_repetition" -> ((s, d) => text.TextAnalysis.t6Repetition(s, d)),
     "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
     "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
     "a12_bucket_join" -> ((s, d) => analytics.Queries.bucketJoinRevenue(s, d)),
+    "x7_pii_redact" -> ((s, d) => text.Curation.x7PiiRedact(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -436,6 +438,15 @@ object SparkEntry {
         | ON c.user_id = p.user_id
         | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 30 * 60 * 1000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // x7: identical regexes mean the same thing to Java regex and
+    // RE2; redaction order (emails, then phones) matches the entry
+    "x7_pii_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\d{3}[- .]\d{3}[- .]\d{4}')) AS INTEGER) AS n_phones,
+        | regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |   '\d{3}[- .]\d{3}[- .]\d{4}', '<phone>', 'g') AS pii_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x5_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 10 < (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 6 END)
@@ -462,6 +473,23 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // t6: max sorted-run length == max token multiplicity, so the
+    // oracle's per-distinct-token recount replays the Spark fold
+    "t6_repetition" ->
+      """SELECT doc_id, n_tokens,
+        | round(CASE WHEN n_grams > 0
+        |   THEN CAST(n_grams - distinct_grams AS DOUBLE) / n_grams ELSE 0.0 END, 6) AS dup_3gram_frac,
+        | top_token_count,
+        | round(CAST(top_token_count AS DOUBLE) / n_tokens, 6) AS top_token_frac
+        |FROM (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  greatest(0, len(toks) - 2) AS n_grams,
+        |  len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS distinct_grams,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |    x -> len(list_filter(toks, y -> y = x)))) AS INTEGER) AS top_token_count
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     // t4: stopword-profile argmax; ties break to the lexicographically
     // LARGEST language code (Spark sorts struct(hits, lang) descending)
     "t4_lang_id" ->

@@ -56,6 +56,30 @@ object Curation {
     df.filter(pmod(col(idCol), lit(den)) < rateExpr)
   }
 
+  /** PII patterns shared by the detector/redactor and its oracle —
+    * plain character-class regexes that mean the same thing to Java's
+    * engine (Spark) and RE2 (DuckDB). Swap/extend per policy (SSNs,
+    * IBANs, …); the operator shape does not change.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}[- .]\\d{3}[- .]\\d{4}"
+
+  /** x7: PII detection + redaction — per-doc match counts and the
+    * redacted text (emails first, then phone shapes), all codegen'd
+    * regexp built-ins, zero shuffle. The counts are what a curation
+    * dashboard monitors; the redacted column is what ships.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(PhonePattern)).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<email>"),
+        PhonePattern, "<phone>").as("pii_text"))
+
+  def x7PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   final case class PackedDoc(doc_id: Long, bin_id: Long, n_tokens: Int)
 
   /** Sequence packing: assign documents to fixed-token-budget bins

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions.word_shingles
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * quality scoring, token counting, fingerprinting, language ID.
@@ -136,4 +137,40 @@ object TextAnalysis {
 
   def t5TopTokens(spark: SparkSession, dir: String): DataFrame =
     topTokens(Tables.documents(spark, dir))
+
+  /** t6: intra-document repetition signals — the Gopher-style
+    * repetition filters a pretraining pipeline gates on (cf. the
+    * published "repetitious text" heuristics: fraction of duplicated
+    * n-grams, dominance of the single most frequent token). Entirely
+    * narrow per-row compute:
+    *  - `dup_3gram_frac` = 1 − distinct/total word-3-grams (distinct
+    *    count from the one-pass [[graft.functions.WordShingles]]);
+    *  - `top_token_count` via sort + linear run-length fold
+    *    (O(n log n) per doc — never the O(n²) per-token recount).
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"),
+        size(word_shingles(lower(col("text")), 3)).as("distinct_grams"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_grams", greatest(lit(0), col("n_tokens") - 2))
+      .withColumn("top_token_count", expr(
+        """aggregate(sort_array(toks),
+          |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+          |  (s, t) -> named_struct(
+          |    'prev', t,
+          |    'run', IF(t <=> s.prev, s.run + 1, 1),
+          |    'best', greatest(s.best, IF(t <=> s.prev, s.run + 1, 1))),
+          |  s -> s.best)""".stripMargin))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(when(col("n_grams") > 0,
+          (col("n_grams") - col("distinct_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 6).as("dup_3gram_frac"),
+        col("top_token_count"),
+        round(col("top_token_count").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"))
+
+  def t6Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -101,6 +101,21 @@ class CurationSpec extends GraftSpecBase {
     assert(exactOnly == Set(1L, 2L, 3L))
   }
 
+  test("PII redaction: planted emails and phone numbers counted and replaced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact jane.doe+spam@example.co.uk or call 555-123-4567 today"),
+      (2L, "two mails a@b.io c.d@e-f.org and digits 12345 that are not a phone"),
+      (3L, "clean text with no contact details at all")).toDF("doc_id", "text")
+    val r = text.Curation.piiRedact(docs).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1)
+    assert(r(0).getString(3) == "contact <email> or call <phone> today")
+    assert(r(1).getInt(1) == 2 && r(1).getInt(2) == 0)
+    assert(r(1).getString(3) == "two mails <email> <email> and digits 12345 that are not a phone")
+    assert(r(2).getInt(1) == 0 && r(2).getInt(2) == 0)
+    assert(r(2).getString(3) == "clean text with no contact details at all")
+  }
+
   test("distributed min-label propagation converges on a deep chain (bounded lineage path)") {
     import spark.implicits._
     // path graph 0-1-...-9: diameter 9, so the loop runs ~10 rounds —

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 class TextSpec extends GraftSpecBase {
   import spark.implicits._
 
+  test("repetition score: duplicated 3-grams and dominant-token run both detected") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),              // 6 tokens, 4 identical 3-grams
+      (2L, "one two three four five six"),                // all distinct
+      (3L, "go go stop go go stop go go stop")).toDF("doc_id", "text")
+    val r = text.TextAnalysis.repetitionScore(df).orderBy("doc_id").collect()
+    // doc 1: 4 3-grams, 1 distinct → dup 0.75; top token run 6/6
+    assert(r(0).getDouble(2) == 0.75 && r(0).getInt(3) == 6 && r(0).getDouble(4) == 1.0)
+    // doc 2: nothing repeats
+    assert(r(1).getDouble(2) == 0.0 && r(1).getInt(3) == 1)
+    // doc 3: 9 tokens, 7 3-grams of 3 distinct patterns → dup 4/7; 'go' x6 of 9
+    assert(math.abs(r(2).getDouble(2) - 4.0 / 7) < 1e-6)
+    assert(r(2).getInt(3) == 6 && math.abs(r(2).getDouble(4) - 6.0 / 9) < 1e-6)
+  }
+
   test("fingerprint is order-insensitive, content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
