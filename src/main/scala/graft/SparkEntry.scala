@@ -59,6 +59,8 @@ object SparkEntry {
     "m3_frame_sample" -> ((s, d) => multimodal.Multimodal.m3(s, d)),
     "t5_top_tokens" -> ((s, d) => text.TextAnalysis.t5TopTokens(s, d)),
     "t6_repetition" -> ((s, d) => text.TextAnalysis.t6Repetition(s, d)),
+    "t7_lm_surprisal" -> ((s, d) => text.TextAnalysis.t7LmSurprisal(s, d)),
+    "st4_interval_join" -> ((s, d) => operators.IntervalJoin.st4(s, d)),
     "x6_pack_sequences" -> ((s, d) => text.Curation.x6PackSequences(s, d)),
     "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
     "a12_bucket_join" -> ((s, d) => analytics.Queries.bucketJoinRevenue(s, d)),
@@ -490,6 +492,31 @@ object SparkEntry {
         |    x -> len(list_filter(toks, y -> y = x)))) AS INTEGER) AS top_token_count
         | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // t7: avg of doubles — both engines sum in different orders, so
+    // round(4) absorbs the ~1e-12 associativity drift (a9 precedent)
+    "t7_lm_surprisal" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |vocab AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id,
+        | round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_surprisal,
+        | count(*) AS n_scored
+        |FROM t2 JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // st4: interval-interval overlap; the oracle is the direct
+    // inequality join the bucketed plan must reproduce exactly
+    "st4_interval_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+        | greatest(c.ts_us, e.ts_us - 600000000) AS overlap_start_us,
+        | least(c.ts_us + 1800000000, e.ts_us + 600000000) AS overlap_end_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') e
+        | ON c.user_id = e.user_id
+        | AND e.ts_us - 600000000 <= c.ts_us + 1800000000
+        | AND c.ts_us <= e.ts_us + 600000000
+        |ORDER BY click_id, error_id""".stripMargin,
     // t4: stopword-profile argmax; ties break to the lexicographically
     // LARGEST language code (Spark sorts struct(hits, lang) descending)
     "t4_lang_id" ->

@@ -173,4 +173,33 @@ object TextAnalysis {
 
   def t6Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** t7: corpus-LM surprisal — per-doc mean −ln p(token) under the
+    * corpus's own unigram distribution, the shape of the published
+    * LM-based quality filters (score against a reference LM, gate on
+    * perplexity). Two stages, both scale-clean:
+    *  1. the unigram table is a map-side-combined token count — the
+    *     same single shuffle as t5;
+    *  2. scoring joins the exploded tokens back to the vocab on the
+    *     token key (the vocab is corpus-distinct-tokens sized — let
+    *     AQE broadcast it when it fits) and averages per doc.
+    * The 1-row total rides a broadcast cross join, never a driver
+    * collect.
+    */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("cnt").cast("double") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("nll")), 4).as("avg_surprisal"),
+        count(lit(1)).as("n_scored"))
+  }
+
+  def t7LmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisal(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -21,6 +21,32 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(4L).isEmpty, "unknown key -> null")
   }
 
+  test("interval overlap join equals the naive inequality join, each pair exactly once") {
+    // random bounded intervals over few keys, lengths up to 5 buckets
+    // wide so pairs share MANY buckets — the single-attribution filter
+    // must still emit each pair exactly once
+    val rnd = new scala.util.Random(11)
+    val width = 100L
+    val left = (0 until 120).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, (i % 4).toLong, s, s + rnd.nextInt(500))
+    }.toDF("l_id", "k", "ls", "le")
+    val right = (0 until 120).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, (i % 4).toLong, s, s + rnd.nextInt(500))
+    }.toDF("r_id", "k", "rs", "re")
+    val bucketed = operators.IntervalJoin.intervalJoin(
+        left, right, "k", "ls", "le", "rs", "re", width)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right, Seq("k"))
+      .filter(col("rs") <= col("le") && col("ls") <= col("re"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    assert(bucketed.length == bucketed.toSet.size, "no pair may be emitted twice")
+    assert(bucketed.toSet == naive.toSet,
+      s"missing=${(naive.toSet -- bucketed.toSet).take(5)} extra=${(bucketed.toSet -- naive.toSet).take(5)}")
+  }
+
   test("lake: date-partitioned write, partition listing, retention expiry") {
     val tmp = Files.createTempDirectory("graft_lake").toString + "/lake"
     val df = Seq(

@@ -54,6 +54,12 @@ class PlanShapeSpec extends GraftSpecBase {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("st4: interval overlap join plans as equi-join, not a cross product") {
+    val plan = finalPlan(operators.IntervalJoin.st4(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join:\n$plan")
+  }
+
   test("d5: blocked all-pairs join is an equi-join — no BNLJ/cartesian, bounded build side") {
     val plan = finalPlan(dedup.Dedup.d5(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

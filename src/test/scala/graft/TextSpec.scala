@@ -20,6 +20,16 @@ class TextSpec extends GraftSpecBase {
     assert(r(2).getInt(3) == 6 && math.abs(r(2).getDouble(4) - 6.0 / 9) < 1e-6)
   }
 
+  test("LM surprisal: hand-computed unigram negative log-likelihoods") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
+    val r = text.TextAnalysis.lmSurprisal(df).orderBy("doc_id").collect()
+    assert(r(0).getLong(0) == 1L && r(0).getLong(2) == 3L)
+    assert(math.abs(r(0).getDouble(1) - math.log(2.5)) < 5e-5)
+    assert(r(1).getLong(2) == 2L)
+    assert(math.abs(r(1).getDouble(1) - (math.log(2.5) + math.log(5.0)) / 2) < 5e-5)
+  }
+
   test("fingerprint is order-insensitive, content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
