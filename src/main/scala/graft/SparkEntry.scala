@@ -65,6 +65,7 @@ object SparkEntry {
     "a11_promo_share" -> ((s, d) => analytics.Queries.promoRevenue(s, d)),
     "a12_bucket_join" -> ((s, d) => analytics.Queries.bucketJoinRevenue(s, d)),
     "x7_pii_redact" -> ((s, d) => text.Curation.x7PiiRedact(s, d)),
+    "a13_pivot_daily" -> ((s, d) => analytics.Queries.pivotDaily(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -460,6 +461,18 @@ object SparkEntry {
         | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
         |       sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    // a13: portable pivot replay — conditional aggregation per pinned
+    // event type; avg over a filtered subset == pivot cell
+    "a13_pivot_daily" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        | round(avg(value) FILTER (event_type = 'click'), 4) AS avg_click,
+        | round(avg(value) FILTER (event_type = 'error'), 4) AS avg_error,
+        | round(avg(value) FILTER (event_type = 'purchase'), 4) AS avg_purchase,
+        | round(avg(value) FILTER (event_type = 'signup'), 4) AS avg_signup,
+        | round(avg(value) FILTER (event_type = 'view'), 4) AS avg_view
+        |FROM events
+        |GROUP BY CAST(ts AS DATE)
+        |ORDER BY day""".stripMargin,
     // a12: bucketing changes the physical layout, never the result —
     // the oracle is the plain join
     "a12_bucket_join" ->

@@ -235,6 +235,26 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** a13: pivot — long→wide reshape, daily mean value per event type
+    * as columns. The pivot values are EXPLICIT, which matters twice:
+    * Catalyst skips the extra distinct-collection job it otherwise
+    * runs to discover the column set, and at 100 TB an unbounded
+    * pivot is a schema explosion — production pivots pin their
+    * domain. Single shuffle on the group key; the pivot itself is a
+    * map-side conditional aggregation.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(avg(col("value")), 4))
+      .withColumnsRenamed(Map(
+        "click" -> "avg_click", "error" -> "avg_error", "purchase" -> "avg_purchase",
+        "signup" -> "avg_signup", "view" -> "avg_view"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy(col("day"))
+
   /** a12: co-located fact⋈fact join over BUCKETED tables — per-order
     * revenue for urgent orders. Both facts are bucketed and
     * bucket-sorted on the orderkey ([[graft.sources.Lake
