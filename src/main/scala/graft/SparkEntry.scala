@@ -38,6 +38,7 @@ object SparkEntry {
     "s1_knn_bruteforce" -> ((s, d) => similarity.Similarity.s1(s, d)),
     "s2_knn_lsh" -> ((s, d) => similarity.Similarity.s2(s, d)),
     "s3_ivf_knn" -> ((s, d) => similarity.Similarity.s3(s, d)),
+    "s4_sq_knn" -> ((s, d) => similarity.Similarity.s4(s, d)),
     "m1_binary_meta" -> ((s, d) => multimodal.Multimodal.m1(s, d)),
     "m2_feature_extract" -> ((s, d) => multimodal.Multimodal.m2(s, d)),
     "st1_sessionize" -> ((s, d) => streaming.Sessionize.st1(s, d)),
@@ -321,6 +322,35 @@ object SparkEntry {
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id % 50 = 0)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // s4: int8 quantization replays exactly — integer dot products
+    // and norms have no summation-order drift; the only float math
+    // (scale division) is pinned to double on both sides
+    "s4_sq_knn" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+        |q8 AS (
+        | SELECT vec_id,
+        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(emb, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) END AS q
+        | FROM s),
+        |n8 AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) AS nsq FROM q8),
+        |cand AS (
+        | SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dot8,
+        |  a.nsq AS qn, b.nsq AS cn
+        | FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+        |scored AS (
+        | SELECT q_id, n_id,
+        |  CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+        |       ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END AS cos8,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY
+        |    CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+        |         ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END DESC,
+        |    n_id) AS rank
+        | FROM cand)
+        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos8, 6) AS cosine_q8
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS byte_len,

@@ -233,4 +233,52 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     ivfKnn(querySet(emb), emb, nprobe = 12, cacheKey = Some(dir))
   }
+
+  /** Scalar-quantized (int8) KNN: per-vector symmetric quantization
+    * q_i = floor(x_i/scale·127 + 0.5) with scale = max|x_i|, then
+    * top-k by the QUANTIZED cosine (integer dot product and integer
+    * norms, divided in double). The 100 TB memory/IO lever: float32
+    * embeddings shrink 4× (a 100 TB vector store becomes 25 TB of
+    * scan), and at 64 dims the per-vector scale keeps quantized
+    * rankings near-exact (recall gated ≥0.9 against s1 in
+    * SimilaritySpec). Composes with IVF — in production the int8
+    * codes live inside the cells; here the brute-force form isolates
+    * the quantization math so the oracle can replay it bit-exactly
+    * (integer arithmetic has no summation-order problem).
+    *
+    * Every float enters the math through an explicit double cast —
+    * Spark promotes float division to double while DuckDB keeps it
+    * float, so without the cast the two engines would quantize a
+    * hair apart.
+    */
+  def scalarQuantKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    def quantize(df: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+        .withColumn(qAs, when(col("scale") === 0d,
+            transform(col("e"), _ => lit(0L)))
+          .otherwise(transform(col("e"),
+            x => floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("long"))))
+        .withColumn(nAs, aggregate(transform(col(qAs), v => v * v), lit(0L), _ + _))
+        .drop("e", "scale")
+    val q = quantize(queries, "q_id", "qq", "qn")
+    val c = quantize(corpus, "n_id", "cq", "cn")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos8").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("dot8", aggregate(zip_with(col("qq"), col("cq"), _ * _), lit(0L), _ + _))
+      .withColumn("cos8", when(col("qn") === 0L || col("cn") === 0L, lit(0.0))
+        .otherwise(col("dot8").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos8"), 6).as("cosine_q8"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def s4(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    scalarQuantKnn(querySet(emb), emb)
+  }
 }

@@ -38,6 +38,12 @@ class SimilaritySpec extends GraftSpecBase {
     assert(recall >= 0.9, s"IVF recall@10 was $recall (measured 0.95 at these params)")
   }
 
+  test("s4 int8 scalar-quantized KNN recall >= 0.9 vs full-precision brute force") {
+    val recall = recallVsExact(
+      similarity.Similarity.scalarQuantKnn(queries, emb, k = 10))
+    assert(recall >= 0.9, s"int8 recall@10 was $recall")
+  }
+
   test("IVF ANN probes cells and returns ranked results") {
     val r = similarity.Similarity.ivfKnn(queries, emb, k = 10)
     assert(r.count() > 0)
