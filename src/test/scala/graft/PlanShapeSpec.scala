@@ -132,6 +132,46 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("EVERY entry plans without a CartesianProduct; BNLJ only on broadcast-bounded baselines") {
+    // standing invariant over the whole driver contract at sf0.001 —
+    // a future entry that accidentally plans an unbounded cross
+    // product fails here, not on the cluster. Allowed BNLJs are all
+    // broadcast-BOUNDED by construction: s1/s4 broadcast an explicit
+    // query subset (brute-force correctness baselines), t7 cross-joins
+    // a single-row global total.
+    val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "t7_lm_surprisal")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter prunes the big side of a selective fact-fact join") {
+    // the third runtime-pruning lever next to DPP and AQE: a selective
+    // filter on one join side injects a bloom filter into the other
+    // side's scan. Production thresholds (creation side small enough
+    // to build, application side big enough to bother) can't both
+    // hold at sf0.001, so they widen in a cloned per-query conf scope
+    // — the shared session is untouched. (creationSideThreshold is an
+    // UPPER bound: zero would disable the rule, not force it.)
+    val lineitem = Tables.lineitem(spark, sf)
+    val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+    val joined = lineitem.join(orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val scoped = org.apache.spark.sql.GraftBridge.withConfScope(joined,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val plan = finalPlan(scoped)
+    assert(plan.contains("might_contain"),
+      s"application side must carry a runtime bloom filter:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
