@@ -36,12 +36,20 @@ object TextAnalysis {
       .withColumn("__ts", graft.functions.GraftFunctions.text_stats(col(textCol), stopwords))
       .withColumn("len_chars", col("__ts.len_chars"))
       .withColumn("n_tokens", col("__ts.n_tokens"))
+      // guards: an empty/whitespace-only doc has len_chars/n_tokens 0,
+      // and under ANSI mode (Spark 4 default) a bare division would
+      // throw DIVIDE_BY_ZERO and kill the whole job on one bad doc.
+      // Null ratios (DuckDB's own x/0 result) make quality_score null,
+      // which every downstream >= gate treats as reject.
       .withColumn("punct_ratio",
-        round(col("__ts.punct_count").cast("double") / col("len_chars"), 6))
+        round(when(col("len_chars") > 0,
+          col("__ts.punct_count").cast("double") / col("len_chars")), 6))
       .withColumn("stopword_ratio",
-        round(col("__ts.stopword_count").cast("double") / col("n_tokens"), 6))
+        round(when(col("n_tokens") > 0,
+          col("__ts.stopword_count").cast("double") / col("n_tokens")), 6))
       .withColumn("mean_word_len",
-        round(col("__ts.token_len_sum").cast("double") / col("n_tokens"), 6))
+        round(when(col("n_tokens") > 0,
+          col("__ts.token_len_sum").cast("double") / col("n_tokens")), 6))
       .withColumn("quality_score",
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.5)
           + col("stopword_ratio") * lit(0.3)

@@ -20,6 +20,23 @@ class TextSpec extends GraftSpecBase {
     assert(r(2).getInt(3) == 6 && math.abs(r(2).getDouble(4) - 6.0 / 9) < 1e-6)
   }
 
+  test("degenerate docs (empty / whitespace-only / single-token) never crash the text family") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "word"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    // every operator must return one row per doc with no exception;
+    // score semantics on degenerate input may be null, never a crash
+    assert(text.TextAnalysis.tokenCounts(df).count() == 4)
+    assert(text.TextAnalysis.repetitionScore(df).count() == 4)
+    assert(text.TextAnalysis.fingerprint(df).count() == 4)
+    assert(text.Curation.piiRedact(df).count() == 4)
+    assert(df.select(text.Curation.normalizeRedact(col("text"))).count() == 4)
+    val q = text.TextAnalysis.qualityScore(df).collect()
+    assert(q.length == 4)
+    // shingle/minhash ops: no shingles → no pairs, docs stay singletons
+    assert(dedup.Dedup.minhashLshPairs(df).count() == 0)
+    assert(dedup.Dedup.exactJaccardPairs(df).count() == 0)
+  }
+
   test("LM surprisal: hand-computed unigram negative log-likelihoods") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
