@@ -104,6 +104,28 @@ class DedupSpec extends GraftSpecBase {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("connectedComponents clusters embedding pairs too (edge-source-agnostic)") {
+    // d6's clustering contract claims any pair set plugs in — prove it
+    // with d5's embedding near-dup edges instead of d4's jaccard edges
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.4)
+    val cc = dedup.Clusters.connectedComponents(
+      emb.select(col("vec_id").as("doc_id")), pairs.select("a_id", "b_id"))
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == emb.count())
+    // every cluster id is the min member id, and every edge endpoint
+    // pair shares a cluster
+    val label = rows.toMap
+    val edges = pairs.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
+    }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not the min id")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val r = dedup.Dedup.embeddingNearDups(Tables.embeddings(spark, sf), threshold = 0.4)
     val rows = r.collect()
