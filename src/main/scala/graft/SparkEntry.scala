@@ -39,6 +39,7 @@ object SparkEntry {
     "s2_knn_lsh" -> ((s, d) => similarity.Similarity.s2(s, d)),
     "s3_ivf_knn" -> ((s, d) => similarity.Similarity.s3(s, d)),
     "s4_sq_knn" -> ((s, d) => similarity.Similarity.s4(s, d)),
+    "s5_semantic_search" -> ((s, d) => similarity.Similarity.s5(s, d)),
     "m1_binary_meta" -> ((s, d) => multimodal.Multimodal.m1(s, d)),
     "m2_feature_extract" -> ((s, d) => multimodal.Multimodal.m2(s, d)),
     "st1_sessionize" -> ((s, d) => streaming.Sessionize.st1(s, d)),
@@ -77,6 +78,34 @@ object SparkEntry {
     * quality-filter -> exact-dedup head shared by x4 and x4b,
     * ending in the survivor CTE `d`.
     */
+  /** s4/s5 shared fragment: the int8 scalar-quantization + quantized
+    * cosine ranking replay, ending in `scored(q_id, n_id, cos8, rank)`.
+    */
+  private val sqKnnCtes: String =
+    """e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+        |q8 AS (
+        | SELECT vec_id,
+        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(emb, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) END AS q
+        | FROM s),
+        |n8 AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) AS nsq FROM q8),
+        |cand AS (
+        | SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dot8,
+        |  a.nsq AS qn, b.nsq AS cn
+        | FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+        |scored AS (
+        | SELECT q_id, n_id,
+        |  CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+        |       ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END AS cos8,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY
+        |    CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+        |         ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END DESC,
+        |    n_id) AS rank
+        | FROM cand)""".stripMargin
+
   private def minhashPairCtes(src: String): String =
     """base AS (SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS th FROM %SRC%),
         |w AS (SELECT doc_id, th, generate_series(1, len(th) - 2) AS idxs FROM base WHERE len(th) >= 3),
@@ -325,32 +354,18 @@ object SparkEntry {
     // s4: int8 quantization replays exactly — integer dot products
     // and norms have no summation-order drift; the only float math
     // (scale division) is pinned to double on both sides
-    "s4_sq_knn" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
-        |q8 AS (
-        | SELECT vec_id,
-        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
-        |       ELSE list_transform(emb, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) END AS q
-        | FROM s),
-        |n8 AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) AS nsq FROM q8),
-        |cand AS (
-        | SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-        |  list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dot8,
-        |  a.nsq AS qn, b.nsq AS cn
-        | FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
-        |scored AS (
-        | SELECT q_id, n_id,
-        |  CASE WHEN qn = 0 OR cn = 0 THEN 0.0
-        |       ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END AS cos8,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY
-        |    CASE WHEN qn = 0 OR cn = 0 THEN 0.0
-        |         ELSE CAST(dot8 AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END DESC,
-        |    n_id) AS rank
-        | FROM cand)
+    "s4_sq_knn" -> ("WITH " + sqKnnCtes +
+      """
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos8, 6) AS cosine_q8
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // s5: the s4 quantized-ANN replay joined back to documents for
+    // the neighbors' metadata (doc_id and vec_id share one id space)
+    "s5_semantic_search" -> ("WITH " + sqKnnCtes +
+      """
+        |SELECT s.q_id, s.n_id, CAST(s.rank AS BIGINT) AS rank,
+        | round(s.cos8, 6) AS cosine_q8, d.source AS n_source, d.lang AS n_lang
+        |FROM scored s JOIN documents d ON s.n_id = d.doc_id
+        |WHERE s.rank <= 5 ORDER BY s.q_id, s.rank""".stripMargin),
     "m1_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS byte_len,

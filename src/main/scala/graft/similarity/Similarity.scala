@@ -281,4 +281,29 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     scalarQuantKnn(querySet(emb), emb)
   }
+
+  /** s5: semantic document retrieval — the RAG/retrieval composition:
+    * ANN over the embedding table (the int8 path — the one a 100 TB
+    * store actually runs), then the top-k result joins BACK to the
+    * documents table for the neighbors' metadata. The join is the
+    * scale story: the k·|Q| result set is tiny and explicitly
+    * broadcast, so the documents table STREAMS through a broadcast
+    * hash join — the corpus is never shuffled to decorate search
+    * results (plan-asserted).
+    */
+  def semanticSearch(queries: DataFrame, corpus: DataFrame, docs: DataFrame,
+                     k: Int = 5): DataFrame = {
+    val knn = scalarQuantKnn(queries, corpus, k)
+    docs.select(col("doc_id").as("n_id"), col("source").as("n_source"),
+        col("lang").as("n_lang"))
+      .join(broadcast(knn), "n_id")
+      .select(col("q_id"), col("n_id"), col("rank"), col("cosine_q8"),
+        col("n_source"), col("n_lang"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def s5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semanticSearch(querySet(emb), emb, Tables.documents(spark, dir))
+  }
 }

@@ -132,14 +132,25 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("s5: documents stream through a broadcast join — search results never shuffle the corpus") {
+    val plan = finalPlan(similarity.Similarity.s5(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny top-k side must broadcast into the metadata join:\n$plan")
+    // the documents scan must not be exchanged for the metadata join:
+    // no hashpartitioning on doc_id anywhere
+    assert(!"Exchange hashpartitioning\\(n_id".r.findFirstIn(plan).isDefined &&
+      !"Exchange hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"documents must never shuffle to decorate results:\n$plan")
+  }
+
   test("EVERY entry plans without a CartesianProduct; BNLJ only on broadcast-bounded baselines") {
     // standing invariant over the whole driver contract at sf0.001 —
     // a future entry that accidentally plans an unbounded cross
     // product fails here, not on the cluster. Allowed BNLJs are all
-    // broadcast-BOUNDED by construction: s1/s4 broadcast an explicit
-    // query subset (brute-force correctness baselines), t7 cross-joins
-    // a single-row global total.
-    val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "t7_lm_surprisal")
+    // broadcast-BOUNDED by construction: s1/s4 (and s5, which wraps
+    // s4) broadcast an explicit query subset (brute-force correctness
+    // baselines), t7 cross-joins a single-row global total.
+    val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search", "t7_lm_surprisal")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
