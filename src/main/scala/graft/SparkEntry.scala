@@ -234,7 +234,7 @@ object SparkEntry {
     "p3_gold_window15m" ->
       """SELECT event_type,
         | round(avg(pct_value),6) AS avg_pct_value,
-        | round(avg(value),4) AS avg_value,
+        | round(sum(value),2) / count(*) AS avg_value,
         | count(*) AS n_events,
         | time_bucket(INTERVAL '15 minutes', ts) AS window_start,
         | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end
@@ -245,7 +245,7 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
     "p4_gold_sliding" ->
       """SELECT user_id,
-        | round(avg(value),4) AS avg_value,
+        | round(sum(value),2) / count(*) AS avg_value,
         | count(*) AS n_events,
         | window_start,
         | window_start + INTERVAL '15 minutes' AS window_end
@@ -271,7 +271,7 @@ object SparkEntry {
     "p6_stream_gold" ->
       """SELECT event_type,
         | round(avg(pct_value),6) AS avg_pct_value,
-        | round(avg(value),4) AS avg_value,
+        | round(sum(value),2) / count(*) AS avg_value,
         | count(*) AS n_events,
         | time_bucket(INTERVAL '15 minutes', ts) AS window_start,
         | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end
@@ -428,7 +428,7 @@ object SparkEntry {
         |  lag(l_extendedprice) OVER w AS prev_price,
         |  lead(l_extendedprice) OVER w AS next_price
         | FROM lineitem
-        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice))
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "x1_hash_sample" ->
       """SELECT doc_id, source FROM documents WHERE doc_id % 10 < 3 ORDER BY doc_id""".stripMargin,
@@ -510,11 +510,11 @@ object SparkEntry {
     // event type; avg over a filtered subset == pivot cell
     "a13_pivot_daily" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        | round(avg(value) FILTER (event_type = 'click'), 4) AS avg_click,
-        | round(avg(value) FILTER (event_type = 'error'), 4) AS avg_error,
-        | round(avg(value) FILTER (event_type = 'purchase'), 4) AS avg_purchase,
-        | round(avg(value) FILTER (event_type = 'signup'), 4) AS avg_signup,
-        | round(avg(value) FILTER (event_type = 'view'), 4) AS avg_view
+        | round(sum(value) FILTER (event_type = 'click'), 2) / count(*) FILTER (event_type = 'click') AS avg_click,
+        | round(sum(value) FILTER (event_type = 'error'), 2) / count(*) FILTER (event_type = 'error') AS avg_error,
+        | round(sum(value) FILTER (event_type = 'purchase'), 2) / count(*) FILTER (event_type = 'purchase') AS avg_purchase,
+        | round(sum(value) FILTER (event_type = 'signup'), 2) / count(*) FILTER (event_type = 'signup') AS avg_signup,
+        | round(sum(value) FILTER (event_type = 'view'), 2) / count(*) FILTER (event_type = 'view') AS avg_view
         |FROM events
         |GROUP BY CAST(ts AS DATE)
         |ORDER BY day""".stripMargin,

@@ -212,8 +212,13 @@ object Queries {
     * shipment deltas.
     */
   def lagLeadDeltas(spark: SparkSession, dir: String): DataFrame = {
+    // l_extendedprice completes a TOTAL order: the sf0.1 corpus has
+    // duplicate (suppkey, shipdate, orderkey, linenumber) rows with
+    // different prices, and without a total order the lag/lead
+    // partners are engine-dependent
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_extendedprice"))
@@ -248,7 +253,9 @@ object Queries {
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("day"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(round(avg(col("value")), 4))
+      // exact-sum average: discrete 2-decimal data rounds on half
+      // boundaries where engine drift flips the digit (see goldWindow)
+      .agg(round(sum(col("value")), 2) / count(lit(1)))
       .withColumnsRenamed(Map(
         "click" -> "avg_click", "error" -> "avg_error", "purchase" -> "avg_purchase",
         "signup" -> "avg_signup", "view" -> "avg_view"))

@@ -99,7 +99,13 @@ object Medallion {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(
         round(avg(col("pct_value")), 6).as("avg_pct_value"),
-        round(avg(col("value")), 4).as("avg_value"),
+        // `value` is discrete 2-decimal data, so window averages land
+        // EXACTLY on round-half boundaries where cross-engine
+        // summation-order drift flips the rounded digit (found at
+        // sf0.1: 250 of 2886 windows). round(sum,2) recovers the
+        // exact decimal sum in both engines — the division then
+        // yields bit-identical doubles with no rounding step at all.
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
         count(lit(1)).as("n_events"))
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))
@@ -114,7 +120,8 @@ object Medallion {
     silver
       .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
       .agg(
-        round(avg(col("value")), 4).as("avg_value"),
+        // exact-sum form — see goldWindow
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
         count(lit(1)).as("n_events"))
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))
