@@ -29,7 +29,11 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every WARN line is output volume between the
+    // metric line and the driver's bounded tail capture — r1-r3
+    // artifacts all show "parsed": null with the metric line cut off
+    // at a 2000-char tail boundary.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -88,21 +92,32 @@ object Bench {
       val runs = passes.map(_._1(n))
       (n, median(runs.map(_._1)), runs.forall(_._2))
     }
-    val qs = perQuery.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "\"err\"") }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = perQuery.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f2(v) else "\"err\"") }
       .mkString("{", ",", "}")
     // first-pass (cold-cache) per-query times: entries that persist a
     // shared intermediate (d4/d6's pair set, x4b's survivor set) serve
     // later passes from cache, so the median alone would hide their
     // real first-run cost
-    val qsP1 = names.map { n => s"\"" + n + "\":" + passes.head._1(n)._1 }
+    val qsP1 = names.map { n => s"\"" + n + "\":" + f2(passes.head._1(n)._1) }
       .mkString("{", ",", "}")
     val errors = perQuery.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = perQuery.collect { case (_, v, true) => v }.sum
     val passTotals = passes.map(_._1.values.collect { case (v, true) => v }.sum)
-      .mkString("[", ",", "]")
+      .map(f2).mkString("[", ",", "]")
     val passLoads = passes.map(p => s"\"" + p._2 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"queries_pass1":$qsP1,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
+    // Diagnostics (cold-pass times, per-pass totals/loadavg, timestamps)
+    // go on their OWN line so the metric line stays small. The r1-r3
+    // driver artifacts record only the last ~2000 chars of output and
+    // all three show "parsed": null — the one-line JSON with
+    // full-precision times + diagnostics was longer than the capture
+    // window, so the line start (or end) fell outside it. The metric
+    // line below is ~1.4KB for 57 queries and carries the headline at
+    // BOTH ends ("value" first, "total_sec" last) so either a head- or
+    // tail-truncated capture still shows the total.
+    println(s"""{"metric":"diag","queries_pass1":$qsP1,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"errors":$errors,"queries":$qs,"total_sec":${f2(total)}}""")
     spark.stop()
   }
 }

@@ -296,7 +296,7 @@ object SparkEntry {
       """SELECT event_type,
         | strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p_date,
         | count(*) AS n_events,
-        | round(avg(value), 4) AS avg_value
+        | round(sum(value), 2) / count(*) AS avg_value
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
         |GROUP BY event_type, CAST(ts AS DATE)

@@ -108,6 +108,14 @@ object Multimodal {
       if (b(off) != 0xff.toByte) return None // desynced: not a marker
       val marker = b(off + 1) & 0xff
       if (marker == 0xff) { off += 1 } // fill byte
+      else if (marker == 0xd9 || marker == 0xda) {
+        // EOI / SOS: both are terminators for the dimension walk. EOI
+        // has no length field (routing it through the generic branch
+        // would read trailing-pad bytes as a segment length and
+        // desync); SOF always precedes SOS in a decodable JPEG, so
+        // reaching either without a SOF means no dimensions.
+        return None
+      }
       else if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2 // standalone marker, no length field
       } else {

@@ -128,7 +128,11 @@ object Lake {
   private[graft] def bucketedOrderTables(spark: SparkSession, dir: String,
                                          buckets: Int = 8): (String, String) =
     bucketCache.computeIfAbsent(dir, { _ =>
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // full md5 of the dir, not String.hashCode: the cache is keyed by
+      // the full dir string, so two dirs with colliding 32-bit hashes
+      // would silently overwrite each other's catalog tables
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val (ot, lt) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
       def write(df: DataFrame, table: String, key: String): Unit =
         df.write.mode("overwrite")
@@ -153,8 +157,12 @@ object Lake {
     spark.read.parquet(path)
       .filter(col("p_date") === day)
       .groupBy(col("event_type"), col("p_date").cast("string").as("p_date"))
+      // same exact-sum form as goldWindow: value is discrete 2-decimal
+      // data, so round(sum,2) recovers the exact sum and the division
+      // is bit-identical across engines — round(avg, n) can land on
+      // half-boundaries where Spark and DuckDB round differently
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("avg_value"))
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("event_type"))
   }
 }

@@ -194,11 +194,28 @@ object Curation {
     * and every stage stays the scale shape its standalone entry
     * proved (the pair stage is banded LSH, never all-pairs).
     */
+  /** Cross-call survivor-set cache, keyed like the IVF centroid
+    * registry: bounded by distinct (key, minScore) pairs per JVM, and
+    * reusable across repeated invocations on the same corpus. Keyed
+    * entries use `persist` (pinned, shared); un-keyed calls use an
+    * eager `localCheckpoint` instead — its blocks are
+    * reference-tracked by the ContextCleaner and freed when the
+    * result is no longer reachable, so one-off invocations don't pin
+    * storage for the JVM lifetime the way an unmatched `persist`
+    * would.
+    */
+  private val survivorCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
+
   def curateNearDup(docs: DataFrame, minScore: Double = 0.5,
-                    cap: Int = 20): DataFrame = {
+                    cap: Int = 20, cacheKey: Option[String] = None): DataFrame = {
     // the survivor set feeds three consumers (pair generation, the
     // node list, and the final keep join) — materialize it once
-    val deduped = scoreAndExactDedup(docs, minScore).persist()
+    val deduped = cacheKey match {
+      case Some(key) => survivorCache.computeIfAbsent((key, minScore),
+        _ => scoreAndExactDedup(docs, minScore).persist())
+      case None => scoreAndExactDedup(docs, minScore).localCheckpoint()
+    }
     val pairs = graft.dedup.Dedup.minhashLshPairs(deduped, threshold = 0.5)
     val cc = graft.dedup.Clusters.connectedComponents(
       deduped.select(col("doc_id")), pairs.select("a_id", "b_id"))
@@ -210,5 +227,5 @@ object Curation {
   }
 
   def x4bCuration(spark: SparkSession, dir: String): DataFrame =
-    curateNearDup(Tables.documents(spark, dir))
+    curateNearDup(Tables.documents(spark, dir), cacheKey = Some(dir))
 }
