@@ -188,6 +188,65 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   * project-collapse inline the (possibly regex-heavy) text expression
   * into every lambda element evaluation.
   */
+/** splitmix64 finalizer as a scalar long→long SQL function — the
+  * deterministic 64-bit mixer already underlying
+  * [[MinHashSignature]]'s seeded permutations, exposed for hash-based
+  * routing: train/val/test splits, deterministic sharding, salted
+  * keys. Pure scalar arithmetic, so unlike the array expressions it
+  * gets REAL codegen (an inline static call, no CodegenFallback) and
+  * stays inside whole-stage codegen on the scan path.
+  */
+case class Mix64(child: Expression)
+    extends UnaryExpression with GraftExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(MixConstants.mix64(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MixConstants.mix64($c)")
+  override protected def withNewChildInternal(c: Expression): Mix64 = copy(child = c)
+}
+
+/** One-pass per-document term-frequency counter for a BOUNDED literal
+  * term list: returns struct(dl, tfs[i]) = (token count, occurrences
+  * of term i). The composed-built-ins alternative — one
+  * `size(filter(split(...)))` per term — re-tokenizes the text once
+  * PER TERM after Catalyst's project collapse inlines the split into
+  * every lambda (the same pitfall [[ShingleHashes]] exists to avoid);
+  * this walks the tokens exactly once regardless of term count.
+  */
+case class TermFrequencies(child: Expression, terms: Seq[String])
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tfs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "term_frequencies"
+
+  // Integer values, not Int: a miss must surface as null, never
+  // auto-unbox to 0 (= silently counting every unknown token as term 0)
+  private lazy val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ShingleSupport.tokenize(input.toString)
+    val tfs = new Array[Long](terms.size)
+    var t = 0
+    while (t < toks.length) {
+      val i = index.get(toks(t))
+      if (i != null) tfs(i.intValue()) += 1L
+      t += 1
+    }
+    InternalRow(toks.length.toLong, new GenericArrayData(tfs))
+  }
+  override protected def withNewChildInternal(c: Expression): TermFrequencies = copy(child = c)
+}
+
 case class TextStats(child: Expression, stopwords: Seq[String], punct: String)
     extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   override def graftInputTypes: Seq[DataType] = Seq(StringType)
@@ -372,6 +431,9 @@ object GraftFunctions {
     col(TextStats(ex(c), stopwords, punct))
   def shingle_hashes(c: Column, n: Int = 3, distinct: Boolean = true): Column =
     col(ShingleHashes(ex(c), n, distinct))
+  def mix64(c: Column): Column = col(Mix64(ex(c)))
+  def term_frequencies(c: Column, terms: Seq[String]): Column =
+    col(TermFrequencies(ex(c), terms))
 
   /** The single source of truth for SQL-surface registration —
     * (name, usage, builder). Both registration paths
@@ -394,7 +456,9 @@ object GraftFunctions {
     ("hyperplane_bucket", "hyperplane_bucket(vec) - 16-plane LSH bucket of a float vector",
       (es: Seq[Expression]) => HyperplaneBucket(es.head, 16, 42L)),
     ("text_stats", "text_stats(text) - one-pass text statistics struct",
-      (es: Seq[Expression]) => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:")))
+      (es: Seq[Expression]) => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:")),
+    ("mix64", "mix64(x) - splitmix64 finalizer of a 64-bit integer",
+      (es: Seq[Expression]) => Mix64(es.head)))
 
   /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit =
