@@ -68,6 +68,9 @@ object SparkEntry {
     "a12_bucket_join" -> ((s, d) => analytics.Queries.bucketJoinRevenue(s, d)),
     "x7_pii_redact" -> ((s, d) => text.Curation.x7PiiRedact(s, d)),
     "a13_pivot_daily" -> ((s, d) => analytics.Queries.pivotDaily(s, d)),
+    "s6_bm25" -> ((s, d) => text.Retrieval.s6Bm25(s, d)),
+    "s7_rrf_fusion" -> ((s, d) => text.Retrieval.s7RrfFusion(s, d)),
+    "x8_hash_split" -> ((s, d) => text.Curation.x8HashSplit(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -150,6 +153,43 @@ object SparkEntry {
         |f AS (SELECT * FROM s WHERE quality_score >= 0.5),
         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
         |d AS (SELECT f.* FROM f JOIN k USING (doc_id))""".stripMargin
+
+  /** s6/s7 shared fragment: BM25 replay over `documents` for the
+    * default term set (spark, join, vector) — per-doc tf via
+    * list_filter (TermFrequencies parity: whitespace tokens of the
+    * lowercased text), corpus stats as one aggregate row, the scoring
+    * fold in the exact left-to-right order and double arithmetic of
+    * Retrieval.termScore (k1 = 1.2, b = 0.75, constants as parsed
+    * decimal literals on both sides). Ends in `bm_top(doc_id, score)`
+    * = the top-20 list.
+    */
+  private def bm25TermScore(tf: String, df: String): String =
+    (s"""(CASE WHEN $tf > 0
+        |   THEN ln(1.0 + (n - $df + 0.5) / ($df + 0.5))
+        |        * (CAST($tf AS DOUBLE) * 2.2)
+        |        / (CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n))))
+        |   ELSE 0.0 END)""").stripMargin
+  private val bm25Ctes: String =
+    ("""bm_tf AS (
+        | SELECT doc_id, len(toks) AS dl,
+        |  len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |  len(list_filter(toks, x -> x = 'join')) AS tf1,
+        |  len(list_filter(toks, x -> x = 'vector')) AS tf2
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
+        |bm_st AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        | FROM bm_tf),
+        |bm_scored AS (
+        | SELECT doc_id, round(""" + "\n"
+      + bm25TermScore("tf0", "df0") + "\n + " + bm25TermScore("tf1", "df1")
+      + "\n + " + bm25TermScore("tf2", "df2") + ", 6) AS score\n"
+      + """ FROM bm_tf CROSS JOIN bm_st),
+        |bm_top AS (
+        | SELECT doc_id, score FROM bm_scored WHERE score > 0
+        | ORDER BY score DESC, doc_id LIMIT 20)""").stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
     * tables, registered by table name). Column aliases MUST match the
@@ -820,6 +860,50 @@ object SparkEntry {
         |WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin),
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
+    // s6: BM25 replay — see bm25Ctes; scoring is fixed-fold-order
+    // double math rounded to 6dp on both sides
+    "s6_bm25" -> ("WITH " + bm25Ctes +
+      """
+        |SELECT doc_id, score FROM bm_top ORDER BY score DESC, doc_id""".stripMargin),
+    // s7: reciprocal-rank fusion of the s6 lexical list (depth 20)
+    // and the s4 quantized-ANN list of query vector 0 (depth 20);
+    // 1/(60+rank) contributions summed lexical-first, 6dp round
+    "s7_rrf_fusion" -> ("WITH " + sqKnnCtes + ",\n" + bm25Ctes +
+      """,
+        |bm_rank AS (
+        | SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        | FROM bm_top),
+        |sem AS (
+        | SELECT n_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank
+        | FROM scored WHERE q_id = 0 AND rank <= 20),
+        |fused AS (
+        | SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+        |  round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+        |      + coalesce(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf_score
+        | FROM bm_rank l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin),
+    // x8: scalar splitmix64 finalizer replay (same HUGEINT mod-2^64
+    // staged pipeline as d3, on one value instead of a list), then
+    // the signed pmod-100 bucket and threshold routing
+    "x8_hash_split" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+        | FROM m5),
+        |b AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket FROM sgn)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks) - 7),

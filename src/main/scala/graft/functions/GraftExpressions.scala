@@ -225,6 +225,10 @@ case class TermFrequencies(child: Expression, terms: Seq[String])
     StructField("tfs", ArrayType(LongType, containsNull = false), nullable = false)))
   override def prettyName: String = "term_frequencies"
 
+  // last-wins map: a duplicate term would silently zero the earlier
+  // slot (its count lands only in the later index) — reject up front
+  require(terms.distinct.size == terms.size, "duplicate terms in term list")
+
   // Integer values, not Int: a miss must surface as null, never
   // auto-unbox to 0 (= silently counting every unknown token as term 0)
   private lazy val index: java.util.HashMap[String, Integer] = {
@@ -458,7 +462,13 @@ object GraftFunctions {
     ("text_stats", "text_stats(text) - one-pass text statistics struct",
       (es: Seq[Expression]) => TextStats(es.head, graft.text.TextAnalysis.stopwords, ".,!?;:")),
     ("mix64", "mix64(x) - splitmix64 finalizer of a 64-bit integer",
-      (es: Seq[Expression]) => Mix64(es.head)))
+      (es: Seq[Expression]) => Mix64(es.head)),
+    ("term_frequencies", "term_frequencies(text, 'term', ...) - one-pass struct(dl, tfs) for literal terms",
+      (es: Seq[Expression]) => {
+        require(es.size >= 2 && es.tail.forall(_.foldable),
+          "term_frequencies takes a text column plus literal term strings")
+        TermFrequencies(es.head, es.tail.map(e => e.eval(InternalRow.empty).toString))
+      }))
 
   /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit =

@@ -119,6 +119,33 @@ object Curation {
       .toDF()
   }
 
+  /** Deterministic train/val/test corpus split routed by
+    * mix64(id) mod 100 — the splitmix64 finalizer decorrelates the
+    * bucket from every id pattern (sequential ranges, per-source id
+    * blocks, stride sampling), which plain id-mod routing (x1/x5)
+    * does not. Same replay-stable scale story as x1: a NARROW map
+    * with no shuffle and no RNG state, so the assignment is a pure
+    * function of the id — invariant under repartitioning, retries,
+    * and incremental reprocessing (a re-ingested doc always lands in
+    * the same split; CurationSpec pins repartition-invariance).
+    * [[graft.functions.Mix64]] is scalar long math with real codegen,
+    * so the routing stays inside whole-stage codegen on the scan.
+    *
+    * Thresholds are percentage points of the pmod-100 bucket:
+    * [0, trainPct) train, [trainPct, trainPct+valPct) val, rest test.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "three non-empty splits")
+    df.withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.mix64(col(idCol).cast("long")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   // ---- Verified entry points ----
 
   def x1HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -145,6 +172,12 @@ object Curation {
     stratifiedSample(Tables.documents(spark, dir), "lang", "doc_id",
       rates = Map("en" -> 4, "zh" -> 8), defaultRate = 6)
       .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** x8: 80/10/10 hash-routed split of the corpus. */
+  def x8HashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
 
   /** x6: pack the corpus into 512-token context windows using the

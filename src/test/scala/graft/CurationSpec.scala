@@ -130,6 +130,24 @@ class CurationSpec extends GraftSpecBase {
     assert(cc.forall(_._2 == 0L), s"all labels must reach min id 0: ${cc.toSeq.sorted}")
   }
 
+  test("x8 hash split: exhaustive, disjoint, ratio-plausible, repartition-invariant") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val split = text.Curation.hashSplit(docs, "doc_id")
+    val byId = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val total = docs.count()
+    assert(byId.size == total, "every doc gets exactly one split")
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // mix64 mod 100 at n≈500: expect 80/10/10 within wide binomial noise
+    val trainFrac = counts("train").toDouble / total
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train frac $trainFrac")
+    // assignment is a pure function of the id: any physical layout
+    // (partition count, row order) must route identically
+    val re = text.Curation.hashSplit(docs.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re == byId, "split must be invariant under repartitioning")
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)

@@ -56,6 +56,47 @@ class ExpressionsSpec extends GraftSpecBase {
     assert(got(2).isEmpty, "zero vector → null")
   }
 
+  test("mix64 expression matches the scalar finalizer through codegen") {
+    // Mix64 has real doGenCode — running it through a DataFrame select
+    // exercises the generated code path, not just nullSafeEval
+    val ids = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    val got = ids.toDF("x").select(mix64(col("x")).as("h")).collect().map(_.getLong(0))
+    assert(got.toSeq == ids.map(graft.functions.MixConstants.mix64))
+    // null in → null out
+    val n = Seq[java.lang.Long](null).toDF("x").select(mix64(col("x"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("term_frequencies: one-pass counts, unknown-term miss never lands in slot 0") {
+    val df = Seq(
+      "apple banana apple",
+      "zebra zebra zebra", // unknown tokens: must NOT count toward term 0
+      "",
+      "  apple   banana  " // whitespace runs collapse
+    ).toDF("text")
+      .select(term_frequencies(col("text"), Seq("apple", "banana")).as("tf"))
+      .selectExpr("tf.dl AS dl", "tf.tfs[0] AS t0", "tf.tfs[1] AS t1")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 2L, 1L), (3L, 0L, 0L), (0L, 0L, 0L), (2L, 1L, 1L)))
+    // null text → null struct
+    val n = Seq[String](null).toDF("text")
+      .select(term_frequencies(col("text"), Seq("a"))).head()
+    assert(n.isNullAt(0))
+    // duplicate terms are a construction error (last-wins index map
+    // would silently zero the first slot)
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("text").select(term_frequencies(col("text"), Seq("a", "a")))
+    }
+  }
+
+  test("term_frequencies is callable from the SQL surface with literal terms") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT term_frequencies('apple banana apple', 'apple', 'banana') AS tf")
+      .selectExpr("tf.dl", "tf.tfs[0]", "tf.tfs[1]").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("hyperplane bucket is deterministic and spreads vectors") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(hyperplane_bucket(col("embedding"), 6).as("b"))

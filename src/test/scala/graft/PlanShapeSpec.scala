@@ -149,8 +149,11 @@ class PlanShapeSpec extends GraftSpecBase {
     // product fails here, not on the cluster. Allowed BNLJs are all
     // broadcast-BOUNDED by construction: s1/s4 (and s5, which wraps
     // s4) broadcast an explicit query subset (brute-force correctness
-    // baselines), t7 cross-joins a single-row global total.
-    val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search", "t7_lm_surprisal")
+    // baselines), t7 cross-joins a single-row global total, s6 (and
+    // s7, which wraps s6+s4) cross-joins the single-row BM25 corpus
+    // stats.
+    val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
+      "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -159,6 +162,28 @@ class PlanShapeSpec extends GraftSpecBase {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
     }
+  }
+
+  test("s6: corpus rows never hash-shuffle — stats ride a 1-row broadcast, top-k is TakeOrdered") {
+    val plan = finalPlan(text.Retrieval.bm25TopK(
+      Tables.documents(spark, sf), terms = Seq("spark", "data"), k = 7))
+    // the only permitted exchanges: the SinglePartition reduce of the
+    // 1-row-per-partition stats partials, and its broadcast back —
+    // never a hashpartitioning of corpus rows
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BM25 must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"corpus stats must broadcast back onto the scoring pass:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("x8: hash split is a pure narrow map — zero exchanges over the corpus") {
+    // drop the entry's presentational orderBy: the operator itself
+    // must add no exchange of any kind
+    val plan = finalPlan(text.Curation.hashSplit(
+      Tables.documents(spark, sf).select("doc_id"), "doc_id"))
+    assert(!plan.contains("Exchange"), s"hash split must stay narrow:\n$plan")
   }
 
   test("runtime bloom filter prunes the big side of a selective fact-fact join") {

@@ -26,6 +26,8 @@ class SqlParitySpec extends GraftSpecBase {
     // so a new expression can't be added to one surface only.
     val names = functions.GraftFunctions.sqlFunctions.map(_._1).toSet
     assert(names.contains("hyperplane_bucket") && names.contains("text_stats"))
+    assert(names.contains("mix64") && names.contains("term_frequencies"),
+      "every Column-API expression with a SQL spelling must be in the one builder list")
     functions.GraftFunctions.register(spark)
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"register() missing $n")
