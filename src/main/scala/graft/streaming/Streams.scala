@@ -86,6 +86,81 @@ object Streams {
         .option("dbtable", table).option("driver", driver)
         .save()
 
+  /** Keyed idempotent JDBC upsert for use inside foreachBatchSink —
+    * the exactly-once gold writer the reference's append-mode sink
+    * (spark_streaming_job.py:120-137) lacks: under update-mode output
+    * a re-emitted window (late data) or a replayed micro-batch
+    * (checkpoint recovery) APPENDS a second row for the same
+    * (window_start, station_id) grain there; here it replaces it.
+    *
+    * Upsert is delete-then-insert on the key columns inside one
+    * transaction per partition — deliberately NOT a MERGE statement:
+    * the row sets per gold grain are whole-row replacements, and
+    * DELETE+INSERT with parameter markers is portable across every
+    * JDBC dialect (Derby, Postgres, MySQL) where MERGE / ON CONFLICT
+    * syntax forks three ways. Each executor partition writes disjoint
+    * keys (the batch is an aggregate on the key grain), so the
+    * per-partition transactions never contend.
+    *
+    * Re-running the same batch is a no-op by construction — the
+    * exactly-once property JdbcSpec pins. The zero-row append before
+    * the upsert creates the table from the batch schema on first
+    * contact (Spark's own JDBC DDL path), so the writer works against
+    * an empty database.
+    */
+  def jdbcUpsertWriter(url: String, table: String, keyCols: Seq[String],
+                       user: String, password: String,
+                       driver: String = "org.postgresql.Driver"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val cols = batch.schema.fieldNames.toSeq
+      require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+        s"key columns $keyCols must all exist in ${cols.mkString(",")}")
+      // string KEY columns must be created as VARCHAR, not the
+      // dialect's default LOB (Derby maps StringType → CLOB, which
+      // cannot sit in an equality predicate)
+      val keyVarchars = keyCols
+        .filter(k => batch.schema(k).dataType == org.apache.spark.sql.types.StringType)
+        .map(k => s"$k VARCHAR(512)")
+      val create = batch.limit(0).write.format("jdbc").mode("append")
+        .option("url", url).option("user", user).option("password", password)
+        .option("dbtable", table).option("driver", driver)
+      (if (keyVarchars.nonEmpty)
+        create.option("createTableColumnTypes", keyVarchars.mkString(", "))
+      else create).save()
+      // Spark's JDBC DDL path quotes column names (case-sensitive in
+      // Derby/Postgres) — quote them here too or they fold to the
+      // dialect's default case and miss
+      def q(c: String): String = "\"" + c + "\""
+      val delSql = s"DELETE FROM $table WHERE " +
+        keyCols.map(k => s"${q(k)} = ?").mkString(" AND ")
+      val insSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      val keyIdx = keyCols.map(cols.indexOf)
+      batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          Class.forName(driver)
+          val conn = java.sql.DriverManager.getConnection(url, user, password)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(delSql)
+            val ins = conn.prepareStatement(insSql)
+            rows.foreach { row =>
+              keyIdx.zipWithIndex.foreach { case (ri, pi) =>
+                del.setObject(pi + 1, row.get(ri)) }
+              del.addBatch()
+              cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
+              ins.addBatch()
+            }
+            del.executeBatch()
+            ins.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+    }
+
   private val runCounter = new AtomicInteger(0)
 
   /** Run a (bounded) streaming DataFrame to completion into a memory

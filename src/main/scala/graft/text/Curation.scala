@@ -245,8 +245,21 @@ object Curation {
     // the survivor set feeds three consumers (pair generation, the
     // node list, and the final keep join) — materialize it once
     val deduped = cacheKey match {
-      case Some(key) => survivorCache.computeIfAbsent((key, minScore),
-        _ => scoreAndExactDedup(docs, minScore).persist())
+      case Some(key) =>
+        val k = (key, minScore)
+        // a cached frame is only usable while the SparkContext that
+        // persisted its blocks is alive and is the caller's own:
+        // after spark.stop() it is bound to a dead context, and a
+        // NEW context must not inherit the old plan. Conf-scoped
+        // session CLONES (same context) still hit — the persisted
+        // blocks belong to the context, not the session wrapper.
+        val cached = survivorCache.get(k)
+        val stale = cached != null &&
+          (cached.sparkSession.sparkContext.isStopped ||
+            !(cached.sparkSession.sparkContext eq docs.sparkSession.sparkContext))
+        if (stale) survivorCache.remove(k, cached)
+        survivorCache.computeIfAbsent(k,
+          _ => scoreAndExactDedup(docs, minScore).persist())
       case None => scoreAndExactDedup(docs, minScore).localCheckpoint()
     }
     val pairs = graft.dedup.Dedup.minhashLshPairs(deduped, threshold = 0.5)

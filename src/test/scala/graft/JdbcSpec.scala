@@ -43,4 +43,42 @@ class JdbcSpec extends GraftSpecBase {
       .option("url", url).option("dbtable", "gold_windows").option("driver", driver)
       .load().count() == 4)
   }
+
+  test("jdbc upsert is idempotent and keyed on the gold grain") {
+    val upUrl = "jdbc:derby:memory:graftup;create=true"
+    val write = streaming.Streams.jdbcUpsertWriter(
+      upUrl, "gold_upsert", keyCols = Seq("window_start", "station_id"),
+      user = "", password = "", driver = driver)
+    def readBack(): Seq[(Long, String, Double, Long)] =
+      spark.read.format("jdbc")
+        .option("url", upUrl).option("dbtable", "gold_upsert").option("driver", driver)
+        .load().orderBy(col("window_start"), col("station_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+
+    val b1 = Seq(
+      (100L, "stA", 0.25, 10L),
+      (100L, "stB", 0.50, 20L),
+      (200L, "stA", 0.75, 30L))
+      .toDF("window_start", "station_id", "avg_pct", "n_events")
+
+    // first contact creates the table and lands the batch
+    write(b1, 0L)
+    val first = readBack()
+    assert(first == Seq((100L, "stA", 0.25, 10L), (100L, "stB", 0.50, 20L),
+      (200L, "stA", 0.75, 30L)))
+
+    // checkpoint-replay shape: the SAME batch again must be a no-op
+    write(b1, 0L)
+    assert(readBack() == first, "replaying a batch must leave the table identical")
+
+    // late data re-emits window (100, stA) with new values and adds a
+    // new grain — the re-emit REPLACES, never duplicates
+    val b2 = Seq(
+      (100L, "stA", 0.40, 15L),
+      (300L, "stC", 0.60, 5L))
+      .toDF("window_start", "station_id", "avg_pct", "n_events")
+    write(b2, 1L)
+    assert(readBack() == Seq((100L, "stA", 0.40, 15L), (100L, "stB", 0.50, 20L),
+      (200L, "stA", 0.75, 30L), (300L, "stC", 0.60, 5L)))
+  }
 }
