@@ -71,6 +71,8 @@ object SparkEntry {
     "s6_bm25" -> ((s, d) => text.Retrieval.s6Bm25(s, d)),
     "s7_rrf_fusion" -> ((s, d) => text.Retrieval.s7RrfFusion(s, d)),
     "x8_hash_split" -> ((s, d) => text.Curation.x8HashSplit(s, d)),
+    "x9_token_budget_mix" -> ((s, d) => text.Curation.x9TokenBudgetMix(s, d)),
+    "s8_mmr_rerank" -> ((s, d) => similarity.Similarity.s8(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -190,6 +192,42 @@ object SparkEntry {
         |bm_top AS (
         | SELECT doc_id, score FROM bm_scored WHERE score > 0
         | ORDER BY score DESC, doc_id LIMIT 20)""").stripMargin
+
+  /** s8 fragment: the greedy MMR selection UNROLLED into 10 pick/
+    * rescore stage pairs (s3's unrolled-Lloyd technique — greedy
+    * argmax-over-a-set steps cannot be a linear recursion). Builds on
+    * sqKnnCtes' `scored` (relevance) and `n8` (int8 codes + integer
+    * norms): candidate similarity is the quantized integer cosine, so
+    * every comparison the greedy makes is bit-identical to the Scala
+    * driver loop (integer dot, double division, 0.5·rel − 0.5·maxsim
+    * in the same operation order).
+    */
+  private val mmrCtes: String = {
+    def sim(a: String, p: String): String =
+      s"""CASE WHEN $a.nsq = 0 OR $p.nsq = 0 THEN 0.0
+         |   ELSE CAST(list_sum(list_transform(generate_series(1, len($a.q)), i -> $a.q[i] * $p.q[i])) AS DOUBLE)
+         |        / (sqrt(CAST($a.nsq AS DOUBLE)) * sqrt(CAST($p.nsq AS DOUBLE))) END""".stripMargin
+    // MATERIALIZED throughout: every stage is ≤ 20 rows, and each is
+    // referenced twice (by its pick and its rescore) — inlining would
+    // re-expand the whole upstream chain per reference, exponentially
+    val sb = new StringBuilder
+    sb ++= ("mmr_cand AS MATERIALIZED (\n" +
+      " SELECT s.n_id, round(s.cos8, 6) AS rel, n.q, n.nsq\n" +
+      " FROM scored s JOIN n8 n ON n.vec_id = s.n_id\n" +
+      " WHERE s.q_id = 0 AND s.rank <= 20),\n")
+    sb ++= "mp1 AS MATERIALIZED (SELECT n_id, rel, q, nsq, rel AS mmr_score FROM mmr_cand ORDER BY rel DESC, n_id LIMIT 1),\n"
+    sb ++= s"mr1 AS MATERIALIZED (SELECT c.n_id, c.rel, c.q, c.nsq, ${sim("c", "p")} AS maxsim FROM mmr_cand c, mp1 p WHERE c.n_id <> p.n_id)"
+    for (i <- 2 to 10) {
+      sb ++= s",\nmp$i AS MATERIALIZED (SELECT n_id, rel, q, nsq, 0.5 * rel - 0.5 * maxsim AS mmr_score FROM mr${i - 1} ORDER BY 0.5 * rel - 0.5 * maxsim DESC, n_id LIMIT 1)"
+      if (i < 10)
+        sb ++= s",\nmr$i AS MATERIALIZED (SELECT r.n_id, r.rel, r.q, r.nsq, greatest(r.maxsim, ${sim("r", "p")}) AS maxsim FROM mr${i - 1} r, mp$i p WHERE r.n_id <> p.n_id)"
+    }
+    sb.toString
+  }
+  private val mmrSelect: String =
+    (1 to 10).map(i =>
+      s"SELECT n_id AS doc_id, $i AS mmr_rank, round(mmr_score, 6) AS mmr_score, rel FROM mp$i")
+      .mkString("\nUNION ALL ") + "\nORDER BY mmr_rank"
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
     * tables, registered by table name). Column aliases MUST match the
@@ -904,6 +942,28 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // s8: quantized-ANN candidates for query 0, then the unrolled
+    // greedy MMR replay (see mmrCtes)
+    "s8_mmr_rerank" -> ("WITH " + sqKnnCtes + ",\n" + mmrCtes + "\n" + mmrSelect),
+    // x9: t1's quality replay + a per-source best-first running token
+    // sum (ROWS frame over a total order), budget filter
+    "x9_token_budget_mix" ->
+      """WITH q AS (
+        | SELECT doc_id, source, n_tokens,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        | FROM (
+        |  SELECT doc_id, source, len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))),
+        |c AS (
+        | SELECT doc_id, source, n_tokens, quality_score,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        | FROM q WHERE quality_score IS NOT NULL)
+        |SELECT doc_id, source, n_tokens, cum_tokens, quality_score FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 6000 ELSE 3000 END
+        |ORDER BY doc_id""".stripMargin,
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks) - 7),

@@ -251,19 +251,26 @@ object Similarity {
     * float, so without the cast the two engines would quantize a
     * hair apart.
     */
+  /** Per-vector int8 scalar quantization: id, q (int8 codes as
+    * longs), and the integer squared norm. Shared by s4/s5 (KNN) and
+    * s8 (MMR diversification) so every consumer quantizes
+    * bit-identically.
+    */
+  private[similarity] def quantizeVecs(df: DataFrame, idAs: String,
+                                       qAs: String, nAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+      .withColumn(qAs, when(col("scale") === 0d,
+          transform(col("e"), _ => lit(0L)))
+        .otherwise(transform(col("e"),
+          x => floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("long"))))
+      .withColumn(nAs, aggregate(transform(col(qAs), v => v * v), lit(0L), _ + _))
+      .drop("e", "scale")
+
   def scalarQuantKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
-    def quantize(df: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-          col("embedding").cast("array<double>").as("e"))
-        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
-        .withColumn(qAs, when(col("scale") === 0d,
-            transform(col("e"), _ => lit(0L)))
-          .otherwise(transform(col("e"),
-            x => floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("long"))))
-        .withColumn(nAs, aggregate(transform(col(qAs), v => v * v), lit(0L), _ + _))
-        .drop("e", "scale")
-    val q = quantize(queries, "q_id", "qq", "qn")
-    val c = quantize(corpus, "n_id", "cq", "cn")
+    val q = quantizeVecs(queries, "q_id", "qq", "qn")
+    val c = quantizeVecs(corpus, "n_id", "cq", "cn")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos8").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("dot8", aggregate(zip_with(col("qq"), col("cq"), _ * _), lit(0L), _ + _))
@@ -305,5 +312,87 @@ object Similarity {
   def s5(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     semanticSearch(querySet(emb), emb, Tables.documents(spark, dir))
+  }
+
+  /** MMR (maximal marginal relevance) diversification of a retrieval
+    * list: greedily select k of the candidates maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.5 — the
+    * standard answer to "the top-k is ten near-copies of one page".
+    * Composes after any retrieval entry (here: the s4 quantized ANN).
+    *
+    * Scale shape: MMR is defined over an ALREADY-BOUNDED top-k list —
+    * the greedy loop is inherently sequential (pick i depends on
+    * picks 1..i−1) and O(k·depth), so the driver is the right place
+    * for it, exactly like s3's bounded quantizer training. The
+    * corpus-scale work (ANN + the candidate-vector fetch) stays
+    * distributed; the collect here is ≤ `depth` rows by construction
+    * (guarded). Similarity between candidates is the quantized
+    * integer cosine (dot of int8 codes / product of integer-norm
+    * roots): integer dots have no summation-order drift, so the
+    * selection replays bit-exactly in the DuckDB oracle.
+    *
+    * Candidates frame contract: (n_id, rel, q, nsq) — rel is the
+    * retrieval relevance, q/nsq the [[quantizeVecs]] codes.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int = 10,
+                lambdaRel: Double = 0.5): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates.select(col("n_id"), col("rel"), col("q"), col("nsq"))
+      .collect()
+    require(rows.length >= k, s"need at least $k candidates, got ${rows.length}")
+    require(rows.length <= 10000, "MMR input must be an already-bounded top-k list")
+    final case class C(id: Long, rel: Double, q: Array[Long], n: Long)
+    val cs = rows.map(r =>
+        C(r.getLong(0), r.getDouble(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+      .sortBy(_.id)
+    def sim(a: C, b: C): Double =
+      if (a.n == 0L || b.n == 0L) 0.0
+      else {
+        var dot = 0L
+        var i = 0
+        while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
+        dot.toDouble / (math.sqrt(a.n.toDouble) * math.sqrt(b.n.toDouble))
+      }
+    val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+    // -inf, NOT 0: quantized cosines go negative, and max over the
+    // selected set must be the true max — a 0 floor would hand
+    // anti-similar candidates a hidden penalty (and diverge from the
+    // oracle's replay)
+    val maxSim = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(Double.NegativeInfinity)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    while (picked.length < k) {
+      // strict > over the id-ascending scan = argmax with min-id
+      // tiebreak, the same total order the oracle's ORDER BY pins
+      var best: C = null
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { c =>
+        val s = if (picked.isEmpty) c.rel
+                else lambdaRel * c.rel - (1.0 - lambdaRel) * maxSim(c.id)
+        if (s > bestScore) { bestScore = s; best = c }
+      }
+      picked += ((best.id, bestScore, best.rel))
+      remaining -= best
+      remaining.foreach(c => maxSim(c.id) = math.max(maxSim(c.id), sim(c, best)))
+    }
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s, rel), i) => (id, i + 1, s, rel) }
+      .toDF("doc_id", "mmr_rank", "raw", "rel")
+      .select(col("doc_id"), col("mmr_rank"),
+        round(col("raw"), 6).as("mmr_score"), col("rel"))
+  }
+
+  /** s8: diversify the s4 quantized-ANN top-20 of query vector 0 down
+    * to 10 — the 20-row candidate list (with its int8 codes) rides a
+    * broadcast join against the streaming corpus, then MMR runs on
+    * the driver over those 20 rows.
+    */
+  def s8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val knn = scalarQuantKnn(emb.filter(col("vec_id") === 0L), emb, k = 20)
+      .select(col("n_id"), col("cosine_q8").as("rel"))
+    val cand = quantizeVecs(emb, "n_id", "q", "nsq").join(broadcast(knn), "n_id")
+    mmrRerank(cand, k = 10).orderBy(col("mmr_rank"))
   }
 }

@@ -146,6 +146,34 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** Token-budgeted source mixing: fill each source's token budget
+    * BEST-FIRST — rank a source's docs by quality, admit them in
+    * order while the running token total stays under the source's
+    * budget. This is the mixing knob a pretraining corpus is
+    * actually steered with (token budgets per domain/source), where
+    * x2's doc-count caps are the crude version: counts ignore that
+    * docs differ 100× in length.
+    *
+    * Scale shape: ONE hash shuffle on source (the window), same as
+    * x2 — the running sum rides the window sort; no second pass, no
+    * driver state. The (quality, id) order is total, so the admitted
+    * set is deterministic at any parallelism. A skew-prone source
+    * (one source = half the corpus) is the same skew x2 already
+    * documents: salt the window key and merge per-salt budgets
+    * proportionally.
+    */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   // ---- Verified entry points ----
 
   def x1HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -178,6 +206,21 @@ object Curation {
   def x8HashSplit(spark: SparkSession, dir: String): DataFrame =
     hashSplit(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** x9: token-budgeted mix — 6000 tokens of src0, 3000 of every
+    * other source, best-quality-first. Unscorable docs (null quality:
+    * empty/whitespace-only text) are not mix candidates — the filter
+    * also keeps the window's (quality, id) order engine-portable
+    * without pinning a NULLS placement.
+    */
+  def x9TokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(
+      TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .filter(col("quality_score").isNotNull),
+      budgets = Map("src0" -> 6000L), defaultBudget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quality_score"))
       .orderBy(col("doc_id"))
 
   /** x6: pack the corpus into 512-token context windows using the

@@ -148,6 +148,30 @@ class CurationSpec extends GraftSpecBase {
     assert(re == byId, "split must be invariant under repartitioning")
   }
 
+  test("x9 token-budget mix: per-source budget respected, admitted set is the best-quality prefix") {
+    val got = text.Curation.x9TokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = if (src == "src0") 6000L else 3000L
+      assert(rows.map(_._3).sum <= budget, s"$src exceeds budget")
+      assert(rows.map(_._4).max <= budget, "running totals must stay under budget")
+    }
+    // best-first: every admitted doc outranks every rejected doc of
+    // the same source in (quality desc, id) order
+    val all = text.TextAnalysis.qualityScore(Tables.documents(spark, sf))
+      .filter(col("quality_score").isNotNull)
+      .select("doc_id", "source", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val admitted = got.map(_._1).toSet
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(d => (-d._3, d._1)).map(_._1)
+      val nAdmitted = ordered.count(admitted)
+      assert(ordered.take(nAdmitted).forall(admitted),
+        s"$src: admitted set must be a prefix of the quality ordering")
+    }
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)

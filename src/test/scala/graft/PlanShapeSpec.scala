@@ -186,6 +186,12 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!plan.contains("Exchange"), s"hash split must stay narrow:\n$plan")
   }
 
+  test("x9: token-budget mix costs exactly one hash shuffle (the per-source window)") {
+    val plan = finalPlan(text.Curation.x9TokenBudgetMix(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected the window's single source shuffle:\n$plan")
+  }
+
   test("runtime bloom filter prunes the big side of a selective fact-fact join") {
     // the third runtime-pruning lever next to DPP and AQE: a selective
     // filter on one join side injects a bloom filter into the other

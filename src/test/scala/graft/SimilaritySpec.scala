@@ -76,4 +76,45 @@ class SimilaritySpec extends GraftSpecBase {
     val recall = exact.intersect(ann).size.toDouble / exact.size
     assert(recall >= 0.9, s"planted-neighbor recall was $recall")
   }
+
+  test("mmr: near-duplicate of the top pick is demoted below a diverse candidate") {
+    import spark.implicits._
+    // candidate 1 and its near-copy 2 (sim ≈ 1) both outscore the
+    // orthogonal candidates 3/4 on relevance; MMR must pick 1, then
+    // prefer a diverse candidate over the copy
+    val cands = Seq(
+      (1L, 0.99, Array(100L, 0L, 0L), 10000L),
+      (2L, 0.98, Array(99L, 1L, 0L), 9802L), // near-copy of 1
+      (3L, 0.50, Array(0L, 100L, 0L), 10000L),
+      (4L, 0.40, Array(0L, 0L, 100L), 10000L))
+      .toDF("n_id", "rel", "q", "nsq")
+    val got = similarity.Similarity.mmrRerank(cands, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 1), (3L, 2), (4L, 3)),
+      s"near-dup must lose its rank to diverse candidates: ${got.toSeq}")
+  }
+
+  test("mmr: negative cross-similarity is a true max, not floored at zero") {
+    import spark.implicits._
+    // 2 is anti-similar to 1 (sim = -1): its penalty term −0.5·maxsim
+    // must BOOST it (+0.5·1) past 3, which is orthogonal (maxsim 0)
+    val cands = Seq(
+      (1L, 0.90, Array(100L, 0L), 10000L),
+      (2L, 0.10, Array(-100L, 0L), 10000L),
+      (3L, 0.30, Array(0L, 100L), 10000L))
+      .toDF("n_id", "rel", "q", "nsq")
+    val got = similarity.Similarity.mmrRerank(cands, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 1), (2L, 2), (3L, 3)), s"${got.toSeq}")
+    // score(2) = 0.5·0.1 − 0.5·(−1) = 0.55; a zero floor would give 0.05
+    assert(math.abs(got(1)._3 - 0.55) < 1e-9, s"${got(1)._3}")
+  }
+
+  test("s8 entry: 10 diversified picks out of the ANN top-20, rank-1 = highest relevance") {
+    val r = similarity.Similarity.s8(spark, sf).collect()
+    assert(r.length == 10)
+    val rels = r.map(_.getDouble(3))
+    assert(rels(0) == rels.max, "first MMR pick must be the relevance argmax")
+    assert(r.map(_.getInt(1)).toSeq == (1 to 10), "ranks dense 1..10")
+  }
 }
