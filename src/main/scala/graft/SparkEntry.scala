@@ -73,6 +73,8 @@ object SparkEntry {
     "x8_hash_split" -> ((s, d) => text.Curation.x8HashSplit(s, d)),
     "x9_token_budget_mix" -> ((s, d) => text.Curation.x9TokenBudgetMix(s, d)),
     "s8_mmr_rerank" -> ((s, d) => similarity.Similarity.s8(s, d)),
+    "x10_shuffle_positions" -> ((s, d) => text.Curation.x10ShufflePositions(s, d)),
+    "p9_cdc_latest" -> ((s, d) => pipeline.Medallion.p9CdcLatest(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -964,6 +966,34 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens, quality_score FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 6000 ELSE 3000 END
         |ORDER BY doc_id""".stripMargin,
+    // x10: the distributed two-phase rank must equal a TRUE global
+    // row_number over the mix64 ordering — the oracle computes the
+    // global one directly (x8's scalar mix64 replay for the key)
+    "x10_shuffle_positions" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS shuffle_key
+        | FROM m5)
+        |SELECT doc_id, shuffle_key,
+        | CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM sgn ORDER BY doc_id""".stripMargin,
+    // p9: latest version per key; total order (ts desc, id desc)
+    "p9_cdc_latest" ->
+      """SELECT user_id, last_event_id, last_ts_us, last_value, n_versions FROM (
+        | SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us, value AS last_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_versions
+        | FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks) - 7),

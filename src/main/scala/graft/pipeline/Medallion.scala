@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -161,5 +162,35 @@ object Medallion {
         round(avg(col("pct_value")), 6).as("avg_pct_value"),
         round(sum(col("value")), 4).as("total_value"),
         max(col("event_minute")).as("last_seen_minute"))
+      .orderBy(col("user_id"))
+
+  /** Latest-row-per-key compaction — the CDC / snapshot read every
+    * lakehouse silver table needs: many versions per key land over
+    * time, readers want the newest. One hash shuffle on the key; the
+    * version order MUST be total (timestamp ties broken by a unique
+    * id) or "latest" is nondeterministic across runs — the same
+    * totality rule a10's sf0.1 sweep enforced for lag/lead.
+    */
+  def latestPerKey(df: DataFrame, keyCol: String,
+                   orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** p9: newest event per user — CDC compaction over the event log.
+    * Timestamps surfaced as epoch micros (ts is ns-parquet, §5).
+    */
+  def p9CdcLatest(spark: SparkSession, dir: String): DataFrame =
+    latestPerKey(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")),
+      keyCol = "user_id",
+      orderCols = Seq(col("ts_us").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_us").as("last_ts_us"), col("value").as("last_value"),
+        col("n_versions"))
       .orderBy(col("user_id"))
 }

@@ -174,6 +174,42 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic corpus shuffle with MATERIALIZED positions:
+    * every row gets its global rank under the mix64(id) ordering —
+    * the reproducible "shuffle the corpus before training" step,
+    * where the position column is what an epoch reader seeks on.
+    *
+    * The naive spelling — row_number() over a global ORDER BY — is a
+    * single-partition window: one task ranks the whole corpus. This
+    * is the distributed two-phase rank instead: (1) bucket rows by
+    * the top bits of the shuffle key (arithmetic shift keeps bucket
+    * order aligned with signed key order), (2) count per bucket and
+    * turn counts into exclusive prefix offsets (≤256 rows — the only
+    * single-partition step, constant-size at any corpus size),
+    * (3) global_pos = bucket offset + rank within bucket. Two column-
+    * pruned passes, shuffles only on the bucket key, positions exact.
+    * The same idiom distributes any global ranking/percentile-index
+    * problem; the oracle cross-checks it against a true global
+    * row_number.
+    */
+  def shufflePositions(df: DataFrame, idCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("shuffle_key",
+        graft.functions.GraftFunctions.mix64(col(idCol).cast("long")))
+      .withColumn("__b", shiftright(col("shuffle_key"), 56) + lit(128L))
+    val offsets = keyed.groupBy(col("__b")).count()
+      .withColumn("__offset", coalesce(
+        sum(col("count")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__offset"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_pos",
+        (col("__offset") + row_number().over(wIn)).cast("long"))
+      .drop("__b", "__offset")
+  }
+
   // ---- Verified entry points ----
 
   def x1HashSample(spark: SparkSession, dir: String): DataFrame =
@@ -221,6 +257,12 @@ object Curation {
       budgets = Map("src0" -> 6000L), defaultBudget = 3000L)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** x10: materialized deterministic-shuffle positions (1-based). */
+  def x10ShufflePositions(spark: SparkSession, dir: String): DataFrame =
+    shufflePositions(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
       .orderBy(col("doc_id"))
 
   /** x6: pack the corpus into 512-token context windows using the

@@ -172,6 +172,24 @@ class CurationSpec extends GraftSpecBase {
     }
   }
 
+  test("x10 shuffle positions: exact 1..n permutation equal to the global key order") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val got = text.Curation.shufflePositions(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = got.length
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "positions must be a dense 1..n permutation")
+    // the bucketed two-phase rank must equal the naive global rank
+    val expected = got.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    assert(got.forall { case (id, _, pos) => expected(id) == pos },
+      "distributed rank must equal global rank")
+    // and be a pure function of the data
+    val re = text.Curation.shufflePositions(docs.repartition(5), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, _, pos) => re(id) == pos })
+  }
+
   test("d6 keeps exactly one representative per near-dup cluster") {
     val r = dedup.Clusters.d6(spark, sf).collect()
     assert(r.nonEmpty)

@@ -81,4 +81,34 @@ class JdbcSpec extends GraftSpecBase {
     assert(readBack() == Seq((100L, "stA", 0.40, 15L), (100L, "stB", 0.50, 20L),
       (200L, "stA", 0.75, 30L), (300L, "stC", 0.60, 5L)))
   }
+
+  test("streaming update-mode gold through the upsert sink replaces, never appends") {
+    // the real exactly-once gold path: update-mode re-emits a grain's
+    // row every micro-batch it changes in — with the append writer
+    // that is one duplicate per update; through the upsert sink the
+    // table always holds exactly one row per grain, with final values
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val upUrl = "jdbc:derby:memory:graftstream;create=true"
+    val writer = streaming.Streams.jdbcUpsertWriter(upUrl, "gold_stream",
+      keyCols = Seq("station_id"), user = "", password = "", driver = driver)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDF().toDF("station_id", "v")
+      .groupBy(col("station_id"))
+      .agg(round(sum(col("v")), 4).as("total"), count(lit(1)).as("n"))
+    val q = streaming.Streams.foreachBatchSink(agg, checkpoint)(writer).start()
+    try {
+      mem.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      mem.addData(("a", 3.0)) // re-emits station a's updated row
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.format("jdbc")
+      .option("url", upUrl).option("dbtable", "gold_stream").option("driver", driver)
+      .load().orderBy(col("station_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 4.0, 2L), ("b", 2.0, 1L)),
+      s"grain must be replaced in place: ${rows.toSeq}")
+  }
 }

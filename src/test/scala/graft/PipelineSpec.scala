@@ -83,4 +83,20 @@ class PipelineSpec extends GraftSpecBase {
       quality.Checks.fromJson("""{"checks": [{"type": "nope"}]}""")
     }
   }
+
+  test("p9: latest-per-key keeps exactly the newest version, counts all versions") {
+    val r = pipeline.Medallion.p9CdcLatest(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(0)).distinct.length == r.length, "one row per key")
+    // cross-check against a direct max-ts aggregation
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("max_us"), count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r.foreach { row =>
+      val (maxUs, n) = direct(row.getLong(0))
+      assert(row.getLong(2) == maxUs, s"user ${row.getLong(0)}: ts must be the max")
+      assert(row.getLong(4) == n, "n_versions must count every version")
+    }
+  }
 }

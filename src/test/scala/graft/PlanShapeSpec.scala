@@ -192,6 +192,17 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 1, s"expected the window's single source shuffle:\n$plan")
   }
 
+  test("x10: distributed rank never global-sorts the corpus — one constant-size single-partition step") {
+    val plan = finalPlan(text.Curation.shufflePositions(
+      Tables.documents(spark, sf).select("doc_id"), "doc_id"))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort exchange over corpus rows:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"only the ≤256-row offsets branch may single-partition:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
+
   test("runtime bloom filter prunes the big side of a selective fact-fact join") {
     // the third runtime-pruning lever next to DPP and AQE: a selective
     // filter on one join side injects a bloom filter into the other
