@@ -75,6 +75,11 @@ object SparkEntry {
     "s8_mmr_rerank" -> ((s, d) => similarity.Similarity.s8(s, d)),
     "x10_shuffle_positions" -> ((s, d) => text.Curation.x10ShufflePositions(s, d)),
     "p9_cdc_latest" -> ((s, d) => pipeline.Medallion.p9CdcLatest(s, d)),
+    "a14_cube" -> ((s, d) => analytics.Queries.cubeStats(s, d)),
+    "a15_running_total" -> ((s, d) => analytics.Queries.runningTotals(s, d)),
+    "p10_scd2" -> ((s, d) => pipeline.Medallion.p10Scd2(s, d)),
+    "st5_funnel" -> ((s, d) => operators.Funnel.st5(s, d)),
+    "x11_weighted_sample" -> ((s, d) => text.Curation.x11QualityWeightedSample(s, d)),
   )
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -994,6 +999,82 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id) AS n_versions
         | FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events))
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // a14: CUBE replay — DuckDB's GROUPING(a,b) uses the same
+    // first-column-is-MSB bit order as Spark's grouping_id()
+    "a14_cube" ->
+      """SELECT CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+        | l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // a15: running/trailing frame sums on DECIMAL (exact in any
+    // accumulation order — windowed DOUBLE sums are not replayable:
+    // DuckDB aggregates frames via a segment tree, Spark accumulates
+    // in row order)
+    "a15_running_total" ->
+      """SELECT event_id, user_id, ts_us, value,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (w ROWS 2 PRECEDING) AS DOUBLE) AS trailing3_sum
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+    // st5: the k-join funnel spelling — each step's min-ts strictly
+    // after the previous step's time; proves the Spark single-shuffle
+    // fold and the classic self-join formulation agree
+    "st5_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, s1.t1 AS step1_ts_us, s2.t2 AS step2_ts_us, s3.t3 AS step3_ts_us,
+        | CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |      WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    // x11: x8's scalar mix64 replay → u01 from the top 53 bits (the
+    // shift and the 2^-53 scale are exact in binary FP, so u01 is
+    // bit-identical across engines), gated against x9's quality replay
+    "x11_weighted_sample" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |draw AS (SELECT doc_id, CAST(u // 2048 AS DOUBLE) / 9007199254740992.0 AS u01 FROM m5),
+        |q AS (
+        | SELECT doc_id, source,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        | FROM (
+        |  SELECT doc_id, source, len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents)))
+        |SELECT q.doc_id, q.source, q.quality_score, draw.u01
+        |FROM q JOIN draw ON q.doc_id = draw.doc_id
+        |WHERE q.quality_score IS NOT NULL AND draw.u01 < q.quality_score
+        |ORDER BY q.doc_id""".stripMargin,
+    // p10: SCD2 interval replay over the same total (ts, id) order
+    "p10_scd2" ->
+      """SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS version,
+        | ts_us AS valid_from_us,
+        | lead(ts_us) OVER w AS valid_to_us,
+        | lead(ts_us) OVER w IS NULL AS is_current,
+        | value
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "d7_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, source, list_distinct(list_transform(generate_series(1, len(toks) - 7),

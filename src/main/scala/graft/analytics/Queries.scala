@@ -240,6 +240,56 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** a14: CUBE grouping sets — every (returnflag × linestatus)
+    * marginal in one pass, tagged with `grouping_id()` so consumers
+    * can tell a grouped NULL from a data NULL. Like a7's rollup this
+    * is a single shuffle: Catalyst expands the grouping sets
+    * map-side (Expand) and aggregates once on the expanded key; the
+    * 4× row fan-out is over the post-aggregation key space, not the
+    * fact table, so it is as 100 TB-safe as the plain groupBy.
+    */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** a15: window FRAMES — running total and a trailing 3-row sum per
+    * user over the event stream, the cumulative-metrics shape (a4 and
+    * a10 cover ranking and navigation; this is the third window
+    * family, running aggregates). Order is (ts, event_id): provably
+    * total, so frame contents are engine-portable. Sums run on
+    * DECIMAL(18,2) — windowed double sums are NOT replayable across
+    * engines (DuckDB aggregates frames via a segment tree, Spark
+    * accumulates in row order; binary-float addition is
+    * order-sensitive) while decimal sums are exact in any order; the
+    * final cast back to double is exact and deterministic. One
+    * shuffle on user_id; both frames share the same window ordering
+    * (single sort).
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val dec = col("value").cast("decimal(18,2)")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_sum",
+        sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("trailing3_sum",
+        sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .orderBy(col("event_id"))
+  }
+
   /** a13: pivot — long→wide reshape, daily mean value per event type
     * as columns. The pivot values are EXPLICIT, which matters twice:
     * Catalyst skips the extra distinct-collection job it otherwise

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ordered-funnel analysis: for each user, the timestamp at which
+  * they first completed each step of an ordered step sequence, where
+  * step k+1 must happen STRICTLY after the user's step-k time. The
+  * classic product-analytics query (view → click → purchase), and a
+  * shape SQL engines answer with k self-joins.
+  *
+  * Implementation is a single-shuffle per-key fold instead: events
+  * (pre-filtered to the step types, so the shuffle carries only
+  * relevant rows) are grouped per user, sorted by the total
+  * (ts, event_id) order, and folded through the step state machine
+  * with `aggregate` — all Catalyst array expressions, no UDF, no
+  * driver state. Per-user event counts are the bounded quantity here
+  * (product-analytics sessions, not the corpus); a user's whole
+  * filtered history must fit one task, the same per-key-bounded
+  * assumption st1's sessionization already documents. The k-join
+  * spelling (each step's min-ts joined back) is the fallback when a
+  * single key's history is unbounded — it trades k shuffles for O(1)
+  * per-row state. The DuckDB oracle replays that spelling, which
+  * doubles as a proof the two formulations agree.
+  *
+  * Step-k time = min event ts of type k strictly greater than the
+  * step-(k-1) time; fold order makes that the first qualifying event
+  * in (ts, event_id) order — identical because ties at the boundary
+  * are excluded by strictness on both spellings.
+  */
+object Funnel {
+
+  /** Per-user first-completion times for a 3-step funnel, plus the
+    * number of steps reached. Users with no step-type events at all
+    * are absent (they never enter the shuffle); users are otherwise
+    * present with NULL times for unreached steps.
+    */
+  def funnel3(events: DataFrame, userCol: String, tsCol: String,
+              idCol: String, typeCol: String,
+              steps: (String, String, String)): DataFrame = {
+    val (s1, s2, s3) = steps
+    val filtered = events
+      .filter(col(typeCol).isin(s1, s2, s3))
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+    val nullTs = lit(null).cast("long")
+    val init = struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3"))
+    def step(st: Column, ev: Column): Column = {
+      val ts = ev.getField(tsCol)
+      val ty = ev.getField(typeCol)
+      struct(
+        when(st.getField("t1").isNull && ty === s1, ts)
+          .otherwise(st.getField("t1")).as("t1"),
+        when(st.getField("t2").isNull && st.getField("t1").isNotNull &&
+          ty === s2 && ts > st.getField("t1"), ts)
+          .otherwise(st.getField("t2")).as("t2"),
+        when(st.getField("t3").isNull && st.getField("t2").isNotNull &&
+          ty === s3 && ts > st.getField("t2"), ts)
+          .otherwise(st.getField("t3")).as("t3"))
+    }
+    filtered
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
+        .as("__evs"))
+      .withColumn("__st", aggregate(col("__evs"), init, step))
+      .select(
+        col(userCol),
+        col("__st").getField("t1").as("step1_ts"),
+        col("__st").getField("t2").as("step2_ts"),
+        col("__st").getField("t3").as("step3_ts"))
+      .withColumn("reached",
+        when(col("step3_ts").isNotNull, 3)
+          .when(col("step2_ts").isNotNull, 2)
+          .when(col("step1_ts").isNotNull, 1)
+          .otherwise(0))
+  }
+
+  /** st5: the view → click → purchase funnel over the event log,
+    * times as epoch micros.
+    */
+  def st5(spark: SparkSession, dir: String): DataFrame =
+    funnel3(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+      userCol = "user_id", tsCol = "ts_us", idCol = "event_id",
+      typeCol = "event_type", steps = ("view", "click", "purchase"))
+      .select(col("user_id"), col("step1_ts").as("step1_ts_us"),
+        col("step2_ts").as("step2_ts_us"), col("step3_ts").as("step3_ts_us"),
+        col("reached"))
+      .orderBy(col("user_id"))
+}

@@ -183,6 +183,38 @@ object Medallion {
   /** p9: newest event per user — CDC compaction over the event log.
     * Timestamps surfaced as epoch micros (ts is ns-parquet, §5).
     */
+  /** SCD Type-2 history build from a CDC log: every version of every
+    * key becomes a row with a [valid_from, valid_to) interval,
+    * `valid_to` NULL on the current row. This is p9's sibling — p9
+    * reads "latest snapshot", scd2 writes "full history" — and the
+    * standard silver-table shape for slowly-changing entities. The
+    * order (ts, unique id) is total, so version numbers and interval
+    * bounds are deterministic under any partitioning. One shuffle on
+    * the key; both window functions share one sort.
+    */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String,
+           idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_from_us", col(orderCol))
+      .withColumn("valid_to_us", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** p10: SCD2 history over the event log — each user's value
+    * timeline as versioned validity intervals.
+    */
+  def p10Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")),
+      keyCol = "user_id", orderCol = "ts_us", idCol = "event_id")
+      .select(col("user_id"), col("event_id"), col("version"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"),
+        col("value"))
+      .orderBy(col("user_id"), col("version"))
+
   def p9CdcLatest(spark: SparkSession, dir: String): DataFrame =
     latestPerKey(
       Tables.events(spark, dir).select(col("user_id"), col("event_id"),

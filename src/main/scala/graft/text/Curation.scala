@@ -244,6 +244,37 @@ object Curation {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Quality-weighted importance sampling: keep a row with
+    * probability equal to its weight, decided by a deterministic
+    * per-id uniform draw — the DSIR/quality-resampling shape, where
+    * x1's flat rate becomes a per-doc rate. `u01 = mix64(id)`'s top
+    * 53 bits over 2^53: the integer shift and the power-of-two
+    * divide are both EXACT in binary floating point, so any engine
+    * that replays mix64 reproduces u01 bit-for-bit and the
+    * `u01 < weight` decision is portable with no rounding epsilon.
+    * Narrow map, zero shuffles, no RNG state: the draw is a pure
+    * function of the id (repartition/retry/backfill-invariant, same
+    * argument as x1/x8).
+    */
+  def qualityWeightedSample(df: DataFrame, idCol: String,
+                            weight: Column): DataFrame =
+    df.withColumn("u01",
+        shiftrightunsigned(
+          graft.functions.GraftFunctions.mix64(col(idCol).cast("long")), 11)
+          .cast("double") * lit(1.0 / 9007199254740992.0))
+      .filter(col("u01") < weight)
+
+  /** x11: resample the corpus in proportion to t1's quality score —
+    * high-quality docs survive at their score's rate, junk at ~0.
+    */
+  def x11QualityWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    qualityWeightedSample(
+      TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .filter(col("quality_score").isNotNull),
+      idCol = "doc_id", weight = col("quality_score"))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("u01"))
+      .orderBy(col("doc_id"))
+
   /** x9: token-budgeted mix — 6000 tokens of src0, 3000 of every
     * other source, best-quality-first. Unscorable docs (null quality:
     * empty/whitespace-only text) are not mix candidates — the filter

@@ -148,6 +148,28 @@ class CurationSpec extends GraftSpecBase {
     assert(re == byId, "split must be invariant under repartitioning")
   }
 
+  test("x11 weighted sample: draw replays mix64, acceptance tracks the weight, layout-invariant") {
+    val df = (0L until 400L).map(i => (i, i.toDouble / 400.0)).toDF("id", "w")
+    val kept = text.Curation.qualityWeightedSample(df, "id", col("w"))
+      .select("id", "u01", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // the draw is the scalar mix64's top 53 bits — replay it exactly
+    kept.foreach { case (id, u01, w) =>
+      val expect = (functions.MixConstants.mix64(id) >>> 11).toDouble / 9007199254740992.0
+      assert(u01 == expect, s"id $id: u01 must be the exact mix64 draw")
+      assert(u01 < w, "every kept row won its draw")
+    }
+    // E[kept] = sum of weights = 199.5/400*400/2... linear weights mean ~200*0.499
+    assert(kept.length > 140 && kept.length < 260,
+      s"acceptance count ${kept.length} should track the mean weight (~200)")
+    val re = text.Curation.qualityWeightedSample(df.repartition(7), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == kept.map(_._1).toSet, "kept set invariant under repartitioning")
+    // weight 0 keeps nothing, weight 1 keeps everything
+    assert(text.Curation.qualityWeightedSample(df, "id", lit(0.0)).count() == 0L)
+    assert(text.Curation.qualityWeightedSample(df, "id", lit(1.0)).count() == 400L)
+  }
+
   test("x9 token-budget mix: per-source budget respected, admitted set is the best-quality prefix") {
     val got = text.Curation.x9TokenBudgetMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

@@ -145,4 +145,35 @@ class OperatorsSpec extends GraftSpecBase {
     // spark.sql.extensions at session-build time
     assert(new plans.GraftExtensions() != null)
   }
+
+  test("funnel: step order is enforced strictly, out-of-order steps don't count") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"), (3L, 1L, 300L, "purchase"),
+      // u2: purchase BEFORE click — must stop at step 2
+      (4L, 2L, 100L, "view"), (5L, 2L, 150L, "purchase"), (6L, 2L, 200L, "click"),
+      // u3: click at EXACTLY the view ts — strictness keeps it at step 1
+      (7L, 3L, 100L, "view"), (8L, 3L, 100L, "click"),
+      // u4: click first, then view, then a later click completes step 2
+      (9L, 4L, 50L, "click"), (10L, 4L, 100L, "view"), (11L, 4L, 180L, "click"),
+      // u5: only non-step events -> absent from the result
+      (12L, 5L, 100L, "error"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val r = operators.Funnel.funnel3(ev, "user_id", "ts_us", "event_id",
+        "event_type", ("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) ->
+        ((if (x.isNullAt(1)) -1L else x.getLong(1)),
+         (if (x.isNullAt(2)) -1L else x.getLong(2)),
+         (if (x.isNullAt(3)) -1L else x.getLong(3)), x.getInt(4))).toMap
+    assert(r(1L) == ((100L, 200L, 300L, 3)))
+    assert(r(2L) == ((100L, 200L, -1L, 2)), "early purchase must not complete the funnel")
+    assert(r(3L) == ((100L, -1L, -1L, 1)), "same-ts click is not strictly after the view")
+    assert(r(4L) == ((100L, 180L, -1L, 2)), "pre-view click ignored, later click counts")
+    assert(!r.contains(5L), "users with no step events never enter the shuffle")
+    // pure function of the data: physical layout cannot change it
+    val re = operators.Funnel.funnel3(ev.repartition(5), "user_id", "ts_us",
+        "event_id", "event_type", ("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(re == r.map { case (k, v) => k -> v._4 })
+  }
 }

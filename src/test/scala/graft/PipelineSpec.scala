@@ -99,4 +99,32 @@ class PipelineSpec extends GraftSpecBase {
       assert(row.getLong(4) == n, "n_versions must count every version")
     }
   }
+
+  test("p10: SCD2 intervals chain per key, exactly one current version") {
+    val rows = pipeline.Medallion.p10Scd2(spark, sf)
+      .select("user_id", "version", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length), s"user $u: versions contiguous")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to == from, s"user $u: valid_to chains to next valid_from")
+        case _ =>
+      }
+      assert(sorted.count(_._5) == 1, s"user $u: exactly one current")
+      assert(sorted.last._5 && sorted.last._4.isEmpty,
+        s"user $u: the last version is the open current one")
+    }
+    // the current SCD2 row must be p9's latest-snapshot row
+    val p9 = pipeline.Medallion.p9CdcLatest(spark, sf)
+      .select("user_id", "last_ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._5).foreach { case (u, _, from, _, _) =>
+      assert(p9(u) == from, s"user $u: current valid_from is p9's latest ts")
+    }
+  }
 }
