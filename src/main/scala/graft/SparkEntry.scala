@@ -80,7 +80,74 @@ object SparkEntry {
     "p10_scd2" -> ((s, d) => pipeline.Medallion.p10Scd2(s, d)),
     "st5_funnel" -> ((s, d) => operators.Funnel.st5(s, d)),
     "x11_weighted_sample" -> ((s, d) => text.Curation.x11QualityWeightedSample(s, d)),
+    "s9_pq_knn" -> ((s, d) => similarity.Similarity.s9(s, d)),
+    "d8_substring_dupes" -> ((s, d) => dedup.Substring.d8(s, d)),
+    "t8_type_token" -> ((s, d) => text.TextAnalysis.t8TypeToken(s, d)),
   )
+
+  /** s9 oracle: the full PQ replay, GENERATED per subspace — for
+    * each of the m slices: deterministic init (first ksub sample
+    * slices in vec_id order), two unrolled Lloyd iterations with
+    * ordered-fold sums and per-dim float32 re-rounding (s3's
+    * technique in L2 geometry), corpus encoding by windowed argmin
+    * (ties → smallest code), per-query ADC distance tables; then
+    * candidates score as the left-assoc m-term lookup sum, matching
+    * the Spark side's fixed fold, and rank (dist asc, id asc).
+    * Every chained CTE is MATERIALIZED — the s8 lesson: DuckDB
+    * re-inlines referenced CTEs, and the pa→pc→pa chains re-expand
+    * exponentially without the hint (>300 s vs 2 s at sf0.01).
+    */
+  private def pqKnnOracle: String = {
+    val m = 16; val sub = 4; val ksub = 32; val k = 10
+    def dist(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, $sub), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    def meanCte(prev: String, asg: String): String =
+      s"""SELECT p.code, COALESCE(n.ce, p.ce) AS ce FROM $prev p LEFT JOIN (
+         | SELECT code, list_transform(generate_series(1, $sub), d ->
+         |  CAST(CAST(list_reduce(list_transform(ses, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS ce
+         | FROM (SELECT code, list(se ORDER BY vec_id) AS ses, count(*) AS n FROM $asg GROUP BY code)
+         |) n ON p.code = n.code""".stripMargin
+    def assignCte(src: String, cents: String): String =
+      s"""SELECT vec_id, se, code FROM (
+         | SELECT t.vec_id, t.se, c.code,
+         |  row_number() OVER (PARTITION BY t.vec_id ORDER BY ${dist("t.se", "c.ce")} ASC, c.code ASC) AS rn
+         | FROM $src t CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""psub$s AS MATERIALIZED (SELECT vec_id, emb[$lo:$hi] AS se FROM psample),
+         |pc0_$s AS MATERIALIZED (
+         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, se AS ce
+         | FROM (SELECT vec_id, se FROM psub$s ORDER BY vec_id LIMIT $ksub)),
+         |pa1_$s AS MATERIALIZED (${assignCte(s"psub$s", s"pc0_$s")}),
+         |pc1_$s AS MATERIALIZED (${meanCte(s"pc0_$s", s"pa1_$s")}),
+         |pa2_$s AS MATERIALIZED (${assignCte(s"psub$s", s"pc1_$s")}),
+         |pc2_$s AS MATERIALIZED (${meanCte(s"pc1_$s", s"pa2_$s")}),
+         |pcode_$s AS MATERIALIZED (
+         | SELECT vec_id, code FROM (
+         |  SELECT t.vec_id, c.code,
+         |   row_number() OVER (PARTITION BY t.vec_id ORDER BY ${dist("t.se", "c.ce")} ASC, c.code ASC) AS rn
+         |  FROM (SELECT vec_id, emb[$lo:$hi] AS se FROM e) t CROSS JOIN pc2_$s c) WHERE rn = 1),
+         |pqd_$s AS MATERIALIZED (
+         | SELECT q.vec_id AS q_id, c.code, ${dist("q.se", "c.ce")} AS d
+         | FROM (SELECT vec_id, emb[$lo:$hi] AS se FROM e WHERE vec_id % 50 = 0) q CROSS JOIN pc2_$s c)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
+    val codeJoins = (1 until m).map(s => s"JOIN pcode_$s c$s ON c$s.vec_id = c0.vec_id").mkString(" ")
+    val dJoins = (0 until m).map(s => s"JOIN pqd_$s d$s ON d$s.q_id = p.q_id AND d$s.code = n.k$s").mkString("\n ")
+    val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |psample AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+       |$perSub,
+       |pcodes AS MATERIALIZED (SELECT c0.vec_id, $codeCols FROM pcode_0 c0 $codeJoins),
+       |pqscored AS (
+       | SELECT p.q_id, n.vec_id AS n_id, $dSum AS dist2,
+       |  row_number() OVER (PARTITION BY p.q_id ORDER BY $dSum ASC, n.vec_id ASC) AS rank
+       | FROM (SELECT DISTINCT q_id FROM pqd_0) p
+       | JOIN pcodes n ON n.vec_id <> p.q_id
+       | $dJoins)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(dist2, 6) AS pq_dist2
+       |FROM pqscored WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
     * replays the 128-perm minhash + banded-LSH candidate pipeline
@@ -1022,6 +1089,47 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY event_id""".stripMargin,
+    // s9: generated full-PQ replay — see pqKnnOracle
+    "s9_pq_knn" -> pqKnnOracle,
+    // d8: identical 40/10 character windowing — distinct (doc,
+    // window), windows in >=2 docs, per-doc duplicated fraction
+    "d8_substring_dupes" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN length(text) >= 40
+        |       THEN CAST(floor((length(text) - 40) / 10.0) AS BIGINT) + 1 ELSE 0 END AS n_windows
+        | FROM documents),
+        |wins AS (
+        | SELECT DISTINCT doc_id, w FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, CAST(n_windows AS INT) - 1),
+        |    i -> substring(text, i * 10 + 1, 40))) AS w
+        |  FROM base WHERE n_windows > 0)),
+        |dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_dup_windows FROM wins JOIN dup USING (w) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_windows, COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+        | CASE WHEN b.n_windows > 0
+        |      THEN round(CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / b.n_windows, 6)
+        |      ELSE 0.0 END AS dup_fraction,
+        | CASE WHEN b.n_windows > 0
+        |      THEN round(CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / b.n_windows, 6)
+        |      ELSE 0.0 END >= 0.5 AS flagged
+        |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // t8: group-by token-count replay of the sorted-run fold (integer
+    // counts — method-independent)
+    "t8_type_token" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        | FROM documents),
+        |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        | FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        | COALESCE(a.n_types, 0) AS n_types, COALESCE(a.hapax, 0) AS hapax,
+        | CASE WHEN a.n_tokens > 0 THEN round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) END AS ttr,
+        | CASE WHEN a.n_types > 0 THEN round(CAST(a.hapax AS DOUBLE) / a.n_types, 6) END AS hapax_frac
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // st5: the k-join funnel spelling — each step's min-ts strictly
     // after the previous step's time; proves the Spark single-shuffle
     // fold and the classic self-join formulation agree

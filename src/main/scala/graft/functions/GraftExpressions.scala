@@ -251,6 +251,110 @@ case class TermFrequencies(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(c: Expression): TermFrequencies = copy(child = c)
 }
 
+/** Product-quantization encoder: array<float> embedding → array<int>
+  * of `m` subspace codes, code s = argmin over the subspace's
+  * centroids of the squared L2 distance to the embedding's s-th
+  * slice (ties → smallest code). Centroids are carried as literals in
+  * the expression (trainer: [[graft.similarity.Similarity]]), so
+  * encoding is a pure narrow map over the scan — the PQ analogue of
+  * IVF's literal-centroid assignment. One expression node instead of
+  * the m·ksub·subDim-term built-in spelling, which would blow past
+  * codegen method limits.
+  *
+  * All arithmetic is double with the dim loop in ascending order, so
+  * a SQL replay that folds the same order reproduces codes exactly
+  * (centroids are float32, exact in double).
+  */
+case class PqEncode(child: Expression, centroids: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  require(centroids.nonEmpty && centroids.forall(_.nonEmpty), "m >= 1, ksub >= 1")
+
+  @transient private lazy val cents: Array[Array[Array[Float]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val m = cents.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val sub = cents(s)
+      val subDim = sub(0).length
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        val ce = sub(c)
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = emb(off + d).toDouble - ce(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c } // strict < : ties keep the smaller code
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** ADC lookup-table builder: array<float> query embedding →
+  * array<double> of m·ksub entries, slot s·ksub + c = squared L2
+  * distance between the query's s-th slice and centroid c of
+  * subspace s. Computed ONCE per query row; each (query, code-row)
+  * pair then scores with m array lookups + adds instead of a full
+  * dim-loop — the asymmetric-distance trick that makes PQ scans
+  * cheap. Same fixed-order double math as [[PqEncode]].
+  */
+case class PqAdcTable(child: Expression, centroids: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+  require(centroids.nonEmpty && centroids.forall(_.nonEmpty), "m >= 1, ksub >= 1")
+
+  @transient private lazy val cents: Array[Array[Array[Float]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val m = cents.length
+    val ksub = cents(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val sub = cents(s)
+      val subDim = sub(0).length
+      val off = s * subDim
+      var c = 0
+      while (c < ksub) {
+        val ce = sub(c)
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = emb(off + d).toDouble - ce(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PqAdcTable = copy(child = c)
+}
+
 case class TextStats(child: Expression, stopwords: Seq[String], punct: String)
     extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   override def graftInputTypes: Seq[DataType] = Seq(StringType)
@@ -438,6 +542,13 @@ object GraftFunctions {
   def mix64(c: Column): Column = col(Mix64(ex(c)))
   def term_frequencies(c: Column, terms: Seq[String]): Column =
     col(TermFrequencies(ex(c), terms))
+  // Scala-only (not in sqlFunctions): the centroid matrix parameter
+  // is a trained model, not a SQL-literal — same exclusion a SQL
+  // engine applies to model-carrying functions.
+  def pq_encode(c: Column, centroids: Seq[Seq[Seq[Float]]]): Column =
+    col(PqEncode(ex(c), centroids))
+  def pq_adc_table(c: Column, centroids: Seq[Seq[Seq[Float]]]): Column =
+    col(PqAdcTable(ex(c), centroids))
 
   /** The single source of truth for SQL-surface registration —
     * (name, usage, builder). Both registration paths

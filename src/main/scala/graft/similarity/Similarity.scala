@@ -155,6 +155,113 @@ object Similarity {
     cents.zipWithIndex.map { case (e, i) => (i, e) }
   }
 
+  /** Product-quantization codebooks: `m` independent L2 Lloyd
+    * k-means runs, one per `subDim`-wide embedding slice, over the
+    * same bounded deterministic sample as [[centroidMatrix]] (the
+    * model is m·ksub·subDim floats — constants; training never
+    * depends on corpus scale). Init = the first ksub sample slices
+    * in vec_id order; assignment = argmin squared L2 with ties to
+    * the smaller code; update = per-dim mean accumulated in vec_id
+    * order and rounded to float32 each iteration — the ordered-sum +
+    * re-rounding discipline that lets the SQL oracle replay training
+    * bit-exactly (same technique as the IVF trainer).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                  iters: Int, sampleMod: Int = 4,
+                  sampleCap: Int = 20000): Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = corpus
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= ksub,
+      s"PQ sample (${sample.length}) smaller than ksub=$ksub — lower sampleMod")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val off = s * subDim
+      var cents: Array[Array[Float]] =
+        Array.tabulate(ksub)(i => sample(i).slice(off, off + subDim))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Long](ksub)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            val ce = cents(c)
+            var acc = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = v(off + d).toDouble - ce(d).toDouble
+              acc += diff * diff; d += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          val acc = sums(best)
+          var d = 0
+          while (d < subDim) { acc(d) += v(off + d).toDouble; d += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d => (sums(c)(d) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[Array[Array[Float]]]]()
+
+  private[similarity] def cachedPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                                            iters: Int, cacheKey: Option[String]): Array[Array[Array[Float]]] =
+    cacheKey match {
+      case Some(key) =>
+        pqCache.computeIfAbsent((key, m, ksub, iters),
+          _ => pqCodebooks(corpus, m, ksub, iters))
+      case None => pqCodebooks(corpus, m, ksub, iters)
+    }
+
+  /** PQ KNN with asymmetric distance (ADC): the corpus is stored as
+    * m small codes per vector — at m=8, a 256-byte float32 embedding
+    * becomes 8 bytes, a 32× scan compression (vs s4's 4×) — and each
+    * query scores a candidate with m table lookups instead of a
+    * 64-dim loop. Corpus side: one narrow [[PqEncode]] map (literal
+    * codebooks, no shuffle — the codes would be written next to the
+    * table once at 100 TB). Query side: [[PqAdcTable]] builds the
+    * per-query distance tables; the broadcast join then ranks by the
+    * looked-up squared-L2 sum, folded subspace 0→m−1 (fixed order:
+    * the oracle replays it term by term). On unit-norm embeddings
+    * L2 order is cosine order, so ranks compare directly to s1/s4.
+    */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+            m: Int = 8, ksub: Int = 16, iters: Int = 2,
+            cacheKey: Option[String] = None): DataFrame = {
+    val books = cachedPqCodebooks(corpus, m, ksub, iters, cacheKey)
+    val lit3: Seq[Seq[Seq[Float]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    val c = corpus.select(col("vec_id").as("n_id"),
+      pq_encode(col("embedding"), lit3).as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      pq_adc_table(col("embedding"), lit3).as("luts"))
+    val dist = (0 until m).map { s =>
+      element_at(col("luts"),
+        element_at(col("codes"), s + 1) + lit(s * ksub) + lit(1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("pq_dist2").asc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("pq_dist2", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("pq_dist2"), 6).as("pq_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Cross-call quantizer cache: training is deterministic in
     * (corpus key, k, iters), so repeated queries against the same
     * corpus reuse the centroid matrix instead of re-reading the
@@ -287,6 +394,21 @@ object Similarity {
   def s4(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     scalarQuantKnn(querySet(emb), emb)
+  }
+
+  /** s9: PQ/ADC KNN at m=16 × ksub=32 — 16 five-bit codes per
+    * vector, a 16× scan compression (vs s4's 4×). Params are the
+    * measured knee for this noise-floor corpus (recall@10: 0.20 at
+    * 8×16, 0.47 at 16×32, 0.56 only at 32×16 which is half-way back
+    * to scalar quantization); the production role at this recall is
+    * CANDIDATE GENERATION with exact re-ranking of the short list —
+    * SimilaritySpec reports the measured corpus recall and pins the
+    * planted-near-dup regime. The oracle replays training, encoding,
+    * and ADC scoring bit-exactly.
+    */
+  def s9(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqKnn(querySet(emb), emb, m = 16, ksub = 32, cacheKey = Some(dir))
   }
 
   /** s5: semantic document retrieval — the RAG/retrieval composition:

@@ -210,4 +210,59 @@ object TextAnalysis {
 
   def t7LmSurprisal(spark: SparkSession, dir: String): DataFrame =
     lmSurprisal(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Vocabulary-richness features: type count, type-token ratio, and
+    * hapax-legomenon fraction — the lexical-diversity quality signals
+    * (template/boilerplate text has low TTR; spam keyword-stuffing
+    * has low hapax share).
+    *
+    * Zero-shuffle shape: the obvious spelling (explode tokens →
+    * groupBy (doc, token) → groupBy doc) shuffles every token
+    * occurrence twice; instead the per-doc counts fold over the
+    * SORTED token array in one narrow pass — equal tokens are
+    * adjacent after sort_array, so type/hapax counting is run-length
+    * counting, O(n log n) per doc inside the scan stage (the same
+    * per-doc-bounded argument as t6's repetition fold). Integer
+    * outputs, so the oracle's group-by replay matches exactly
+    * whatever the fold order.
+    */
+  def typeTokenStats(docs: DataFrame): DataFrame = {
+    val toks = sort_array(filter(
+      split(col("text"), "\\s+"), t => t =!= lit("")))
+    // fold state: (prev token, current run length, types, hapax)
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("types"), lit(0L).as("hapax"))
+    def step(st: Column, t: Column): Column = {
+      val samePrev = st.getField("prev").isNotNull && st.getField("prev") === t
+      struct(
+        t.as("prev"),
+        when(samePrev, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+        when(samePrev, st.getField("types")).otherwise(st.getField("types") + 1L).as("types"),
+        // closing a run of length 1 mints a hapax
+        when(!samePrev && st.getField("prev").isNotNull && st.getField("run") === 1L,
+          st.getField("hapax") + 1L).otherwise(st.getField("hapax")).as("hapax"))
+    }
+    def finish(st: Column): Column = struct(
+      st.getField("types").as("types"),
+      when(st.getField("prev").isNotNull && st.getField("run") === 1L,
+        st.getField("hapax") + 1L).otherwise(st.getField("hapax")).as("hapax"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__tt", aggregate(col("__toks"), init, step, finish))
+      .withColumn("n_types", col("__tt").getField("types"))
+      .withColumn("hapax", col("__tt").getField("hapax"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0L,
+          round(col("n_types").cast("double") / col("n_tokens"), 6)))
+      .withColumn("hapax_frac",
+        when(col("n_types") > 0L,
+          round(col("hapax").cast("double") / col("n_types"), 6)))
+      .drop("__toks", "__tt")
+  }
+
+  def t8TypeToken(spark: SparkSession, dir: String): DataFrame =
+    typeTokenStats(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "n_types", "hapax", "ttr", "hapax_frac")
+      .orderBy("doc_id")
 }

@@ -132,4 +132,27 @@ class DedupSpec extends GraftSpecBase {
     assert(rows.forall(x => x.getLong(0) < x.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("d8: a shared paragraph is caught window-exactly, unique text is not") {
+    import spark.implicits._
+    val boiler = ("the quick brown fox jumps over the lazy dog again and again " * 3).trim
+    def uniq(seed: Int) = (1 to 12).map(i => s"w${seed}_$i").mkString(" ")
+    val df = Seq(
+      (1L, boiler + " " + uniq(1)),       // shares the paragraph with 2
+      (2L, uniq(2) + " " + boiler),       // ... at a DIFFERENT offset
+      (3L, uniq(3) + " " + uniq(30)),     // all unique
+      (4L, "short"))                       // < width -> zero windows
+      .toDF("doc_id", "text")
+    // stride 1 makes window alignment offset-independent: every
+    // width-char substring is a window, so the shared paragraph
+    // produces identical windows in both docs wherever it starts
+    val got = dedup.Substring.duplicatedWindows(df, width = 40, stride = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0, "shared paragraph must flag both docs")
+    assert(got(3L)._2 == 0, "unique doc has no duplicated windows")
+    assert(got(4L) == ((0L, 0L, false)), "sub-width doc: zero windows, unflagged")
+    // fan-out bound: n_windows = len - width + 1 at stride 1
+    assert(got(1L)._1 > 0)
+  }
 }

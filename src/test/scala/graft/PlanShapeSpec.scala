@@ -151,9 +151,10 @@ class PlanShapeSpec extends GraftSpecBase {
     // s4) broadcast an explicit query subset (brute-force correctness
     // baselines), t7 cross-joins a single-row global total, s6 (and
     // s7, which wraps s6+s4) cross-joins the single-row BM25 corpus
-    // stats.
+    // stats, s9 broadcasts the bounded query-LUT side into the
+    // non-equi (q_id <> n_id) ADC scan.
     val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
-      "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion")
+      "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -223,6 +224,76 @@ class PlanShapeSpec extends GraftSpecBase {
     val plan = finalPlan(scoped)
     assert(plan.contains("might_contain"),
       s"application side must carry a runtime bloom filter:\n$plan")
+  }
+
+  test("a14: cube expands grouping sets map-side — one hash shuffle, no extra scan") {
+    val plan = finalPlan(analytics.Queries.cubeStats(spark, sf))
+    assert(plan.contains("Expand"), s"cube must plan as Expand + single agg:\n$plan")
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"one lineitem scan for all grouping sets:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"one shuffle on the expanded key:\n$plan")
+  }
+
+  test("a15/p10: windowed running aggregates share the key shuffle and sort") {
+    for (df <- Seq(analytics.Queries.runningTotals(spark, sf),
+                   pipeline.Medallion.p10Scd2(spark, sf))) {
+      val plan = finalPlan(df.limit(1_000_000))
+      val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+      assert(shuffles == 1, s"both window functions must ride ONE user shuffle:\n$plan")
+      val sorts = "Sort \\[user_id".r.findAllIn(plan).length
+      assert(sorts <= 1, s"both window functions must share one sort:\n$plan")
+    }
+  }
+
+  test("st5: fold-based funnel costs exactly one hash shuffle (the per-user agg)") {
+    val plan = finalPlan(operators.Funnel.funnel3(
+      Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type")),
+      "user_id", "ts_us", "event_id", "event_type", ("view", "click", "purchase")))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"the k-join spelling costs k shuffles; the fold must cost 1:\n$plan")
+    assert(!plan.contains("Join"), s"no join stages in the fold plan:\n$plan")
+  }
+
+  test("x11: weighted sampling is a pure narrow map — zero exchanges") {
+    val scored = text.TextAnalysis.qualityScore(Tables.documents(spark, sf))
+      .filter(col("quality_score").isNotNull)
+    val plan = finalPlan(text.Curation.qualityWeightedSample(scored, "doc_id",
+      col("quality_score")))
+    assert(!plan.contains("Exchange"), s"the draw must stay inside the scan stage:\n$plan")
+  }
+
+  test("s9: PQ encoding is a narrow literal-codebook map; corpus reaches the join un-shuffled") {
+    val plan = finalPlan(similarity.Similarity.s9(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"query LUTs must broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"codebook training must never appear in the query plan:\n$plan")
+    // the only hash exchange allowed is the top-k window's q_id
+    // shuffle, whose input WindowGroupLimit bounds to ≤k rows per
+    // query per partition — never a corpus-keyed exchange
+    val shuffles = "Exchange hashpartitioning\\(q_id".r.findAllIn(plan).length
+    val all = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(all == shuffles && all <= 1,
+      s"only the bounded top-k window may shuffle:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push a group limit below the window shuffle:\n$plan")
+  }
+
+  test("t8: type-token fold is a zero-shuffle narrow pass") {
+    val plan = finalPlan(text.TextAnalysis.typeTokenStats(
+      Tables.documents(spark, sf)).drop("text"))
+    assert(!plan.contains("Exchange"),
+      s"the sorted-run fold must not explode/shuffle tokens:\n$plan")
+  }
+
+  test("d8: window dedup never materializes pairs — two keyed shuffles, semi-join back") {
+    val plan = finalPlan(dedup.Substring.d8(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no pair blowup:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated windows must come back via a semi-join:\n$plan")
   }
 
   test("d7: corpus side of contamination never shuffles") {

@@ -81,4 +81,25 @@ class TextSpec extends GraftSpecBase {
     assert(got(1L) == "de")
     assert(got(2L) == "und")
   }
+
+  test("t8: sorted-run fold counts types and hapaxes like a frequency table") {
+    val df = Seq(
+      (1L, "a b a c b a"),   // counts a:3 b:2 c:1 -> types 3, hapax 1
+      (2L, "x x x"),          // types 1, hapax 0
+      (3L, "one two three"),  // all hapax
+      (4L, ""),               // empty -> zeros, null ratios
+      (5L, "  padded   spacing  ")) // ws runs collapse, 2 tokens
+      .toDF("doc_id", "text")
+    val got = text.TextAnalysis.typeTokenStats(df)
+      .select("doc_id", "n_tokens", "n_types", "hapax")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((6L, 3L, 1L)))
+    assert(got(2L) == ((3L, 1L, 0L)))
+    assert(got(3L) == ((3L, 3L, 3L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    assert(got(5L) == ((2L, 2L, 2L)))
+    val ratios = text.TextAnalysis.typeTokenStats(df)
+      .filter(col("doc_id") === 4L).select("ttr", "hapax_frac").head()
+    assert(ratios.isNullAt(0) && ratios.isNullAt(1), "empty doc ratios are null, not 0/0")
+  }
 }
