@@ -83,6 +83,9 @@ object SparkEntry {
     "s9_pq_knn" -> ((s, d) => similarity.Similarity.s9(s, d)),
     "d8_substring_dupes" -> ((s, d) => dedup.Substring.d8(s, d)),
     "t8_type_token" -> ((s, d) => text.TextAnalysis.t8TypeToken(s, d)),
+    "a16_cohort_retention" -> ((s, d) => analytics.Queries.cohortRetention(s, d)),
+    "st6_transitions" -> ((s, d) => operators.Transitions.st6(s, d)),
+    "p11_quarantine" -> ((s, d) => quality.Checks.p11Quarantine(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1194,5 +1197,45 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS shared_shingles, count(*) >= 3 AS contaminated
         |FROM corpus c JOIN bench USING (s)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // a16: cohort triangle replay — day_offset cast to INT to match
+    // Spark's datediff type; retention divides exact longs, one round
+    "a16_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+        |tri AS (
+        | SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS active_users
+        | FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset, active_users,
+        | first_value(active_users) OVER w AS cohort_size,
+        | round(CAST(active_users AS DOUBLE) / first_value(active_users) OVER w, 6) AS retention
+        |FROM tri
+        |WINDOW w AS (PARTITION BY cohort_day ORDER BY day_offset)
+        |ORDER BY 1, 2""".stripMargin,
+    // st6: lead over the same µs-truncated (ts, event_id) total order
+    // the Spark side uses (epoch_us matches unix_micros)
+    "st6_transitions" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        | FROM events),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // p11: rule order and null spelling mirror Checks.rowQuarantine;
+    // concat_ws skips non-firing NULLs in both engines
+    "p11_quarantine" ->
+      """SELECT event_id, user_id, event_type, value, reasons FROM (
+        | SELECT event_id, user_id, event_type, value, concat_ws(',',
+        |  CASE WHEN props IS NULL OR NOT json_valid(props)
+        |       OR json_extract_string(props, '$.k') IS NULL THEN 'bad_props' END,
+        |  CASE WHEN user_id IS NULL THEN 'null_user' END,
+        |  CASE WHEN event_type IS NULL OR event_type NOT IN
+        |       ('click', 'error', 'purchase', 'signup', 'view') THEN 'unknown_type' END,
+        |  CASE WHEN value IS NULL OR value < 0 OR value > 400 THEN 'value_out_of_range' END
+        | ) AS reasons FROM events)
+        |WHERE reasons <> '' ORDER BY event_id""".stripMargin,
   )
 }

@@ -290,6 +290,40 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** a16: cohort retention — the day-grain retention triangle over
+    * the event stream: users are cohorted by their first-seen day,
+    * and each (cohort_day, day_offset) cell counts the distinct
+    * cohort members active that many days later, plus the retention
+    * ratio against the cohort's day-0 size.
+    *
+    * Scale shape: ONE scan of the fact table (the classic spelling —
+    * min-day aggregate joined back — scans it twice; here the cohort
+    * day is a whole-partition `min` window over user_id instead, so
+    * the activity rows and their cohort assignment ride the same
+    * shuffle), then a distinct-count on (cohort_day, day_offset),
+    * whose key space is days², not rows. The ratio's denominator is
+    * the cohort's own offset-0 cell via a window over the triangle —
+    * post-aggregation rows, never the fact table. Retention =
+    * active/cohort_size on exact longs, rounded once.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val perUser = Window.partitionBy(col("user_id"))
+    val triangle = ev
+      .withColumn("cohort_day", min(col("d")).over(perUser))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+    triangle
+      .withColumn("cohort_size", first(col("active_users")).over(w))
+      .withColumn("retention",
+        round(col("active_users").cast("double") / col("cohort_size"), 6))
+      .withColumn("cohort_day", col("cohort_day").cast("string"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** a13: pivot — long→wide reshape, daily mean value per event type
     * as columns. The pivot values are EXPLICIT, which matters twice:
     * Catalyst skips the extra distinct-collection job it otherwise

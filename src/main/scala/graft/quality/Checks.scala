@@ -124,4 +124,45 @@ object Checks {
       DuplicateCount("event_id"),
       AvgBetween("value", 0.0, 1000.0),
       MinAtLeast("value", 0.0)))
+
+  /** Row-level quarantine routing — p5's table-level suite tells you
+    * THAT the batch is bad; this is the dead-letter half of a real
+    * ingest: each row is tested against the rule set and the failing
+    * rows are routed out with machine-readable reasons (the clean
+    * complement proceeds to silver). Purely narrow — a projection +
+    * filter with zero shuffles, so it rides the ingest scan for free
+    * at any scale; `concat_ws` skips the non-firing rules' NULLs, so
+    * the reason list costs no array materialization.
+    *
+    * Null semantics are spelled out per rule (a NULL event_type IS
+    * unknown, a NULL value IS out of range) rather than left to
+    * three-valued logic, so the routing decision is engine-portable.
+    */
+  def rowQuarantine(events: DataFrame, knownTypes: Seq[String],
+                    maxValue: Double): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "bad_props" -> (col("props").isNull ||
+        get_json_object(col("props"), "$.k").isNull),
+      "null_user" -> col("user_id").isNull,
+      "unknown_type" -> (col("event_type").isNull ||
+        !col("event_type").isin(knownTypes: _*)),
+      "value_out_of_range" -> (col("value").isNull ||
+        col("value") < 0.0 || col("value") > maxValue))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("reasons", concat_ws(",",
+        rules.map { case (n, c) => when(c, lit(n)) }: _*))
+      .filter(col("reasons") =!= "")
+      .drop("props")
+  }
+
+  /** Verified entry (SURVEY §2 p11): quarantine over `events` with
+    * the pipeline's accepted domain (the five known event types,
+    * value in [0, 400]).
+    */
+  def p11Quarantine(spark: SparkSession, dir: String): DataFrame =
+    rowQuarantine(Tables.events(spark, dir),
+      Seq("click", "error", "purchase", "signup", "view"), 400.0)
+      .orderBy(col("event_id"))
 }

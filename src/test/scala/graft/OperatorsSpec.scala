@@ -176,4 +176,35 @@ class OperatorsSpec extends GraftSpecBase {
       .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
     assert(re == r.map { case (k, v) => k -> v._4 })
   }
+
+  test("transitions: consecutive pairs per user, ties broken by id, probs sum to 1") {
+    val ev = Seq(
+      // u1: view@100 -> click@200 -> view@300
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"), (3L, 1L, 300L, "view"),
+      // u2: tie at ts=100 resolved by event_id (4 before 5): click -> view
+      (4L, 2L, 100L, "click"), (5L, 2L, 100L, "view"),
+      // u3: single event -> no pair
+      (6L, 3L, 50L, "purchase"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val r = operators.Transitions.transitionMatrix(ev,
+        "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    // u1 contributes view->click and click->view; u2's tie resolves to
+    // click->view (id 4 before 5); u3 has no pair
+    assert(r == Map(
+      ("click", "view") -> ((2L, 1.0)),
+      ("view", "click") -> ((1L, 1.0))),
+      s"got $r")
+    // physical layout cannot change the pairs
+    val re = operators.Transitions.transitionMatrix(ev.repartition(5),
+        "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(re == r.map { case (k, v) => k -> v._1 })
+    // outgoing probabilities form a distribution per source type
+    val sums = operators.Transitions.st6(spark, sf)
+      .groupBy(col("from_type")).agg(sum(col("prob")).as("p"))
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(p => math.abs(p - 1.0) < 1e-4), sums.mkString(","))
+  }
 }

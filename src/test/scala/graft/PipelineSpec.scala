@@ -127,4 +127,32 @@ class PipelineSpec extends GraftSpecBase {
       assert(p9(u) == from, s"user $u: current valid_from is p9's latest ts")
     }
   }
+
+  test("p11: rows route to quarantine with reasons in rule order; clean rows pass through") {
+    val ev = Seq(
+      (1L, Option(10L), "view", 5.0, """{"k": 1}"""),
+      (2L, Option.empty[Long], "view", 5.0, """{"k": 1}"""),
+      (3L, Option(10L), "zap", 5.0, """{"k": 1}"""),
+      (4L, Option(10L), "view", 999.0, """{"k": 1}"""),
+      (5L, Option(10L), "view", -1.0, "not json"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val r = quality.Checks.rowQuarantine(ev, Seq("view"), 400.0)
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(!r.contains(1L), "clean rows never reach quarantine")
+    assert(r(2L) == "null_user")
+    assert(r(3L) == "unknown_type")
+    assert(r(4L) == "value_out_of_range")
+    assert(r(5L) == "bad_props,value_out_of_range",
+      "multiple reasons joined in fixed rule order")
+  }
+
+  test("a16: day-0 retention is 1.0 for every cohort, cells bounded by cohort size") {
+    val rows = analytics.Queries.cohortRetention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.filter(_._2 == 0).forall(_._5 == 1.0),
+      "a user is active on their own first day by definition")
+    assert(rows.forall(r => r._3 <= r._4), "no cell exceeds its cohort size")
+    assert(rows.forall(r => r._2 >= 0), "activity never precedes the cohort day")
+  }
 }

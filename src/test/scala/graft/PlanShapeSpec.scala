@@ -296,6 +296,27 @@ class PlanShapeSpec extends GraftSpecBase {
       s"duplicated windows must come back via a semi-join:\n$plan")
   }
 
+  test("a16: cohort triangle reads the fact table ONCE — window cohorting, no self-join") {
+    val plan = finalPlan(analytics.Queries.cohortRetention(spark, sf))
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"min-day must come from a window, not a join back:\n$plan")
+    assert(!plan.contains("Join"), s"no self-join in the cohort plan:\n$plan")
+  }
+
+  test("st6: transition lead rides ONE user shuffle; matrix work is on type-pair keys") {
+    val plan = finalPlan(operators.Transitions.st6(spark, sf))
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userShuffles == 1, s"lead window must cost one user_id shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in the transition plan:\n$plan")
+  }
+
+  test("p11: quarantine routing is a pure narrow filter — zero exchanges") {
+    val plan = finalPlan(quality.Checks.rowQuarantine(Tables.events(spark, sf),
+      Seq("click", "error", "purchase", "signup", "view"), 400.0))
+    assert(!plan.contains("Exchange"),
+      s"row routing must ride the ingest scan:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
