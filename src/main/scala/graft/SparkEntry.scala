@@ -86,6 +86,7 @@ object SparkEntry {
     "a16_cohort_retention" -> ((s, d) => analytics.Queries.cohortRetention(s, d)),
     "st6_transitions" -> ((s, d) => operators.Transitions.st6(s, d)),
     "p11_quarantine" -> ((s, d) => quality.Checks.p11Quarantine(s, d)),
+    "d9_semantic_dedup" -> ((s, d) => dedup.SemDedup.d9(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -163,6 +164,69 @@ object SparkEntry {
   /** s4/s5 shared fragment: the int8 scalar-quantization + quantized
     * cosine ranking replay, ending in `scored(q_id, n_id, cos8, rank)`.
     */
+  /** Shared IVF replay fragment: the full coarse-quantizer training
+    * (deterministic init + 3 unrolled Lloyd iterations with
+    * ordered-fold means re-rounded to float32) and the corpus cell
+    * assignment - everything up to `corpus(vec_id, emb, cell)`.
+    * Consumed by the s3 (IVF KNN) and d9 (semantic dedup) oracles.
+    */
+  private val ivfCorpusCtes: String =
+    """e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sample AS (
+        | SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+        |cents0 AS (
+        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
+        | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
+        |asg_cents1_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents0 c),
+        |asg_cents1 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents1_rn WHERE rn = 1),
+        |cents1 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents0 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents1 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |asg_cents2_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents1 c),
+        |asg_cents2 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents2_rn WHERE rn = 1),
+        |cents2 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents1 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents2 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |asg_cents3_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM sample s CROSS JOIN cents2 c),
+        |asg_cents3 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents3_rn WHERE rn = 1),
+        |cents3 AS (
+        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+        | FROM cents2 p LEFT JOIN (
+        |   SELECT cell,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
+        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents3 GROUP BY cell)
+        | ) n ON p.cell = n.cell),
+        |corpus_rn AS (
+        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
+        |  row_number() OVER (PARTITION BY s.vec_id
+        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+        | FROM e s CROSS JOIN cents3 c),
+        |corpus AS (SELECT vid AS vec_id, emb, cell FROM corpus_rn WHERE rn = 1)""".stripMargin
+
   private val sqKnnCtes: String =
     """e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -888,62 +952,7 @@ object SparkEntry {
     // exactly like the Scala trainer), window-argmax cell assignment
     // (ties -> smallest cell, matching assignBest), 12-cell probe,
     // exact cosine top-k
-    "s3_ivf_knn" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |sample AS (
-        | SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
-        |cents0 AS (
-        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
-        | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
-        |asg_cents1_rn AS (
-        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
-        |  row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
-        | FROM sample s CROSS JOIN cents0 c),
-        |asg_cents1 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents1_rn WHERE rn = 1),
-        |cents1 AS (
-        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
-        | FROM cents0 p LEFT JOIN (
-        |   SELECT cell,
-        |    list_transform(generate_series(1, 64), d ->
-        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
-        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents1 GROUP BY cell)
-        | ) n ON p.cell = n.cell),
-        |asg_cents2_rn AS (
-        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
-        |  row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
-        | FROM sample s CROSS JOIN cents1 c),
-        |asg_cents2 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents2_rn WHERE rn = 1),
-        |cents2 AS (
-        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
-        | FROM cents1 p LEFT JOIN (
-        |   SELECT cell,
-        |    list_transform(generate_series(1, 64), d ->
-        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
-        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents2 GROUP BY cell)
-        | ) n ON p.cell = n.cell),
-        |asg_cents3_rn AS (
-        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
-        |  row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
-        | FROM sample s CROSS JOIN cents2 c),
-        |asg_cents3 AS (SELECT vid AS vec_id, emb, cell FROM asg_cents3_rn WHERE rn = 1),
-        |cents3 AS (
-        | SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
-        | FROM cents2 p LEFT JOIN (
-        |   SELECT cell,
-        |    list_transform(generate_series(1, 64), d ->
-        |      CAST(CAST(list_reduce(list_transform(embs, e -> e[d]), (x, y) -> x + y) / n AS FLOAT) AS DOUBLE)) AS cemb
-        |   FROM (SELECT cell, list(emb ORDER BY vec_id) AS embs, count(*) AS n FROM asg_cents3 GROUP BY cell)
-        | ) n ON p.cell = n.cell),
-        |corpus_rn AS (
-        | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
-        |  row_number() OVER (PARTITION BY s.vec_id
-        |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
-        | FROM e s CROSS JOIN cents3 c),
-        |corpus AS (SELECT vid AS vec_id, emb, cell FROM corpus_rn WHERE rn = 1),
+    "s3_ivf_knn" -> ("WITH " + ivfCorpusCtes + """,
         |probes AS (
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
@@ -959,7 +968,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
         | FROM cand)
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
     // d2: full minhash replay — token/shingle hashes as in d3
     // (HUGEINT mod-2^64, layered transforms; token-level mix then
     // three chained window mixes), then the 128-perm signature
@@ -1237,5 +1246,19 @@ object SparkEntry {
         |  CASE WHEN value IS NULL OR value < 0 OR value > 400 THEN 'value_out_of_range' END
         | ) AS reasons FROM events)
         |WHERE reasons <> '' ORDER BY event_id""".stripMargin,
+    // d9: same training + assignment replay as s3 (shared fragment),
+    // then within-cell smaller-id near-dup anchors; cosine parity
+    // with the Spark expression is the d5/s1-proven exact match
+    "d9_semantic_dedup" -> ("WITH " + ivfCorpusCtes + """,
+        |dups AS (
+        | SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of, count(*) AS n_dups_smaller
+        | FROM corpus a JOIN corpus b
+        |  ON a.cell = b.cell AND b.vec_id < a.vec_id
+        | WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        | GROUP BY a.vec_id)
+        |SELECT c.vec_id, c.cell, COALESCE(d.n_dups_smaller, 0) AS n_dups_smaller,
+        | d.dup_of, d.dup_of IS NULL AS keep
+        |FROM corpus c LEFT JOIN dups d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin),
   )
 }

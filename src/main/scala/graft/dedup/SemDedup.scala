@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_sim
+import graft.similarity.Similarity
+
+/** Semantic deduplication (the SemDeDup shape): cluster the corpus
+  * with the driver-trained coarse quantizer, then look for
+  * high-cosine pairs ONLY within each cluster and drop every vector
+  * that has a smaller-id near-duplicate in its own cluster. The
+  * embedding-space answer to "this corpus says the same thing many
+  * times in different words" — d1-d4 catch lexical duplication,
+  * d5 catches global geometric near-dups; this is the scalable
+  * middle: clustering bounds the candidate set the way LSH bands do,
+  * but with semantically meaningful cells.
+  *
+  * Scale shape: the quantizer is k×dim floats trained on a bounded
+  * deterministic sample (s3's trainer, shared cache); assignment is
+  * a pure narrow literal-centroid map, so the corpus never shuffles
+  * for training. The within-cell self-join shuffles both sides on
+  * cell — the two sides build identical exchanges, so Catalyst
+  * reuses one (plan-pinned) — and a cell with D members costs D²/2
+  * cosines locally, never a global all-pairs (the cell count scales
+  * with corpus size in a real deployment, keeping cells bounded; the
+  * same per-key-bounded contract as the LSH band join). Keep/drop is
+  * deterministic: a vector is dropped iff some smaller vec_id in its
+  * cell clears the threshold, with `dup_of` = the smallest such
+  * anchor, so replays and retries route identically.
+  */
+object SemDedup {
+
+  /** Per-vector verdict: (vec_id, cell, n_dups_smaller, dup_of, keep).
+    * `keep` is false iff a smaller-id same-cell vector has cosine ≥
+    * threshold; `dup_of` is the smallest such anchor (null when kept).
+    */
+  def semanticDedup(emb: DataFrame, numCells: Int = 16,
+                    threshold: Double = 0.4,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val cents = Similarity.cachedCentroids(emb, numCells, iters = 3, cacheKey)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", Similarity.assignBest(col("embedding"), cents))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val dups = a.join(b.hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"),
+        count(lit(1)).as("n_dups_smaller"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Verified entry (SURVEY §2 d9) over `embeddings`; shares s3's
+    * cached quantizer per directory.
+    */
+  def d9(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+}

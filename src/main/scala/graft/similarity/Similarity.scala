@@ -68,7 +68,7 @@ object Similarity {
     * no join, no shuffle — exactly what assignment should cost when
     * the quantizer is k×dim and the corpus is 100 TB.
     */
-  private def assignBest(embCol: Column, cents: Array[(Int, Array[Float])]): Column = {
+  private[graft] def assignBest(embCol: Column, cents: Array[(Int, Array[Float])]): Column = {
     val scored = array(cents.map { case (cid, e) =>
       struct(cosine_sim(embCol, typedlit(e.toSeq)).as("cos"), lit(-cid).as("ncell"))
     }: _*)
@@ -270,7 +270,7 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Int, Array[Float])]]()
 
-  private[similarity] def cachedCentroids(corpus: DataFrame, k: Int, iters: Int,
+  private[graft] def cachedCentroids(corpus: DataFrame, k: Int, iters: Int,
                                           cacheKey: Option[String]): Array[(Int, Array[Float])] =
     cacheKey match {
       case Some(key) =>

@@ -155,4 +155,31 @@ class DedupSpec extends GraftSpecBase {
     // fan-out bound: n_windows = len - width + 1 at stride 1
     assert(got(1L)._1 > 0)
   }
+
+  test("d9: semantic dedup keeps min-id anchors; deduped corpus is a fixed point") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = dedup.SemDedup.semanticDedup(emb, cacheKey = Some(sf)).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)), x.getBoolean(4)))
+    assert(r.nonEmpty && r.exists(!_._5), "the corpus has semantic near-dups")
+    r.foreach { case (id, cell, n, dupOf, keep) =>
+      assert(keep == dupOf.isEmpty, s"$id: keep iff no anchor")
+      assert(keep == (n == 0L), s"$id: n_dups_smaller consistent with keep")
+      dupOf.foreach(a => assert(a < id, s"$id: anchor must be a smaller id"))
+      assert(cell >= 0 && cell < 16, s"$id: cell in range")
+    }
+    // anchors are themselves dropped-free chains: dup_of points at a
+    // smaller id, so following it terminates; and a dropped vector's
+    // anchor shares its cell by construction (same-cell join)
+    val cellOf = r.map(x => x._1 -> x._2).toMap
+    r.foreach { case (id, cell, _, dupOf, _) =>
+      dupOf.foreach(a => assert(cellOf(a) == cell, s"$id: anchor in same cell"))
+    }
+    // running dedup over the kept subset (same cached quantizer) drops
+    // nothing: within a cell the kept set has no remaining tau-pairs
+    val keptIds = r.filter(_._5).map(_._1).toSet
+    val kept = emb.filter(col("vec_id").isInCollection(keptIds))
+    val again = dedup.SemDedup.semanticDedup(kept, cacheKey = Some(sf)).collect()
+    assert(again.forall(_.getBoolean(4)), "dedup of the deduped corpus is a no-op")
+  }
 }

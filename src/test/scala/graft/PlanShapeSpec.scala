@@ -317,6 +317,14 @@ class PlanShapeSpec extends GraftSpecBase {
       s"row routing must ride the ingest scan:\n$plan")
   }
 
+  test("d9: semantic dedup — no in-query training, within-cell equi-join, no pair blowup") {
+    val plan = finalPlan(dedup.SemDedup.d9(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-blocked join must never plan an unbounded nested loop:\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"quantizer training must never appear in the query plan:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")
