@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout WITHOUT sbt's "[info] "
+// line prefix — the per-round bench harness tail-captures stdout and
+// json-parses the metric line; the prefix (r4/r5 artifacts) breaks
+// that parse even when the line survives the tail window intact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -107,22 +107,35 @@ object Bench {
     val passTotals = passes.map(_._1.values.collect { case (v, true) => v }.sum)
       .map(f2).mkString("[", ",", "]")
     val passLoads = passes.map(p => s"\"" + p._2 + "\"").mkString("[", ",", "]")
-    // Diagnostics (cold-pass times, per-pass totals/loadavg, timestamps)
-    // go on their OWN line so the metric line stays small. The r1-r3
-    // driver artifacts record only the last ~2000 chars of output and
-    // all three show "parsed": null — the one-line JSON with
-    // full-precision times + diagnostics was longer than the capture
-    // window, so the line start (or end) fell outside it. The metric
-    // line below is ~1.4KB for 57 queries and carries the headline at
-    // BOTH ends ("value" first, "total_sec" last) so either a head- or
-    // tail-truncated capture still shows the total.
-    println(s"""{"metric":"diag","queries_pass1":$qsP1,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"${java.time.Instant.now().toString}"}""")
+    // Output layout is built for the harness's bounded (≈2000-char)
+    // stdout tail capture, which json-parses the LAST metric line:
+    //  1. diag line (cold-pass times, per-pass totals/loadavg, ts);
+    //  2. full per-query median map on its own line;
+    //  3. FINAL line: compact headline (~500 chars even at 100+
+    //     queries) that always fits the tail window intact —
+    //     r4/r5 both lost "parsed" because the full query map pushed
+    //     the line across the window boundary.
+    // The complete object (headline + both maps) is also written to
+    // bench_last.json in the repo, committed per round, so nothing
+    // depends on the tail window for the full data.
     // "value"/"total_sec" are WARM medians (pass 2+ hits of any entry
     // that persists a shared intermediate — d4/d6/x4b — are cache-
     // backed); "total_cold" is the pass-1 sum, the number to compare
     // when judging first-run cost round-over-round.
     val totalCold = passes.head._1.values.collect { case (v, true) => v }.sum
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"errors":$errors,"queries":$qs,"total_sec":${f2(total)}}""")
+    val tsEnd = java.time.Instant.now().toString
+    val diagLine = s"""{"metric":"diag","queries_pass1":$qsP1,"pass_totals":$passTotals,"loadavg_per_pass":$passLoads,"loadavg_start":"$loadStart","ts_start":"$tsStart","ts_end":"$tsEnd"}"""
+    val queriesLine = s"""{"metric":"queries","sf":"$sfDir","queries":$qs}"""
+    val slowest = perQuery.filter(_._3).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"n_queries":${names.size},"errors":$errors,"slowest":$slowest,"full":"bench_last.json","total_sec":${f2(total)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      s"""{"total":$totalLine,\n "queries":$queriesLine,\n "diag":$diagLine}\n""")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    println(diagLine)
+    println(queriesLine)
+    println(totalLine)
     spark.stop()
   }
 }

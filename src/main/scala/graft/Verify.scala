@@ -44,10 +44,22 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of EVERY expected query (plus per-query failures), so
     // the gate can fail on a missing output dir instead of silently
-    // skipping a crashed query.
+    // skipping a crashed query. Self-describing provenance (r5
+    // advice): the sf dir this sweep actually ran against, a
+    // timestamp, and the git HEAD — so a CORRECTNESS artifact can
+    // never silently claim a different scale factor than it ran at.
+    val head =
+      try {
+        val p = new ProcessBuilder("git", "-C", "/root/repo", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val manifest =
       s"""{"queries": ${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")},
-         | "failed": ${failed.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")}}""".stripMargin
+         | "failed": ${failed.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")},
+         | "sf_dir": ${q(sfDir)},
+         | "ts": ${q(java.time.Instant.now().toString)},
+         | "commit": ${q(head)}}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }

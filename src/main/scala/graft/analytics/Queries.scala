@@ -9,10 +9,14 @@ import graft.Tables
   *
   * Scale notes: every query here is a declarative plan — Catalyst
   * pushes filters/projections into the parquet scan, AQE handles
-  * skew/coalescing. Dimension tables (region/nation/supplier/part,
-  * and customer at these SFs) are explicitly `broadcast` so fact
-  * tables never shuffle for them; the only shuffles are the final
-  * aggregations on their group keys.
+  * skew/coalescing. Hard `broadcast()` hints are reserved for
+  * FIXED-cardinality tables (region=5, nation=25); SF-scaling dims
+  * (customer, supplier, part) rely on the size estimate + AQE so the
+  * plan degrades to a shuffle join instead of a driver OOM when the
+  * SF outgrows the broadcast threshold. While dims fit — every
+  * tested SF — fact tables never shuffle for dim joins and the only
+  * shuffles are the final aggregations on their group keys
+  * (plan-pinned for a2/a3/a11).
   */
 object Queries {
 
@@ -36,25 +40,40 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Top-k revenue orders: customer ⋈ orders ⋈ lineitem. Customer is
-    * the small side at any SF relative to lineitem — broadcast; the
-    * orders⋈lineitem join shuffles on orderkey once, and the revenue
-    * agg reuses that key (no extra shuffle).
+  /** Top-k revenue orders: customer ⋈ orders ⋈ lineitem (TPC-H Q3
+    * shape). Join order is selectivity-first: orders joins the
+    * BUILDING-segment customers BEFORE meeting lineitem, so the
+    * orders side of the orderkey shuffle is pre-shrunk ~5×
+    * (Spark's heuristic ReorderJoin won't do this without CBO
+    * stats — the order is load-bearing). No hard `broadcast()`
+    * hint on customer: it scales with SF, and a hard hint at 100×
+    * forces a driver OOM where the planner would have degraded to a
+    * shuffle join. Instead the scan-size estimate +
+    * autoBroadcastJoinThreshold (and AQE's runtime re-plan, which
+    * sees the post-filter size) pick broadcast exactly while it is
+    * actually safe — plan-pinned at sf where it must broadcast.
     */
   def topkRevenue(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(k)
   }
 
-  /** Star join across all six TPC-H-ish tables: all dims broadcast,
-    * single shuffle for the final group-by on nation name.
+  /** Star join across all six TPC-H-ish tables: dims broadcast,
+    * single shuffle for the final group-by on nation name. Hard
+    * `broadcast()` hints only on the FIXED-cardinality tables
+    * (nation=25, region=5 — safe at any SF); customer and supplier
+    * scale with SF, so their join strategy is left to the size
+    * estimate + AQE — broadcast while they fit, graceful shuffle
+    * join at the SF where a hard hint would OOM the driver.
     */
   def multiJoinVolume(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -64,8 +83,8 @@ object Queries {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
@@ -85,15 +104,18 @@ object Queries {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
-  /** TPC-H Q14-style promo share: lineitem ⋈ broadcast part, one
-    * conditional aggregate — the classic fact⋈dim ratio query. The
-    * dim broadcasts at any realistic part-to-lineitem ratio, so the
-    * fact table never shuffles at all (single partial+final agg).
+  /** TPC-H Q14-style promo share: lineitem ⋈ part, one conditional
+    * aggregate — the classic fact⋈dim ratio query. Part scales with
+    * SF, so (like customer/supplier) its join strategy is size-
+    * estimated: broadcast while it fits — the fact table then never
+    * shuffles at all (single partial+final agg) — degrading to a
+    * partkey shuffle join instead of a driver OOM past the
+    * threshold.
     */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)

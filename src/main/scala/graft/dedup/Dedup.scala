@@ -16,6 +16,13 @@ import graft.functions.GraftFunctions._
   * the exact verifier you run AFTER candidate generation; its
   * all-pairs form below exists only so the small-SF oracle can check
   * the jaccard math itself.
+  *
+  * Library functions return UNORDERED results: a global sort of a
+  * pair set is a rangepartition + full-output shuffle no production
+  * consumer (clustering, quarantine, survivor join) needs, so
+  * result-ordering lives ONLY in the verified SparkEntry lambdas,
+  * where the DuckDB oracle compare needs determinism
+  * (plan-pinned: DedupLibraryPlansNoSort in PlanShapeSpec).
   */
 object Dedup {
 
@@ -84,7 +91,6 @@ object Dedup {
           .cast("double") / numPerms, 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** d3: SimHash(64) near-dup pairs. Pigeonhole blocking: a pair
@@ -105,7 +111,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** d4: exact n-gram-set Jaccard similarity join via an inverted
@@ -156,7 +161,6 @@ object Dedup {
       .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Reference all-pairs cosine join (`a.vec_id < b.vec_id` non-equi
@@ -172,7 +176,6 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** d5 entry: EXACT embedding-cosine near-dup pairs as a
@@ -220,7 +223,6 @@ object Dedup {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The 100 TB path for embedding near-dup: hyperplane-LSH bucket
@@ -245,7 +247,6 @@ object Dedup {
       .withColumn("cos", cosine_sim(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- Verified entry points ----
@@ -266,15 +267,17 @@ object Dedup {
   def d1(spark: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.documents(spark, dir)).orderBy(col("keep_id"))
 
+  // Oracle-determinism sorts live HERE, not in the library functions:
+  // only the DuckDB hash-compare needs an ordered pair set.
   def d2(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(Tables.documents(spark, dir))
+    minhashLshPairs(Tables.documents(spark, dir)).orderBy(col("a_id"), col("b_id"))
 
   def d3(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+    simhashPairs(Tables.documents(spark, dir)).orderBy(col("a_id"), col("b_id"))
 
   def d4(spark: SparkSession, dir: String): DataFrame =
-    cachedJaccardPairs(spark, dir)
+    cachedJaccardPairs(spark, dir).orderBy(col("a_id"), col("b_id"))
 
   def d5(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupsBlocked(Tables.embeddings(spark, dir))
+    embeddingNearDupsBlocked(Tables.embeddings(spark, dir)).orderBy(col("a_id"), col("b_id"))
 }

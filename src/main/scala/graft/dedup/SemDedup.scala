@@ -22,9 +22,10 @@ import graft.similarity.Similarity
   * for training. The within-cell self-join shuffles both sides on
   * cell — the two sides build identical exchanges, so Catalyst
   * reuses one (plan-pinned) — and a cell with D members costs D²/2
-  * cosines locally, never a global all-pairs (the cell count scales
-  * with corpus size in a real deployment, keeping cells bounded; the
-  * same per-key-bounded contract as the LSH band join). Keep/drop is
+  * cosines locally, never a global all-pairs (the default cell count
+  * is DERIVED from a corpus count so cells stay ≈targetCellSize as
+  * the corpus grows — the same per-key-bounded contract as the LSH
+  * band join). Keep/drop is
   * deterministic: a vector is dropped iff some smaller vec_id in its
   * cell clears the threshold, with `dup_of` = the smallest such
   * anchor, so replays and retries route identically.
@@ -34,11 +35,31 @@ object SemDedup {
   /** Per-vector verdict: (vec_id, cell, n_dups_smaller, dup_of, keep).
     * `keep` is false iff a smaller-id same-cell vector has cosine ≥
     * threshold; `dup_of` is the smallest such anchor (null when kept).
+    *
+    * `numCells <= 0` (the default) derives the cell count from a
+    * corpus count: k = clamp(ceil(n / targetCellSize), 16, 1 << 20).
+    * The within-cell self-join is per-key-bounded only if the cell
+    * count GROWS with the corpus — at a fixed k the mean cell holds
+    * n/k vectors and in-cell cosine work is O(n²/k), quadratic again.
+    * Deriving k keeps expected cell population ≈ targetCellSize, so
+    * per-cell work is a constant (targetCellSize²/2 cosines) and
+    * total work is linear in n. The count is a single metadata-cheap
+    * aggregate over the id column; callers that already know n (or
+    * must replay a fixed quantizer, like the verified entry) pass
+    * numCells explicitly. Result is UNORDERED — oracle-determinism
+    * sorting lives in the SparkEntry lambda (same contract as Dedup).
     */
-  def semanticDedup(emb: DataFrame, numCells: Int = 16,
+  def semanticDedup(emb: DataFrame, numCells: Int = 0,
                     threshold: Double = 0.4,
+                    targetCellSize: Int = 4096,
                     cacheKey: Option[String] = None): DataFrame = {
-    val cents = Similarity.cachedCentroids(emb, numCells, iters = 3, cacheKey)
+    val k =
+      if (numCells > 0) numCells
+      else {
+        val n = emb.select(col("vec_id")).count()
+        math.min(1 << 20, math.max(16L, (n + targetCellSize - 1) / targetCellSize)).toInt
+      }
+    val cents = Similarity.cachedCentroids(emb, k, iters = 3, cacheKey)
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .withColumn("cell", Similarity.assignBest(col("embedding"), cents))
     val a = assigned.alias("a")
@@ -54,12 +75,14 @@ object SemDedup {
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
         col("dup_of"), col("dup_of").isNull.as("keep"))
-      .orderBy(col("vec_id"))
   }
 
-  /** Verified entry (SURVEY §2 d9) over `embeddings`; shares s3's
-    * cached quantizer per directory.
+  /** Verified entry (SURVEY §2 d9) over `embeddings`; numCells is
+    * pinned at 16 so the DuckDB oracle can replay the exact
+    * quantizer (and the cache is shared with s3's, which trains the
+    * same k=16 model); the determinism sort is entry-only.
     */
   def d9(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+    semanticDedup(Tables.embeddings(spark, dir), numCells = 16,
+      cacheKey = Some(dir)).orderBy(col("vec_id"))
 }

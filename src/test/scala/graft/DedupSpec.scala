@@ -156,6 +156,37 @@ class DedupSpec extends GraftSpecBase {
     assert(got(1L)._1 > 0)
   }
 
+  test("d9: auto-derived cell count scales with the corpus and bounds cells on a skewed corpus") {
+    import spark.implicits._
+    // Skewed corpus: 80% of vectors huddle in one tight direction
+    // cluster, 20% isotropic noise — the adversarial case for a
+    // FIXED cell count (one mega-cell → quadratic in-cell work).
+    val rnd = new scala.util.Random(11)
+    val hub = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 3000L).map { i =>
+      val v =
+        if (i % 5 != 0) hub.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+      (i, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val target = 100
+    val r = dedup.SemDedup.semanticDedup(df, targetCellSize = target, threshold = 0.9999)
+    val pops = r.groupBy("cell").count().collect()
+      .map(x => (x.getInt(0), x.getLong(1)))
+    // k derives to ceil(3000/100) = 30 — the quantizer actually uses
+    // the extra cells (occupied ids beyond the old fixed 16) …
+    assert(pops.map(_._1).max >= 16,
+      s"derived k must exceed the old fixed 16: occupied=${pops.map(_._1).sorted.toSeq}")
+    // … and no cell collapses into a corpus-fraction mega-cell: the
+    // dense hub splits across many centroids, keeping per-cell
+    // (quadratic) work bounded near the target.
+    val maxPop = pops.map(_._2).max
+    assert(maxPop <= 6L * target,
+      s"skewed corpus must not collapse into one cell: max=$maxPop pops=${pops.toSeq.sortBy(-_._2).take(5)}")
+  }
+
   test("d9: semantic dedup keeps min-id anchors; deduped corpus is a fixed point") {
     val emb = Tables.embeddings(spark, sf)
     val r = dedup.SemDedup.semanticDedup(emb, cacheKey = Some(sf)).collect()

@@ -84,6 +84,52 @@ class PipelineSpec extends GraftSpecBase {
     }
   }
 
+  test("Soda YAML check file ingests directly (reference checks_gold.yml grammar)") {
+    // the reference's own suite shape — schema presence, row_count,
+    // missing_count, avg-between — plus the neighboring forms, over
+    // a gold-style availability table
+    val yml =
+      """checks for station_availability_15m:
+        |  - schema:
+        |      warn:
+        |        when required columns missing: [station_id, window_start, avg_pct]
+        |      tables: [station_availability_15m]
+        |  - row_count > 0:
+        |      tables: [station_availability_15m]
+        |  - missing_count(station_id) = 0:
+        |  - duplicate_count(station_id) <= 0:
+        |  - avg(avg_pct) between 0 and 1:
+        |  - min(avg_pct) >= 0:
+        |  - max(avg_pct) <= 1:
+        |""".stripMargin
+    val suite = quality.Checks.fromYaml(yml)
+    assert(suite.dataset == "station_availability_15m")
+    assert(suite.requiredColumns == Seq("station_id", "window_start", "avg_pct"))
+    assert(suite.checks.length == 6)
+
+    val good = Seq((1L, "2024-01-01T00:00", 0.5), (2L, "2024-01-01T00:00", 0.25))
+      .toDF("station_id", "window_start", "avg_pct")
+    val g = quality.Checks.runSuite(good, suite)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(g.size == 7 && g.values.forall(_._2), s"all checks must pass: $g")
+    assert(g("schema_required_columns") == ((0.0, true)))
+    assert(g("row_count") == ((2.0, true)))
+
+    // a broken batch (dup key, avg out of range, missing column) fails
+    // the right checks and only those
+    val bad = Seq((1L, 2.0), (1L, 3.0)).toDF("station_id", "avg_pct")
+    val b = quality.Checks.runSuite(bad, suite)
+      .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(!b("schema_required_columns") && !b("duplicate_count_station_id")
+      && !b("avg_avg_pct") && !b("max_avg_pct"))
+    assert(b("row_count") && b("missing_count_station_id") && b("min_avg_pct"))
+
+    // unknown checks refuse the file instead of silently dropping
+    intercept[IllegalArgumentException] {
+      quality.Checks.fromYaml("checks for t:\n  - freshness(ts) < 1d:\n")
+    }
+  }
+
   test("p9: latest-per-key keeps exactly the newest version, counts all versions") {
     val r = pipeline.Medallion.p9CdcLatest(spark, sf).collect()
     assert(r.nonEmpty)

@@ -36,6 +36,32 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles <= 1, s"fact side must only shuffle for the final agg:\n$plan")
   }
 
+  test("a2: BUILDING-customer join sits below the orderkey join; broadcast by size, not hint") {
+    val plan = finalPlan(analytics.Queries.topkRevenue(spark, sf))
+    // selective filter reaches the customer scan
+    assert(plan.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)]"),
+      s"segment filter must push to the customer scan:\n$plan")
+    // the planner (NOT a hard hint — none exists in the query) must
+    // still choose broadcast for the dim side at this SF
+    val custJoin = plan.indexOf("Join [o_custkey")
+    assert(plan.substring(custJoin - 22, custJoin).contains("BroadcastHash"),
+      s"customer join must be size-estimated broadcast:\n$plan")
+    // join order is load-bearing: orders⋈customer BELOW (printed
+    // after) the orderkey join, so the lineitem-facing exchange
+    // carries only BUILDING-segment orders (~1/5)
+    val okJoin = plan.indexOf("Join [o_orderkey")
+    assert(okJoin >= 0 && custJoin > okJoin,
+      s"orders must be filtered through customers before meeting lineitem:\n$plan")
+  }
+
+  test("a11: fact table never shuffles for the part join (size-estimated broadcast, zero hash exchanges)") {
+    val plan = finalPlan(analytics.Queries.promoRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part must broadcast at this SF without a hard hint:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 0, s"single global agg needs no hash exchange:\n$plan")
+  }
+
   test("d4: self-join reuses the shingle shuffle (single signature pass)") {
     // the raw operator, not the entry — the entry serves d4/d6 from a
     // shared persisted pair set, and CacheManager would substitute the
@@ -323,6 +349,27 @@ class PlanShapeSpec extends GraftSpecBase {
       s"cell-blocked join must never plan an unbounded nested loop:\n$plan")
     assert(!plan.contains("posexplode"),
       s"quantizer training must never appear in the query plan:\n$plan")
+  }
+
+  test("dedup library functions plan no rangepartitioning (sorts are entry-only)") {
+    // The production chain (x4b, clustering, quarantine) consumes
+    // these results unordered; a global sort of a corpus-sized pair
+    // set is a rangepartition + full-output shuffle no library caller
+    // should pay. The DuckDB-determinism orderBy lives ONLY in the
+    // SparkEntry lambdas (x10's rule, applied to the dedup family).
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val libraryResults = Seq(
+      "minhashLshPairs" -> dedup.Dedup.minhashLshPairs(docs),
+      "simhashPairs" -> dedup.Dedup.simhashPairs(docs),
+      "exactJaccardPairs" -> dedup.Dedup.exactJaccardPairs(docs, threshold = 0.65),
+      "embeddingNearDupsBlocked" -> dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.45),
+      "semanticDedup" -> dedup.SemDedup.semanticDedup(emb, numCells = 16, cacheKey = Some(sf)))
+    for ((name, df) <- libraryResults) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$name must not global-sort its result:\n$plan")
+    }
   }
 
   test("d7: corpus side of contamination never shuffles") {
