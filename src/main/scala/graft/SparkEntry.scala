@@ -87,6 +87,9 @@ object SparkEntry {
     "st6_transitions" -> ((s, d) => operators.Transitions.st6(s, d)),
     "p11_quarantine" -> ((s, d) => quality.Checks.p11Quarantine(s, d)),
     "d9_semantic_dedup" -> ((s, d) => dedup.SemDedup.d9(s, d)),
+    "t9_gopher_rules" -> ((s, d) => text.TextAnalysis.t9GopherRules(s, d)),
+    "d10_incremental_dedup" -> ((s, d) => dedup.Incremental.d10(s, d)),
+    "s10_filtered_knn" -> ((s, d) => similarity.Similarity.s10(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1260,5 +1263,76 @@ object SparkEntry {
         | d.dup_of, d.dup_of IS NULL AS keep
         |FROM corpus c LEFT JOIN dups d USING (vec_id)
         |ORDER BY c.vec_id""".stripMargin),
+    // t9: structural quality rules — ratios rounded to 6dp BEFORE the
+    // threshold comparisons on both sides (keep is computed from the
+    // rounded columns in the Spark code too)
+    "t9_gopher_rules" ->
+      """SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        | ellipsis_ratio, alpha_ratio, n_req_stopwords,
+        | (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |  AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |  AND n_req_stopwords >= 2) AS keep
+        |FROM (
+        | SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks) > 0 THEN CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(toks) END, 6) AS symbol_ratio,
+        |  round(CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(lns), 6) AS bullet_ratio,
+        |  round(CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(lns), 6) AS ellipsis_ratio,
+        |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 6) AS alpha_ratio,
+        |  len(list_intersect(list_transform(toks, x -> lower(x)),
+        |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_req_stopwords
+        | FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |        string_split(text, chr(10)) AS lns
+        |       FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // d10: incremental batch-vs-corpus dedup — string-shingle jaccard
+    // exactly as d4's replay, restricted to batch x corpus pairs;
+    // round AFTER max on both sides
+    "d10_incremental_dedup" ->
+      """WITH bh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+        |g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |pairs AS (
+        | SELECT gb.doc_id AS b_id, gc.doc_id AS c_id,
+        |  CAST(len(list_intersect(gb.sh, gc.sh)) AS DOUBLE) / len(list_distinct(list_concat(gb.sh, gc.sh))) AS j
+        | FROM g gb JOIN g gc ON gb.doc_id % 10 = 0 AND gc.doc_id % 10 <> 0),
+        |near AS (
+        | SELECT b_id, min(c_id) AS near_dup_of, round(max(j), 6) AS best_jaccard
+        | FROM pairs WHERE j >= 0.5 GROUP BY b_id)
+        |SELECT bh.doc_id, (ch.h IS NOT NULL) AS exact_dup,
+        | near.near_dup_of, near.best_jaccard,
+        | (ch.h IS NULL AND near.near_dup_of IS NULL) AS is_new
+        |FROM bh LEFT JOIN ch ON bh.h = ch.h
+        |LEFT JOIN near ON near.b_id = bh.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // s10: s3's IVF replay with the even-label metadata gate on the
+    // corpus side of the candidate join (quantizer trained unfiltered,
+    // exactly like the Spark side)
+    "s10_filtered_knn" -> ("WITH " + ivfCorpusCtes + """,
+        |probes AS (
+        | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |flt AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+        |cand AS (
+        | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
+        | FROM (SELECT * FROM probes WHERE pr <= 12) p
+        | JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id
+        | JOIN flt f ON f.vec_id = c.vec_id),
+        |scored AS (
+        | SELECT q_id, n_id,
+        |  list_cosine_similarity(q_emb, n_emb) AS cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
+        | FROM cand)
+        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
   )
 }

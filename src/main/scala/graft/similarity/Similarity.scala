@@ -289,12 +289,24 @@ object Similarity {
   /** IVF ANN: assign corpus vectors to nearest-centroid cells, probe
     * the nprobe nearest cells per query. Coarse quantizer = the
     * sample-trained deterministic Lloyd k-means above.
+    *
+    * `corpusPredicate` is FILTERED SEARCH (s10): restrict neighbors
+    * to corpus vectors passing a metadata predicate (label/language/
+    * license/date gates — every production vector search has one).
+    * The quantizer still trains on the FULL corpus, so cell geometry
+    * is stable across filters (standard IVF filtered-search
+    * practice — per-filter retraining would invalidate every stored
+    * assignment); the predicate composes into the same narrow
+    * assignment map and, when it references scan columns, pushes
+    * down to the parquet scan itself (plan-pinned in s10's spec).
     */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
              numCells: Int = 16, nprobe: Int = 4,
-             cacheKey: Option[String] = None): DataFrame = {
+             cacheKey: Option[String] = None,
+             corpusPredicate: Option[Column] = None): DataFrame = {
     val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val c = corpusPredicate.fold(corpus)(corpus.filter)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .withColumn("cell_id", assignBest(col("n_emb"), cents))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cell_id", explode(probeCells(col("q_emb"), cents, nprobe)))
@@ -409,6 +421,17 @@ object Similarity {
   def s9(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     pqKnn(querySet(emb), emb, m = 16, ksub = 32, cacheKey = Some(dir))
+  }
+
+  /** s10: filtered (metadata-gated) IVF search — neighbors restricted
+    * to even-label corpus vectors; same quantizer/cache/probe
+    * parameterization as s3, so the two entries differ ONLY by the
+    * pushed-down corpus predicate.
+    */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfKnn(querySet(emb), emb, nprobe = 12, cacheKey = Some(dir),
+      corpusPredicate = Some(col("label") % 2 === 0))
   }
 
   /** s5: semantic document retrieval — the RAG/retrieval composition:

@@ -265,4 +265,70 @@ object TextAnalysis {
     typeTokenStats(Tables.documents(spark, dir))
       .select("doc_id", "n_tokens", "n_types", "hapax", "ttr", "hapax_frac")
       .orderBy("doc_id")
+
+  /** t9: rule-based document gating in the style of the published
+    * Gopher/MassiveText quality rules — the hard structural filters a
+    * pretraining pipeline applies BEFORE model-based scoring: word
+    * count window, mean word length window, symbol-to-word ratio,
+    * bullet-line and ellipsis-line ratios, alpha-word ratio, and
+    * required-stopword presence. Emits every rule's measured value
+    * plus the per-rule verdicts folded into one `keep` flag, so a
+    * pipeline can both gate and audit WHY a document was dropped.
+    *
+    * Entirely narrow per-row compute (split + higher-order
+    * functions, no UDFs) — runs at scan speed at any corpus size,
+    * same contract as t1-t8.
+    */
+  val requiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val stopList = requiredStopwords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("__toks", filter(split(t, "\\s+"), x => x =!= lit("")))
+      .withColumn("__lines", split(t, "\n"))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("mean_word_len",
+        round(when(col("n_words") > 0,
+          expr("aggregate(__toks, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / col("n_words")), 6))
+      .withColumn("symbol_ratio",
+        round(when(col("n_words") > 0,
+          (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.|…"))).cast("double")
+            / col("n_words")), 6))
+      .withColumn("bullet_ratio",
+        round(expr("size(filter(__lines, l -> l rlike '^\\\\s*[-*•]'))").cast("double")
+          / size(col("__lines")), 6))
+      .withColumn("ellipsis_ratio",
+        round(expr("size(filter(__lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))").cast("double")
+          / size(col("__lines")), 6))
+      .withColumn("alpha_ratio",
+        round(when(col("n_words") > 0,
+          expr("size(filter(__toks, x -> x rlike '[A-Za-z]'))").cast("double")
+            / col("n_words")), 6))
+      .withColumn("n_req_stopwords",
+        expr(s"size(array_intersect(transform(__toks, x -> lower(x)), array($stopList)))").cast("long"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        (col("symbol_ratio") <= maxSymbolRatio) &&
+        (col("bullet_ratio") <= maxBulletRatio) &&
+        (col("ellipsis_ratio") <= maxEllipsisRatio) &&
+        (col("alpha_ratio") >= minAlphaRatio) &&
+        (col("n_req_stopwords") >= minStopwords))
+      .drop("__toks", "__lines")
+  }
+
+  def t9GopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_ratio",
+        "n_req_stopwords", "keep")
+      .orderBy("doc_id")
 }

@@ -156,6 +156,42 @@ class DedupSpec extends GraftSpecBase {
     assert(got(1L)._1 > 0)
   }
 
+  test("d10: incremental dedup flags exact and near batch dups; fresh docs pass as new") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "totally unrelated corpus content lives right here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "one two three four five six seven eight changed"), // near dup of 2
+      (12L, "completely novel text that matches nothing at all")).toDF("doc_id", "text")
+    val r = dedup.Incremental.incrementalDedup(batch, corpus, hashShingles = false)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), if (x.isNullAt(2)) None else Some(x.getLong(2)), x.getBoolean(4)))).toMap
+    assert(r(10L)._1, "identical content must flag exact_dup")
+    assert(r(10L)._2 == Some(1L), "exact copy is also a jaccard-1 near dup of doc 1")
+    assert(!r(11L)._1 && r(11L)._2 == Some(2L), "8/9-shared batch doc is near, not exact")
+    assert(r(12L) == ((false, None, true)), "novel doc must come through as new")
+    assert(!r(10L)._3 && !r(11L)._3)
+  }
+
+  test("d10: hot-shingle valve drops boilerplate postings before the join") {
+    import spark.implicits._
+    // every corpus doc shares one boilerplate shingle with the batch
+    // doc and nothing else: uncapped, the batch doc gets 40 candidate
+    // hits; with the cap the boilerplate shingle is pruned and no
+    // near verdict survives
+    val corpus = (0L until 40L)
+      .map(i => (i, s"all rights reserved u$i v$i w$i x$i")).toDF("doc_id", "text")
+    val batch = Seq((100L, "all rights reserved novel words here now")).toDF("doc_id", "text")
+    def run(cap: Long) = dedup.Incremental
+      .incrementalDedup(batch, corpus, threshold = 0.0, maxDf = cap, hashShingles = false)
+      .collect().map(x => (x.getLong(0), x.isNullAt(2))).toMap
+    assert(!run(1000L)(100L), "uncapped: the shared boilerplate shingle pairs the doc")
+    assert(run(10L)(100L), "df cap must prune the df=40 shingle before the join")
+  }
+
   test("d9: auto-derived cell count scales with the corpus and bounds cells on a skewed corpus") {
     import spark.implicits._
     // Skewed corpus: 80% of vectors huddle in one tight direction

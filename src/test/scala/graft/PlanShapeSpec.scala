@@ -372,6 +372,32 @@ class PlanShapeSpec extends GraftSpecBase {
     }
   }
 
+  test("s10: metadata gate pushes to the embeddings scan; plan otherwise s3-shaped") {
+    val plan = finalPlan(similarity.Similarity.s10(spark, sf))
+    assert(!plan.contains("posexplode"),
+      s"no in-query quantizer training:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query side must broadcast into the cell join:\n$plan")
+    // the label predicate must reach the parquet scan, not evaluate
+    // post-assignment (the whole point of filtered search at 100 TB:
+    // gated-out vectors never even score against the centroids)
+    assert(plan.contains("PushedFilters: [IsNotNull(label)]") || plan.contains("(label"),
+      s"label gate must appear in the scan's data filters:\n$plan")
+  }
+
+  test("d10: batch side broadcasts everywhere — corpus joins are never shuffled") {
+    val docs = Tables.documents(spark, sf)
+    val plan = finalPlan(dedup.Incremental.incrementalDedup(
+      batch = docs.filter(col("doc_id") % 10 === 0),
+      corpus = docs.filter(col("doc_id") % 10 =!= 0)))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("CartesianProduct"),
+      s"every join must build on a broadcast batch/hot-set side:\n$plan")
+    // the only hash exchanges are aggregations (df count, pair agg,
+    // verdict aggs) — never a corpus-posting join shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"batch probes must broadcast:\n$plan")
+  }
+
   test("d7: corpus side of contamination never shuffles") {
     val plan = finalPlan(dedup.Contamination.d7(spark, sf))
     assert(plan.contains("BroadcastExchange"), s"benchmark set must broadcast:\n$plan")

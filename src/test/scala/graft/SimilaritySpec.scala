@@ -44,6 +44,22 @@ class SimilaritySpec extends GraftSpecBase {
     assert(recall >= 0.9, s"int8 recall@10 was $recall")
   }
 
+  test("s10 filtered IVF: every neighbor passes the gate, recall >= 0.9 vs filtered brute force") {
+    val pred = col("label") % 2 === 0
+    val r = similarity.Similarity.ivfKnn(queries, emb, k = 10, numCells = 16,
+      nprobe = 12, corpusPredicate = Some(pred))
+    // the gate is absolute: join back to labels, no odd-label neighbor
+    val withLabel = r.join(emb.select(col("vec_id").as("n_id"), col("label")), "n_id")
+    assert(withLabel.filter(col("label") % 2 =!= 0).count() == 0,
+      "a filtered search must never return a gated-out neighbor")
+    // recall against brute force over the SAME filtered corpus
+    val exact = similarity.Similarity.bruteForceKnn(queries, emb.filter(pred), k = 10)
+      .select("q_id", "n_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = r.select("q_id", "n_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"filtered recall@10 was $recall")
+  }
+
   test("IVF ANN probes cells and returns ranked results") {
     val r = similarity.Similarity.ivfKnn(queries, emb, k = 10)
     assert(r.count() > 0)

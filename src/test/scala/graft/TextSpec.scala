@@ -37,6 +37,28 @@ class TextSpec extends GraftSpecBase {
     assert(dedup.Dedup.exactJaccardPairs(df).count() == 0)
   }
 
+  test("t9 gopher rules: each structural rule fires on its crafted violator only") {
+    val fifty = (1 to 50).map(i => s"the and of word$i").mkString(" ") // 250 words, stopword-rich
+    val df = Seq(
+      (1L, fifty),                                       // passes everything
+      (2L, "the and of too short"),                      // word count < 50
+      (3L, (1 to 60).map(_ => "### #!# #?#").mkString(" ")), // symbols, no alpha, no stopwords
+      (4L, (1 to 30).map(i => s"- the bullet of line$i\n").mkString ++ "tail"), // bullet lines
+      (5L, (1 to 30).map(i => s"the trailing of thing$i...\n").mkString ++ "tail")) // ellipsis lines
+      .toDF("doc_id", "text")
+    val r = text.TextAnalysis.gopherRules(df).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"), s"clean doc must pass: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("keep") && r(2L).getAs[Long]("n_words") == 5L)
+    val d3 = r(3L)
+    assert(d3.getAs[Double]("symbol_ratio") > 0.1
+      && d3.getAs[Double]("alpha_ratio") < 0.8
+      && d3.getAs[Long]("n_req_stopwords") == 0L
+      && !d3.getAs[Boolean]("keep"))
+    assert(r(4L).getAs[Double]("bullet_ratio") > 0.9 && !r(4L).getAs[Boolean]("keep"))
+    assert(r(5L).getAs[Double]("ellipsis_ratio") > 0.3 && !r(5L).getAs[Boolean]("keep"))
+  }
+
   test("LM surprisal: hand-computed unigram negative log-likelihoods") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
