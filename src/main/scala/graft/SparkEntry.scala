@@ -90,6 +90,8 @@ object SparkEntry {
     "t9_gopher_rules" -> ((s, d) => text.TextAnalysis.t9GopherRules(s, d)),
     "d10_incremental_dedup" -> ((s, d) => dedup.Incremental.d10(s, d)),
     "s10_filtered_knn" -> ((s, d) => similarity.Similarity.s10(s, d)),
+    "s11_pq_rerank" -> ((s, d) => similarity.Similarity.s11(s, d)),
+    "t10_token_entropy" -> ((s, d) => text.TextAnalysis.t10TokenEntropy(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -104,8 +106,17 @@ object SparkEntry {
     * re-inlines referenced CTEs, and the pa→pc→pa chains re-expand
     * exponentially without the hint (>300 s vs 2 s at sf0.01).
     */
-  private def pqKnnOracle: String = {
-    val m = 16; val sub = 4; val ksub = 32; val k = 10
+  private def pqKnnOracle: String = pqOracle(rerank = false)
+
+  /** s11 oracle: the same generated PQ replay widened to a
+    * 100-candidate short list, then re-scored by EXACT cosine and
+    * re-ranked (cos desc, id asc) — the candidate-generation +
+    * exact-re-rank composition s9's recall knee prescribes.
+    */
+  private def pqRerankOracle: String = pqOracle(rerank = true)
+
+  private def pqOracle(rerank: Boolean): String = {
+    val m = 16; val sub = 4; val ksub = 32; val k = if (rerank) 100 else 10
     def dist(a: String, b: String): String =
       s"list_reduce(list_transform(generate_series(1, $sub), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     def meanCte(prev: String, asg: String): String =
@@ -142,6 +153,21 @@ object SparkEntry {
     val codeJoins = (1 until m).map(s => s"JOIN pcode_$s c$s ON c$s.vec_id = c0.vec_id").mkString(" ")
     val dJoins = (0 until m).map(s => s"JOIN pqd_$s d$s ON d$s.q_id = p.q_id AND d$s.code = n.k$s").mkString("\n ")
     val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
+    val finalSelect =
+      if (!rerank)
+        s"""SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(dist2, 6) AS pq_dist2
+           |FROM pqscored WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+      else
+        s"""rescored AS (
+           | SELECT c.q_id, c.n_id,
+           |  list_cosine_similarity(qe.emb, ne.emb) AS cos,
+           |  row_number() OVER (PARTITION BY c.q_id
+           |    ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, c.n_id ASC) AS rank
+           | FROM (SELECT q_id, n_id FROM pqscored WHERE rank <= $k) c
+           | JOIN e qe ON qe.vec_id = c.q_id
+           | JOIN e ne ON ne.vec_id = c.n_id)
+           |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+           |FROM rescored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |psample AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
        |$perSub,
@@ -151,9 +177,8 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY p.q_id ORDER BY $dSum ASC, n.vec_id ASC) AS rank
        | FROM (SELECT DISTINCT q_id FROM pqd_0) p
        | JOIN pcodes n ON n.vec_id <> p.q_id
-       | $dJoins)
-       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(dist2, 6) AS pq_dist2
-       |FROM pqscored WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+       | $dJoins)${if (rerank) "," else ""}
+       |$finalSelect""".stripMargin
   }
 
   /** DuckDB CTE fragments shared between oracles. `minhashPairCtes`
@@ -1334,5 +1359,21 @@ object SparkEntry {
         | FROM cand)
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // s11: generated PQ replay widened to 100 candidates + exact
+    // cosine re-rank — see pqRerankOracle
+    "s11_pq_rerank" -> pqRerankOracle,
+    // t10: frequency-table entropy replay; 4dp round absorbs the
+    // unordered-sum float noise (t7's precedent)
+    "t10_token_entropy" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        | FROM documents),
+        |freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, sum(c * ln(c)) AS clnc FROM freq GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+        | CASE WHEN a.n > 0 THEN round(ln(a.n) - a.clnc / a.n, 4) END AS entropy,
+        | CASE WHEN a.n > 1 THEN round((ln(a.n) - a.clnc / a.n) / ln(a.n), 4) END AS entropy_efficiency
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -423,6 +423,34 @@ object Similarity {
     pqKnn(querySet(emb), emb, m = 16, ksub = 32, cacheKey = Some(dir))
   }
 
+  /** PQ candidate generation + exact re-rank — the production
+    * composition s9's measured recall knee prescribes: the 16×-
+    * compressed ADC scan proposes a short list (nCand per query) and
+    * only that short list is re-scored with full-precision cosine.
+    * At 100 TB the exact vectors for |Q|·nCand candidates are a
+    * point-lookup-sized fetch, not a scan — here the tiny candidate
+    * list BROADCASTS and the corpus streams through the decorate
+    * join (s5's pattern), so the full-precision corpus is read once
+    * and never shuffled.
+    */
+  def pqRerankKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                  nCand: Int = 100, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 2, cacheKey: Option[String] = None): DataFrame = {
+    val cand = pqKnn(queries, corpus, k = nCand, m = m, ksub = ksub,
+      iters = iters, cacheKey = cacheKey).select(col("q_id"), col("n_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** s10: filtered (metadata-gated) IVF search — neighbors restricted
     * to even-label corpus vectors; same quantizer/cache/probe
     * parameterization as s3, so the two entries differ ONLY by the
@@ -432,6 +460,15 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     ivfKnn(querySet(emb), emb, nprobe = 12, cacheKey = Some(dir),
       corpusPredicate = Some(col("label") % 2 === 0))
+  }
+
+  /** s11: s9's PQ short list (100 candidates at m=16 × ksub=32,
+    * shared codebook cache) re-ranked by exact cosine.
+    */
+  def s11(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqRerankKnn(querySet(emb), emb, nCand = 100, m = 16, ksub = 32,
+      cacheKey = Some(dir))
   }
 
   /** s5: semantic document retrieval — the RAG/retrieval composition:

@@ -266,6 +266,62 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "n_types", "hapax", "ttr", "hapax_frac")
       .orderBy("doc_id")
 
+  /** t10: unigram token entropy per document — the information-
+    * density quality signal (templated/keyword-stuffed text has low
+    * entropy for its length; natural prose sits near the corpus
+    * band). Emits Shannon entropy H = ln n − (Σ c·ln c)/n over the
+    * doc's token frequencies plus the length-normalized efficiency
+    * H/ln(n) ∈ [0,1] (null when n ≤ 1).
+    *
+    * Same zero-shuffle shape as t8: Σ c·ln c folds over the SORTED
+    * token array (equal tokens adjacent → run-length counting), so
+    * the whole feature is a narrow per-row pass — never the
+    * explode → two-shuffle frequency-table spelling. The fold's
+    * float order is fixed (sorted runs), and the oracle's group-by
+    * replay agrees to well past the 4dp round (≤ ~1e-12 relative
+    * error on ≤100k-token docs).
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = sort_array(filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+    // fold state: (prev token, current run length, sum of c*ln(c))
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0.0).as("clnc"))
+    def step(st: Column, t: Column): Column = {
+      val samePrev = st.getField("prev").isNotNull && st.getField("prev") === t
+      struct(
+        t.as("prev"),
+        when(samePrev, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+        // closing a run of length c contributes c*ln(c)
+        when(!samePrev && st.getField("prev").isNotNull,
+          st.getField("clnc") + st.getField("run").cast("double")
+            * log(st.getField("run").cast("double")))
+          .otherwise(st.getField("clnc")).as("clnc"))
+    }
+    def finish(st: Column): Column =
+      when(st.getField("prev").isNotNull,
+        st.getField("clnc") + st.getField("run").cast("double")
+          * log(st.getField("run").cast("double")))
+        .otherwise(st.getField("clnc"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__clnc", aggregate(col("__toks"), init, step, finish))
+      .withColumn("entropy",
+        when(col("n_tokens") > 0L,
+          round(log(col("n_tokens").cast("double"))
+            - col("__clnc") / col("n_tokens"), 4)))
+      .withColumn("entropy_efficiency",
+        when(col("n_tokens") > 1L,
+          round((log(col("n_tokens").cast("double")) - col("__clnc") / col("n_tokens"))
+            / log(col("n_tokens").cast("double")), 4)))
+      .drop("__toks", "__clnc")
+  }
+
+  def t10TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "entropy", "entropy_efficiency")
+      .orderBy("doc_id")
+
   /** t9: rule-based document gating in the style of the published
     * Gopher/MassiveText quality rules — the hard structural filters a
     * pretraining pipeline applies BEFORE model-based scoring: word

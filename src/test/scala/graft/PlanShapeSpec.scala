@@ -177,10 +177,11 @@ class PlanShapeSpec extends GraftSpecBase {
     // s4) broadcast an explicit query subset (brute-force correctness
     // baselines), t7 cross-joins a single-row global total, s6 (and
     // s7, which wraps s6+s4) cross-joins the single-row BM25 corpus
-    // stats, s9 broadcasts the bounded query-LUT side into the
-    // non-equi (q_id <> n_id) ADC scan.
+    // stats, s9 (and s11, which wraps s9's candidate scan) broadcasts
+    // the bounded query-LUT side into the non-equi (q_id <> n_id)
+    // ADC scan.
     val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
-      "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn")
+      "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn", "s11_pq_rerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -396,6 +397,23 @@ class PlanShapeSpec extends GraftSpecBase {
     // the only hash exchanges are aggregations (df count, pair agg,
     // verdict aggs) — never a corpus-posting join shuffle
     assert(plan.contains("BroadcastHashJoin"), s"batch probes must broadcast:\n$plan")
+  }
+
+  test("t10: entropy fold is a zero-shuffle narrow pass") {
+    val plan = finalPlan(text.TextAnalysis.tokenEntropy(
+      Tables.documents(spark, sf)).drop("text"))
+    assert(!plan.contains("Exchange"),
+      s"the sorted-run fold must not explode/shuffle tokens:\n$plan")
+  }
+
+  test("s11: rerank rides broadcast joins — only bounded q_id window shuffles in the plan") {
+    val plan = finalPlan(similarity.Similarity.s11(spark, sf))
+    val all = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val qid = "Exchange hashpartitioning\\(q_id".r.findAllIn(plan).length
+    assert(all == qid && all <= 2,
+      s"corpus must never hash-shuffle — only the two bounded top-k windows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate list and query vectors must broadcast into the decorate joins:\n$plan")
   }
 
   test("d7: corpus side of contamination never shuffles") {

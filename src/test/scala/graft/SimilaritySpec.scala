@@ -60,6 +60,21 @@ class SimilaritySpec extends GraftSpecBase {
     assert(recall >= 0.9, s"filtered recall@10 was $recall")
   }
 
+  test("s11 PQ+rerank: exact-cosine order, recall way above raw PQ (the re-rank pays for itself)") {
+    val rerank = similarity.Similarity.pqRerankKnn(queries, emb, k = 10,
+      nCand = 100, m = 16, ksub = 32)
+    // 1) output order is EXACT cosine (non-increasing per query)
+    val one = rerank.filter(col("q_id") === 0).orderBy(col("rank")).collect()
+    val cos = one.map(_.getDouble(3))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // 2) recall@10 must clear the gate the raw ADC ranking cannot
+    // (s9's measured knee is 0.47 at these params)
+    val recall = recallVsExact(rerank)
+    assert(recall >= 0.8, s"rerank recall@10 was $recall — candidates@100 too thin?")
+    val raw = recallVsExact(similarity.Similarity.pqKnn(queries, emb, k = 10, m = 16, ksub = 32))
+    assert(recall > raw, s"re-rank ($recall) must beat raw ADC ($raw)")
+  }
+
   test("IVF ANN probes cells and returns ranked results") {
     val r = similarity.Similarity.ivfKnn(queries, emb, k = 10)
     assert(r.count() > 0)

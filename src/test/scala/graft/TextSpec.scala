@@ -59,6 +59,24 @@ class TextSpec extends GraftSpecBase {
     assert(r(5L).getAs[Double]("ellipsis_ratio") > 0.3 && !r(5L).getAs[Boolean]("keep"))
   }
 
+  test("t10 token entropy: hand-computed frequencies; degenerate docs null, uniform docs max") {
+    val df = Seq(
+      (1L, "a a b"),          // H = ln3 - (2ln2)/3
+      (2L, "x y z w"),        // uniform: H = ln4, efficiency 1.0
+      (3L, "same same same"), // zero entropy
+      (4L, "word"),           // n=1 → H=0, efficiency null
+      (5L, "")).toDF("doc_id", "text")
+    val r = text.TextAnalysis.tokenEntropy(df).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def h(i: Long) = r(i).getAs[java.lang.Double]("entropy")
+    assert(math.abs(h(1L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-4)
+    assert(math.abs(h(2L) - math.log(4)) < 1e-4)
+    assert(r(2L).getAs[java.lang.Double]("entropy_efficiency") == 1.0)
+    assert(h(3L) == 0.0 && r(3L).getAs[java.lang.Double]("entropy_efficiency") == 0.0)
+    assert(h(4L) == 0.0 && r(4L).getAs[java.lang.Double]("entropy_efficiency") == null)
+    assert(r(5L).getAs[Long]("n_tokens") == 0L && h(5L) == null)
+  }
+
   test("LM surprisal: hand-computed unigram negative log-likelihoods") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
