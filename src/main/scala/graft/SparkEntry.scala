@@ -92,6 +92,8 @@ object SparkEntry {
     "s10_filtered_knn" -> ((s, d) => similarity.Similarity.s10(s, d)),
     "s11_pq_rerank" -> ((s, d) => similarity.Similarity.s11(s, d)),
     "t10_token_entropy" -> ((s, d) => text.TextAnalysis.t10TokenEntropy(s, d)),
+    "x12_dup_weighted_sample" -> ((s, d) => text.Curation.x12DupWeightedSample(s, d)),
+    "a17_small_qty_revenue" -> ((s, d) => analytics.Queries.smallQtyRevenue(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1375,5 +1377,32 @@ object SparkEntry {
         | CASE WHEN a.n > 1 THEN round((ln(a.n) - a.clnc / a.n) / ln(a.n), 4) END AS entropy_efficiency
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // x12: x11's splitmix64 draw replay + per-content-hash copy count
+    "x12_dup_weighted_sample" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |draw AS (SELECT doc_id, CAST(u // 2048 AS DOUBLE) / 9007199254740992.0 AS u01 FROM m5),
+        |copies AS (
+        | SELECT doc_id, source, CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+        | FROM documents)
+        |SELECT c.doc_id, c.source, c.n_copies, draw.u01
+        |FROM copies c JOIN draw ON c.doc_id = draw.doc_id
+        |WHERE draw.u01 < 1.0 / c.n_copies
+        |ORDER BY c.doc_id""".stripMargin,
+    // a17: correlated-subquery decorrelation replay — same window
+    "a17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM (
+        | SELECT l_extendedprice, l_quantity,
+        |  avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'))
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
   )
 }

@@ -128,6 +128,31 @@ object Queries {
           .as("promo_pct"))
   }
 
+  /** a17 (TPC-H Q17 shape): revenue share of small-quantity orders
+    * for one brand's parts — the classic CORRELATED SUBQUERY
+    * ("quantity below 20% of this part's average") decorrelated the
+    * Spark-first way: the naive spelling recomputes the per-part
+    * average in a groupBy + join-back (second scan of the brand's
+    * lineitems + an extra shuffle); here the brand's lineitems are
+    * selected once through a broadcast semi-join on the filtered dim
+    * (part scales with SF — size-estimated, not hard-hinted, a2's
+    * rule) and the per-part average rides a window over the SAME
+    * partkey shuffle the comparison needs. One fact scan, one
+    * shuffle, at any SF.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+                      brand: String = "Brand#1"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"), "left_semi")
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
   /** Exact distinct + conditional aggregation per order priority. */
   def distinctStats(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)

@@ -275,6 +275,30 @@ object Curation {
       .select(col("doc_id"), col("source"), col("quality_score"), col("u01"))
       .orderBy(col("doc_id"))
 
+  /** Duplication-aware sampling: every copy in an exact-duplicate
+    * cluster survives with probability 1/n_copies, so each cluster
+    * contributes ~one document in expectation — the published
+    * duplicate-DOWNWEIGHTING alternative to hard dedup (d1 keeps
+    * exactly the min-id copy; this keeps a random-but-deterministic
+    * one and preserves the corpus's content distribution rather than
+    * its copy-count distribution). One shuffle (the per-content-hash
+    * window count); the draw itself is x11's pure id-keyed mix64 —
+    * replay/partitioning-invariant, no RNG state.
+    */
+  def dupWeightedSample(df: DataFrame, idCol: String,
+                        textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    qualityWeightedSample(
+      df.withColumn("n_copies", count(lit(1)).over(w).cast("long")),
+      idCol, weight = lit(1.0) / col("n_copies"))
+  }
+
+  /** x12: duplicate-downweighted corpus sample over `documents`. */
+  def x12DupWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    dupWeightedSample(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_copies"), col("u01"))
+      .orderBy(col("doc_id"))
+
   /** x9: token-budgeted mix — 6000 tokens of src0, 3000 of every
     * other source, best-quality-first. Unscorable docs (null quality:
     * empty/whitespace-only text) are not mix candidates — the filter

