@@ -125,6 +125,38 @@ class StreamingSpec extends GraftSpecBase {
     assert(spark.conf.get(key) == before)
   }
 
+  test("quarantine routing runs unchanged on a stream (micro-batch equals batch verdicts)") {
+    // rowQuarantine is a narrow projection+filter, so the SAME
+    // function is the streaming dead-letter route — no stateful twin
+    // needed. Prove it end-to-end through a real micro-batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(7L), "view", 10.0, """{"k":1}"""),   // clean
+      (2L, null.asInstanceOf[java.lang.Long], "view", 10.0, """{"k":1}"""), // null_user
+      (3L, java.lang.Long.valueOf(8L), "teleport", 10.0, """{"k":1}"""),    // unknown_type
+      (4L, java.lang.Long.valueOf(9L), "click", 9999.0, """{"k":1}"""))     // value_out_of_range
+    val mem = MemoryStream[(Long, java.lang.Long, String, Double, String)]
+    mem.addData(rows: _*)
+    val streamed = quality.Checks.rowQuarantine(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "value", "props"),
+      Seq("view", "click"), 400.0)
+    val out = streaming.Streams.runToMemory(streamed, outputMode = "append")
+    import org.apache.spark.sql.types._
+    val inputSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val batch = quality.Checks.rowQuarantine(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5))), inputSchema),
+      Seq("view", "click"), 400.0)
+    val s = out.collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(s == b, s"stream: $s vs batch: $b")
+    assert(s.map(_._1) == Set(2L, 3L, 4L), "exactly the three dirty rows route out")
+  }
+
   test("batch sessionization splits on gap and aggregates") {
     val r = streaming.Sessionize.st1(spark, sf)
     assert(r.count() > 0)
