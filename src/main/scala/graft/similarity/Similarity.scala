@@ -69,7 +69,7 @@ object Similarity {
     * the quantizer is k×dim and the corpus is 100 TB.
     */
   private[graft] def assignBest(embCol: Column, cents: Array[(Int, Array[Float])]): Column = {
-    val scored = array(cents.map { case (cid, e) =>
+    val scored = array(cents.toSeq.map { case (cid, e) =>
       struct(cosine_sim(embCol, typedlit(e.toSeq)).as("cos"), lit(-cid).as("ncell"))
     }: _*)
     -array_max(scored).getField("ncell")
@@ -80,7 +80,7 @@ object Similarity {
     */
   private def probeCells(embCol: Column, cents: Array[(Int, Array[Float])],
                          nprobe: Int): Column = {
-    val scored = array(cents.map { case (cid, e) =>
+    val scored = array(cents.toSeq.map { case (cid, e) =>
       struct((-cosine_sim(embCol, typedlit(e.toSeq))).as("negcos"), lit(cid).as("cell"))
     }: _*)
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
@@ -536,7 +536,7 @@ object Similarity {
         while (i < a.q.length) { dot += a.q(i) * b.q(i); i += 1 }
         dot.toDouble / (math.sqrt(a.n.toDouble) * math.sqrt(b.n.toDouble))
       }
-    val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.from(cs)
     // -inf, NOT 0: quantized cosines go negative, and max over the
     // selected set must be the true max — a 0 floor would hand
     // anti-similar candidates a hidden penalty (and diverge from the

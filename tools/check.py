@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run Verify output
 against DuckDB oracles and diff. Usage:
-  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [only]
+`only` = optional comma-separated subset of query names — lets the
+long DuckDB replays (d2 minhash, s9/s11 PQ) run in chunks at sf0.1.
 """
 import sys, json, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
@@ -22,6 +25,8 @@ expected |= set(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out
 mpath = f"{out_dir}/manifest.json"
 manifest = json.load(open(mpath)) if os.path.exists(mpath) else {"queries": [], "failed": {}}
 expected |= set(manifest["queries"])
+if only is not None:
+    expected &= only
 fails = 0
 for name in sorted(expected):
     d = os.path.join(out_dir, name)
