@@ -94,6 +94,8 @@ object SparkEntry {
     "t10_token_entropy" -> ((s, d) => text.TextAnalysis.t10TokenEntropy(s, d)),
     "x12_dup_weighted_sample" -> ((s, d) => text.Curation.x12DupWeightedSample(s, d)),
     "a17_small_qty_revenue" -> ((s, d) => analytics.Queries.smallQtyRevenue(s, d)),
+    "d11_containment" -> ((s, d) => dedup.Dedup.d11(s, d)),
+    "st7_locf_resample" -> ((s, d) => operators.Resample.st7(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1377,6 +1379,36 @@ object SparkEntry {
         | CASE WHEN a.n > 1 THEN round((ln(a.n) - a.clnc / a.n) / ln(a.n), 4) END AS entropy_efficiency
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // d11: d4's string-shingle replay with both asymmetric ratios
+    "d11_containment" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3)
+        |SELECT a_id, b_id, round(ca, 6) AS contain_a, round(cb, 6) AS contain_b FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS ca,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cb
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE greatest(ca, cb) >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+    // st7: same slotting + grid + IGNORE NULLS forward fill
+    "st7_locf_resample" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |s AS (
+        | SELECT user_id, ts_us // 86400000000 AS slot, value,
+        |  row_number() OVER (PARTITION BY user_id, ts_us // 86400000000
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        | FROM e),
+        |latest AS (SELECT user_id, slot, value FROM s WHERE rn = 1),
+        |span AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM latest GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM span)
+        |SELECT g.user_id, g.slot AS grid_slot,
+        | last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot) AS filled_value,
+        | l.value IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN latest l ON l.user_id = g.user_id AND l.slot = g.slot
+        |ORDER BY g.user_id, grid_slot""".stripMargin,
     // x12: x11's splitmix64 draw replay + per-content-hash copy count
     "x12_dup_weighted_sample" ->
       """WITH m0 AS (

@@ -163,6 +163,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** d11: shingle CONTAINMENT join — the asymmetric near-dup
+    * detector: containment(a⊂b) = |sh(a) ∩ sh(b)| / |sh(a)| flags
+    * "document a is (mostly) inside document b" — quoted reposts,
+    * boilerplate-padded copies, excerpt pages — which symmetric
+    * jaccard (d4) misses whenever the container is much longer
+    * (j = |∩|/|∪| dilutes with the container's size; containment
+    * doesn't). Identical plan to d4: ONE df-capped posting shuffle
+    * reused across both self-join sides, shared-shingle counting per
+    * pair, then both directions' ratios from the pair's own set
+    * sizes — the asymmetric measure costs nothing extra.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxDf: Long = 1000L): DataFrame = {
+    val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
+      .withColumn("n", size(col("sh")))
+    val posts = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val ex = posts
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "n", "s")
+    val a = ex.hint("shuffle_hash").alias("a")
+    val b = ex.hint("shuffle_hash").alias("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("contain_a", col("shared").cast("double") / col("na"))
+      .withColumn("contain_b", col("shared").cast("double") / col("nb"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("contain_a"), 6).as("contain_a"),
+        round(col("contain_b"), 6).as("contain_b"))
+  }
+
   /** Reference all-pairs cosine join (`a.vec_id < b.vec_id` non-equi
     * join → Spark plans a nested-loop/cartesian). Spec-side oracle for
     * [[embeddingNearDupsBlocked]] ONLY — never the entry: the plan
@@ -280,4 +315,7 @@ object Dedup {
 
   def d5(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsBlocked(Tables.embeddings(spark, dir)).orderBy(col("a_id"), col("b_id"))
+
+  def d11(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir)).orderBy(col("a_id"), col("b_id"))
 }

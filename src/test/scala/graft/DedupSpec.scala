@@ -192,6 +192,26 @@ class DedupSpec extends GraftSpecBase {
     assert(run(10L)(100L), "df cap must prune the df=40 shingle before the join")
   }
 
+  test("d11: containment flags a short doc inside a long one where jaccard is blind") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val filler = (1 to 80).map(i => s"pad$i word$i tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                     // fully contained in 2
+      (2L, s"$filler $quote $filler"), // long container
+      (3L, "an unrelated document about something else entirely here")).toDF("doc_id", "text")
+    val cont = dedup.Dedup.containmentPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(cont.contains((1L, 2L)), s"contained quote must pair: $cont")
+    val (ca, cb) = cont((1L, 2L))
+    assert(ca >= 0.8, s"all of doc 1's shingles sit inside doc 2: $ca")
+    assert(cb < 0.2, s"the container is mostly NOT the quote: $cb")
+    assert(cont.size == 1, "unrelated doc must not pair")
+    // jaccard at d4's own threshold misses this pair by construction
+    val j = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.5).count()
+    assert(j == 0, "symmetric jaccard dilutes below threshold on asymmetric sizes")
+  }
+
   test("d9: auto-derived cell count scales with the corpus and bounds cells on a skewed corpus") {
     import spark.implicits._
     // Skewed corpus: 80% of vectors huddle in one tight direction

@@ -146,6 +146,27 @@ class OperatorsSpec extends GraftSpecBase {
     assert(new plans.GraftExtensions() != null)
   }
 
+  test("st7 LOCF resample: gaps fill forward, slot winner is the latest obs, span is per-key") {
+    import spark.implicits._
+    val g = 100L // grid width in "us"
+    val obs = Seq(
+      // key 1: obs in slots 0 and 3 — slots 1, 2 carry slot 0's value
+      (1L, 10L, 1L, 1.0), (1L, 350L, 2L, 4.0),
+      // slot 0 has two obs: ts 90 must win over ts 10
+      (1L, 90L, 3L, 2.0),
+      // key 2: single obs — one slot, no fill needed
+      (2L, 500L, 4L, 9.0)).toDF("k", "ts", "id", "v")
+    val r = operators.Resample.locfResample(obs, "k", "ts", "id", col("v"), g)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r((1L, 0L)) == ((2.0, true)), "latest obs in slot wins (ts 90 beats ts 10)")
+    assert(r((1L, 1L)) == ((2.0, false)) && r((1L, 2L)) == ((2.0, false)),
+      "gap slots carry the last observation forward")
+    assert(r((1L, 3L)) == ((4.0, true)))
+    assert(r((2L, 5L)) == ((9.0, true)))
+    assert(r.size == 5, s"grid spans per-key min..max only: ${r.keys.toSeq.sorted}")
+  }
+
   test("funnel: step order is enforced strictly, out-of-order steps don't count") {
     val ev = Seq(
       // u1 completes in order

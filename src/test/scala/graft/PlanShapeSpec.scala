@@ -364,6 +364,7 @@ class PlanShapeSpec extends GraftSpecBase {
       "minhashLshPairs" -> dedup.Dedup.minhashLshPairs(docs),
       "simhashPairs" -> dedup.Dedup.simhashPairs(docs),
       "exactJaccardPairs" -> dedup.Dedup.exactJaccardPairs(docs, threshold = 0.65),
+      "containmentPairs" -> dedup.Dedup.containmentPairs(docs, threshold = 0.85),
       "embeddingNearDupsBlocked" -> dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.45),
       "semanticDedup" -> dedup.SemDedup.semanticDedup(emb, numCells = 16, cacheKey = Some(sf)))
     for ((name, df) <- libraryResults) {
@@ -415,6 +416,26 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 1, s"only the md5 window may shuffle; the draw is narrow:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"no sort in the library function:\n$plan")
+  }
+
+  test("d11: containment join reuses the posting shuffle like d4 (single shingle pass)") {
+    val plan = finalPlan(dedup.Dedup.containmentPairs(
+      Tables.documents(spark, sf), threshold = 0.9))
+    assert(plan.contains("ReusedExchange"), s"posting exchange must be reused:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay an equi-join:\n$plan")
+  }
+
+  test("st7: LOCF resample shuffles only on key columns — no range partition, no joins beyond the grid fill") {
+    val plan = finalPlan(operators.Resample.locfResample(
+      Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", col("value"), gridUs = 86400L * 1000000L))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library resample must not global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid fill must stay a keyed equi-join:\n$plan")
+    val nonKey = "Exchange hashpartitioning\\((?!user_id)".r.findAllIn(plan).length
+    assert(nonKey == 0, s"every exchange must be keyed on user_id:\n$plan")
   }
 
   test("t10: entropy fold is a zero-shuffle narrow pass") {
