@@ -96,6 +96,7 @@ object SparkEntry {
     "a17_small_qty_revenue" -> ((s, d) => analytics.Queries.smallQtyRevenue(s, d)),
     "d11_containment" -> ((s, d) => dedup.Dedup.d11(s, d)),
     "st7_locf_resample" -> ((s, d) => operators.Resample.st7(s, d)),
+    "p12_fk_orphans" -> ((s, d) => quality.Checks.p12FkOrphans(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1409,6 +1410,36 @@ object SparkEntry {
         | l.value IS NOT NULL AS is_observed
         |FROM grid g LEFT JOIN latest l ON l.user_id = g.user_id AND l.slot = g.slot
         |ORDER BY g.user_id, grid_slot""".stripMargin,
+    // p12: per-relation anti-join counts (null child keys reported
+    // separately, never folded into the orphan count)
+    "p12_fk_orphans" ->
+      """WITH rel AS (
+        | SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  CAST(count(*) AS BIGINT) AS n_children,
+        |  CAST(count(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+        |  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_null_keys
+        | FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+        | UNION ALL
+        | SELECT 'lineitem.l_partkey->part',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN l_partkey IS NULL THEN 1 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
+        | UNION ALL
+        | SELECT 'lineitem.l_suppkey->supplier',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN l_suppkey IS NOT NULL AND s.s_suppkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN l_suppkey IS NULL THEN 1 END) AS BIGINT)
+        | FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l.l_suppkey = s.s_suppkey
+        | UNION ALL
+        | SELECT 'orders.o_custkey->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+        | FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey)
+        |SELECT relation, n_children, n_orphans, n_null_keys,
+        | (n_orphans = 0 AND n_null_keys = 0) AS ok
+        |FROM rel ORDER BY relation""".stripMargin,
     // x12: x11's splitmix64 draw replay + per-content-hash copy count
     "x12_dup_weighted_sample" ->
       """WITH m0 AS (

@@ -272,4 +272,48 @@ object Checks {
     rowQuarantine(Tables.events(spark, dir),
       Seq("click", "error", "purchase", "signup", "view"), 400.0)
       .orderBy(col("event_id"))
+
+  /** Referential-integrity audit: for each declared foreign key,
+    * count child rows whose key has no parent — the orphan check
+    * every lake runs after ingest/backfill/CDC compaction (a
+    * repartitioned rewrite or a partial backfill that drops parents
+    * silently corrupts every downstream join). Each relation is one
+    * LEFT ANTI join aggregated to a single row — Spark picks
+    * broadcast vs shuffle per relation from the parent's size (the
+    * a2 rule: no hard hints on SF-scaling tables), and a null child
+    * key is reported separately (it is MISSING, not an orphan —
+    * three-valued logic would otherwise silently drop it from both
+    * counts).
+    *
+    * @param relations (name, child, childKey, parent, parentKey)
+    */
+  def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val perRelation = relations.map { case (name, child, ck, parent, pk) =>
+      val keys = child.select(col(ck).as("__k"))
+      val parents = parent.select(col(pk).as("__k")).distinct()
+      val nulls = keys.filter(col("__k").isNull)
+        .agg(count(lit(1)).as("n_null_keys"))
+      val orphans = keys.filter(col("__k").isNotNull)
+        .join(parents, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = keys.agg(count(lit(1)).as("n_children"))
+      total.crossJoin(orphans).crossJoin(nulls)
+        .select(lit(name).as("relation"), col("n_children"),
+          col("n_orphans"), col("n_null_keys"),
+          (col("n_orphans") === 0 && col("n_null_keys") === 0).as("ok"))
+    }
+    perRelation.reduce(_ unionAll _).orderBy(col("relation"))
+  }
+
+  /** Verified entry (p12): the star schema's four fact/dim edges. */
+  def p12FkOrphans(spark: SparkSession, dir: String): DataFrame =
+    fkOrphans(Seq(
+      ("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      ("lineitem.l_partkey->part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      ("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey")))
 }

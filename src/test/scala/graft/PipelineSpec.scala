@@ -130,6 +130,22 @@ class PipelineSpec extends GraftSpecBase {
     }
   }
 
+  test("p12: planted orphans and null keys land in the right buckets; clean relation passes") {
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)), // 99 has no parent
+      (4L, None)).map { case (id, k) => (id, k.map(Long.box).orNull) }
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val r = quality.Checks.fkOrphans(Seq(
+      ("child.fk->parent", child, "fk", parent, "pk"),
+      ("parent.pk->parent", parent, "pk", parent, "pk")))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r("child.fk->parent") == ((4L, 1L, 1L, false)),
+      s"4 children, 1 orphan (99), 1 null key: ${r("child.fk->parent")}")
+    assert(r("parent.pk->parent") == ((2L, 0L, 0L, true)), "self-FK is trivially intact")
+  }
+
   test("p9: latest-per-key keeps exactly the newest version, counts all versions") {
     val r = pipeline.Medallion.p9CdcLatest(spark, sf).collect()
     assert(r.nonEmpty)
