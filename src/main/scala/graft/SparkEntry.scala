@@ -72,6 +72,7 @@ object SparkEntry {
     "s7_rrf_fusion" -> ((s, d) => text.Retrieval.s7RrfFusion(s, d)),
     "x8_hash_split" -> ((s, d) => text.Curation.x8HashSplit(s, d)),
     "x9_token_budget_mix" -> ((s, d) => text.Curation.x9TokenBudgetMix(s, d)),
+    "x9b_token_budget_salted" -> ((s, d) => text.Curation.x9bTokenBudgetSalted(s, d)),
     "s8_mmr_rerank" -> ((s, d) => similarity.Similarity.s8(s, d)),
     "x10_shuffle_positions" -> ((s, d) => text.Curation.x10ShufflePositions(s, d)),
     "p9_cdc_latest" -> ((s, d) => pipeline.Medallion.p9CdcLatest(s, d)),
@@ -402,6 +403,27 @@ object SparkEntry {
     (1 to 10).map(i =>
       s"SELECT n_id AS doc_id, $i AS mmr_rank, round(mmr_score, 6) AS mmr_score, rel FROM mp$i")
       .mkString("\nUNION ALL ") + "\nORDER BY mmr_rank"
+
+  /** Shared by x9 (global-window spelling) and x9b (banded/salted
+    * spelling) — the two must be row-identical by construction.
+    */
+  private val x9Sql: String =
+    """WITH q AS (
+      | SELECT doc_id, source, n_tokens,
+      |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+      | FROM (
+      |  SELECT doc_id, source, len(toks) AS n_tokens,
+      |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+      |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+      |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))),
+      |c AS (
+      | SELECT doc_id, source, n_tokens, quality_score,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      | FROM q WHERE quality_score IS NOT NULL)
+      |SELECT doc_id, source, n_tokens, cum_tokens, quality_score FROM c
+      |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 6000 ELSE 3000 END
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query key (same parquet
     * tables, registered by table name). Column aliases MUST match the
@@ -1066,23 +1088,10 @@ object SparkEntry {
     "s8_mmr_rerank" -> ("WITH " + sqKnnCtes + ",\n" + mmrCtes + "\n" + mmrSelect),
     // x9: t1's quality replay + a per-source best-first running token
     // sum (ROWS frame over a total order), budget filter
-    "x9_token_budget_mix" ->
-      """WITH q AS (
-        | SELECT doc_id, source, n_tokens,
-        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
-        | FROM (
-        |  SELECT doc_id, source, len(toks) AS n_tokens,
-        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
-        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))),
-        |c AS (
-        | SELECT doc_id, source, n_tokens, quality_score,
-        |  CAST(sum(n_tokens) OVER (PARTITION BY source
-        |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        | FROM q WHERE quality_score IS NOT NULL)
-        |SELECT doc_id, source, n_tokens, cum_tokens, quality_score FROM c
-        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 6000 ELSE 3000 END
-        |ORDER BY doc_id""".stripMargin,
+    "x9_token_budget_mix" -> x9Sql,
+    // x9b: the banded (hot-source-salted) spelling must admit the
+    // IDENTICAL rows, so its oracle IS x9's global-window replay
+    "x9b_token_budget_salted" -> x9Sql,
     // x10: the distributed two-phase rank must equal a TRUE global
     // row_number over the mix64 ordering — the oracle computes the
     // global one directly (x8's scalar mix64 replay for the key)

@@ -277,27 +277,30 @@ object Checks {
     * count child rows whose key has no parent — the orphan check
     * every lake runs after ingest/backfill/CDC compaction (a
     * repartitioned rewrite or a partial backfill that drops parents
-    * silently corrupts every downstream join). Each relation is one
-    * LEFT ANTI join aggregated to a single row — Spark picks
-    * broadcast vs shuffle per relation from the parent's size (the
-    * a2 rule: no hard hints on SF-scaling tables), and a null child
-    * key is reported separately (it is MISSING, not an orphan —
-    * three-valued logic would otherwise silently drop it from both
-    * counts).
+    * silently corrupts every downstream join). Each relation is ONE
+    * pass: child keys LEFT-join the distinct parent keys and a single
+    * aggregation splits the rows three ways (total / null key /
+    * unmatched) — the child is scanned once, there is no 1-row-frame
+    * crossJoin (which would plan a BNLJ and trip the blanket
+    * no-cartesian pin), and Spark picks broadcast vs shuffle per
+    * relation from the parent's size (the a2 rule: no hard hints on
+    * SF-scaling tables). A null child key is reported separately (it
+    * is MISSING, not an orphan — three-valued logic would otherwise
+    * silently drop it from both counts; the null key also never
+    * matches in the join, so the marker column stays null for it).
     *
     * @param relations (name, child, childKey, parent, parentKey)
     */
   def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     val perRelation = relations.map { case (name, child, ck, parent, pk) =>
-      val keys = child.select(col(ck).as("__k"))
       val parents = parent.select(col(pk).as("__k")).distinct()
-      val nulls = keys.filter(col("__k").isNull)
-        .agg(count(lit(1)).as("n_null_keys"))
-      val orphans = keys.filter(col("__k").isNotNull)
-        .join(parents, Seq("__k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val total = keys.agg(count(lit(1)).as("n_children"))
-      total.crossJoin(orphans).crossJoin(nulls)
+        .withColumn("__hit", lit(1))
+      child.select(col(ck).as("__k"))
+        .join(parents, Seq("__k"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_children"),
+          count(when(col("__k").isNotNull && col("__hit").isNull, 1)).as("n_orphans"),
+          count(when(col("__k").isNull, 1)).as("n_null_keys"))
         .select(lit(name).as("relation"), col("n_children"),
           col("n_orphans"), col("n_null_keys"),
           (col("n_orphans") === 0 && col("n_null_keys") === 0).as("ok"))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch st5 funnel and st6 transition-matrix
+  * operators (graft.operators.Funnel / Transitions), following the
+  * same pattern st1 already proves with Sessionize.sessionizeStream:
+  * the batch spelling is a per-key fold over a totally-ordered event
+  * history, so the streaming spelling is the SAME fold with the
+  * accumulator held in GroupState across micro-batches.
+  *
+  * Ordering contract (shared with st1): events for one key arrive
+  * in (ts_us, event_id) order ACROSS micro-batches (the watermark
+  * assumption); within a batch they may arrive shuffled and are
+  * sorted before the fold. Under that contract the emitted results
+  * are row-identical to the batch operators — proven in
+  * StreamingSpec on MemoryStream input.
+  *
+  * Scale: state is O(keys) and O(1) per key — three optional
+  * timestamps for the funnel, one (ts, id, type) triple for
+  * transitions. Nothing about a key's full history is retained, so
+  * unlike the batch spelling (which needs a key's filtered history in
+  * one task) the streaming twin has NO per-key-bounded-history
+  * assumption — it is the fallback the Funnel scaladoc names for
+  * unbounded keys, run continuously.
+  */
+object StatefulTwins {
+
+  // ---------------------------------------------------------------- funnel
+
+  final case class FunnelEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  final case class FunnelOut(user_id: Long, step1_ts_us: Option[Long],
+                             step2_ts_us: Option[Long], step3_ts_us: Option[Long],
+                             reached: Int)
+
+  /** Streaming 3-step funnel: mapGroupsWithState keyed by user, the
+    * exact step state machine of Funnel.funnel3 (strictly-after step
+    * ordering), emitting each user's CURRENT funnel row every batch
+    * (Update mode — the downstream sink upserts by user_id, the same
+    * keyed-upsert contract p9/Streams.upsertBatch document).
+    */
+  def funnelStream(events: Dataset[FunnelEv],
+                   steps: (String, String, String)): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val (s1, s2, s3) = steps
+
+    def fn(userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]): FunnelOut = {
+      var st = state.getOption.getOrElse(FunnelState(None, None, None))
+      // in-batch reordering is repaired here; cross-batch order is the contract
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        st = FunnelState(
+          if (st.t1.isEmpty && e.event_type == s1) Some(e.ts_us) else st.t1,
+          if (st.t2.isEmpty && st.t1.nonEmpty && e.event_type == s2 && e.ts_us > st.t1.get) Some(e.ts_us) else st.t2,
+          if (st.t3.isEmpty && st.t2.nonEmpty && e.event_type == s3 && e.ts_us > st.t2.get) Some(e.ts_us) else st.t3)
+      }
+      state.update(st)
+      val reached = if (st.t3.nonEmpty) 3 else if (st.t2.nonEmpty) 2 else if (st.t1.nonEmpty) 1 else 0
+      FunnelOut(userId, st.t1, st.t2, st.t3, reached)
+    }
+
+    events
+      .filter(e => e.event_type == s1 || e.event_type == s2 || e.event_type == s3)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  // ------------------------------------------------------------ transitions
+
+  final case class TransEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class LastEv(ts_us: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming transition-pair emission: flatMapGroupsWithState keyed
+    * by user holding only the key's LAST event; each batch emits the
+    * (from → to) pair for every consecutive step, including the seam
+    * pair from the stored last event to the batch's first. Append
+    * mode — pairs are immutable facts once emitted; the matrix
+    * (count + probability over |types|² keys) is the same downstream
+    * aggregation the batch operator runs, over an identical pair set.
+    */
+  def transitionPairsStream(events: Dataset[TransEv]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[TransEv], state: GroupState[LastEv]): Iterator[TransPair] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[TransPair]
+      var last = state.getOption
+      sorted.foreach { e =>
+        last.foreach(l => out += TransPair(userId, l.event_type, e.event_type))
+        last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+      }
+      state.update(last.get)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
+}

@@ -174,6 +174,54 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** The salted spelling of [[tokenBudgetMix]] for hot sources — the
+    * fallback the unsalted scaladoc names, made exact. A source
+    * holding half the corpus turns the per-source window into one
+    * straggler task; banding splits it WITHOUT changing a single
+    * output row.
+    *
+    * Exactness argument: the window order is (quality DESC, doc_id),
+    * and the band is a monotone step function of quality alone, so
+    * band order is aligned with the global order — every doc in a
+    * higher band precedes every doc in a lower band. The global
+    * running sum therefore decomposes into (sum of whole higher
+    * bands) + (running sum within my band): the same two-phase
+    * distributed prefix-sum idiom x10's shufflePositions uses for
+    * ranks. Phase 1 aggregates per-(source, band) token totals
+    * (tiny: |sources|×bands rows, broadcast back); phase 2 windows
+    * only within (source, band). The hot source's sort now runs as
+    * `bands` parallel tasks; no task ever sees more than one band.
+    *
+    * Null quality docs (unscorable) get band -1, which sorts last
+    * under band DESC exactly as NULL sorts last under Spark's
+    * quality DESC — alignment holds for them too.
+    */
+  def tokenBudgetMixSalted(docs: DataFrame, budgets: Map[String, Long],
+                           defaultBudget: Long, bands: Int = 32): DataFrame = {
+    require(bands > 1, "banding needs at least 2 bands")
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val band = when(col("quality_score").isNull, lit(-1L))
+      .otherwise(least(lit(bands - 1L),
+        greatest(lit(0L), floor(col("quality_score") * bands).cast("long"))))
+    val keyed = docs.withColumn("__band", band)
+    val offsets = keyed.groupBy(col("source"), col("__band"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__btok"))
+      .withColumn("__offset", coalesce(
+        sum(col("__btok")).over(Window.partitionBy(col("source"))
+          .orderBy(col("__band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("__band"), col("__offset"))
+    val wIn = Window.partitionBy(col("source"), col("__band"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offsets), Seq("source", "__band"))
+      .withColumn("cum_tokens", col("__offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__band", "__offset")
+  }
+
   /** Deterministic corpus shuffle with MATERIALIZED positions:
     * every row gets its global rank under the mix64(id) ordering —
     * the reproducible "shuffle the corpus before training" step,
@@ -307,6 +355,19 @@ object Curation {
     */
   def x9TokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetMix(
+      TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .filter(col("quality_score").isNotNull),
+      budgets = Map("src0" -> 6000L), defaultBudget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** x9b: x9 through the banded/salted window — must produce the
+    * IDENTICAL admitted set (the oracle replays the global-window
+    * spelling, so DuckDB itself proves the decomposition exact).
+    */
+  def x9bTokenBudgetSalted(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixSalted(
       TextAnalysis.qualityScore(Tables.documents(spark, dir))
         .filter(col("quality_score").isNotNull),
       budgets = Map("src0" -> 6000L), defaultBudget = 3000L)

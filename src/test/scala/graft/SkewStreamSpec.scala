@@ -63,6 +63,33 @@ class SkewStreamSpec extends GraftSpecBase {
     }
   }
 
+  test("banded token-budget mix is row-identical on a planted 100x hot source") {
+    // x9's documented hot-source case: one source holds ~100x the
+    // docs of every other. The banded spelling must (a) admit the
+    // EXACT same rows with the EXACT same running totals, and (b)
+    // actually split the hot source's window across bands in the
+    // plan, so no single task sorts the whole source.
+    import spark.implicits._
+    val hot = (1L to 5000L).map(i => (i, "hot", 10L + (i % 37), (i % 101).toDouble / 101.0))
+    val cold = (1L to 4L).flatMap(sIdx => (1L to 50L).map(i =>
+      (100000L + sIdx * 1000L + i, s"cold$sIdx", 10L + (i % 37), (i % 53).toDouble / 53.0)))
+    val docs = (hot ++ cold).toDF("doc_id", "source", "n_tokens", "quality_score")
+      .repartition(8)
+    val budgets = Map("hot" -> 20000L)
+    val plain = text.Curation.tokenBudgetMix(docs, budgets, defaultBudget = 500L)
+    val salted = text.Curation.tokenBudgetMixSalted(docs, budgets, defaultBudget = 500L, bands = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val p = rows(plain); val s = rows(salted)
+    assert(p == s, s"diverge: plain-only=${(p -- s).take(3)} salted-only=${(s -- p).take(3)}")
+    assert(p.nonEmpty && p.exists(_._2 == "hot") && p.exists(_._2 == "cold1"))
+    // plan pin: the salted window partitions on (source, band), never
+    // on source alone — the hot key is split 16 ways
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__band"), s"banded window must key on __band:\n${plan.take(2000)}")
+  }
+
   test("stream-stream interval join: purchases enriched with recent signups") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema

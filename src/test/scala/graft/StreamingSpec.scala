@@ -163,4 +163,76 @@ class StreamingSpec extends GraftSpecBase {
     val bad = r.filter(col("session_end_us") < col("session_start_us")).count()
     assert(bad == 0)
   }
+
+  test("streaming funnel twin equals batch st5 on the real event log (cross-batch state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{FunnelEv, FunnelOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEv].collect()
+    // two micro-batches split at the median timestamp: every key's
+    // batch-1 events precede its batch-2 events (the cross-batch
+    // ordering contract); order WITHIN each batch is scrambled to
+    // prove the in-batch sort repairs it
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[FunnelEv]
+    val q = streaming.StatefulTwins.funnelStream(mem.toDS(), ("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_twin").outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // update-mode upsert: MemorySink returns batches in order, so the
+    // last row per key is the key's final funnel state
+    val finalByUser = scala.collection.mutable.LinkedHashMap[Long, FunnelOut]()
+    spark.table("funnel_twin").as[FunnelOut].collect().foreach(r => finalByUser(r.user_id) = r)
+    val streamed = finalByUser.values
+      .map(r => (r.user_id, r.step1_ts_us, r.step2_ts_us, r.step3_ts_us, r.reached)).toSet
+    val batch = operators.Funnel.st5(spark, sf).collect().map(r =>
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming transition pairs equal the batch lead-window pairs (seam pairs included)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{TransEv, TransPair}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[TransEv]
+    val q = streaming.StatefulTwins.transitionPairsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    def multiset(ps: Seq[(Long, String, String)]) = ps.groupBy(identity).view.mapValues(_.size).toMap
+    val streamed = multiset(spark.table("trans_twin").as[TransPair].collect()
+      .map(p => (p.user_id, p.from_type, p.to_type)).toSeq)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val batch = multiset(Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4))).toSeq)
+    assert(streamed == batch, s"pair multisets diverge: ${streamed.size} vs ${batch.size} distinct")
+    // and the aggregated matrix therefore matches st6's (from,to,n) rows
+    val streamMatrix = streamed.groupBy { case ((_, f, t), _) => (f, t) }
+      .view.mapValues(_.values.sum).toMap
+    val st6Matrix = operators.Transitions.st6(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
+    assert(streamMatrix == st6Matrix)
+  }
 }
