@@ -98,6 +98,11 @@ object SparkEntry {
     "d11_containment" -> ((s, d) => dedup.Dedup.d11(s, d)),
     "st7_locf_resample" -> ((s, d) => operators.Resample.st7(s, d)),
     "p12_fk_orphans" -> ((s, d) => quality.Checks.p12FkOrphans(s, d)),
+    "st8_rolling_active" -> ((s, d) => operators.Activity.st8(s, d)),
+    "st8b_rolling_sketch" -> ((s, d) => operators.Activity.st8b(s, d)),
+    "st9_zscore_anomaly" -> ((s, d) => operators.Activity.st9(s, d)),
+    "a18_grouping_sets" -> ((s, d) => analytics.Queries.groupingSetsStats(s, d)),
+    "a19_waiting_supplier" -> ((s, d) => analytics.Queries.waitingSupplier(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1476,5 +1481,78 @@ object SparkEntry {
         | FROM lineitem
         | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'))
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    // st8: rolling distinct actives — grid × (day,user) between-join,
+    // the same decomposition the Spark side runs
+    "st8_rolling_active" ->
+      """WITH daily AS (
+        | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |grid AS (SELECT DISTINCT day AS g_day FROM daily)
+        |SELECT g_day AS day,
+        | CAST(count(DISTINCT CASE WHEN d.day = g_day THEN d.user_id END) AS BIGINT) AS dau,
+        | CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau,
+        | round(CAST(count(DISTINCT CASE WHEN d.day = g_day THEN d.user_id END) AS DOUBLE)
+        |   / count(DISTINCT d.user_id), 4) AS stickiness
+        |FROM grid g JOIN daily d ON d.day BETWEEN g_day - 6 AND g_day
+        |GROUP BY g_day ORDER BY day""".stripMargin,
+    // st8b: exact replay + literal-true gate flags (a8b pattern) —
+    // the HLL union estimate must sit within the in-query tolerance
+    // for the hash to match
+    "st8b_rolling_sketch" ->
+      """WITH daily AS (
+        | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |grid AS (SELECT DISTINCT day AS g_day FROM daily)
+        |SELECT g_day AS day,
+        | CAST(count(DISTINCT CASE WHEN d.day = g_day THEN d.user_id END) AS BIGINT) AS dau,
+        | CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau,
+        | true AS dau_ok, true AS wau_ok
+        |FROM grid g JOIN daily d ON d.day BETWEEN g_day - 6 AND g_day
+        |GROUP BY g_day ORDER BY day""".stripMargin,
+    // st9: day-grain series + lagged ROWS-frame baseline (7 preceding
+    // through 1 preceding), sample stddev, threshold 2
+    "st9_zscore_anomaly" ->
+      """WITH series AS (
+        | SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  avg(value) AS m
+        | FROM events WHERE event_type IS NOT NULL
+        | GROUP BY 1, 2),
+        |scored AS (
+        | SELECT series, day, m,
+        |  avg(m) OVER w AS mu, stddev_samp(m) OVER w AS sd
+        | FROM series
+        | WINDOW w AS (PARTITION BY series ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT series, day, round(m, 4) AS daily_mean,
+        | round(CASE WHEN sd > 0 THEN (m - mu) / sd END, 4) AS z,
+        | coalesce(abs(CASE WHEN sd > 0 THEN round((m - mu) / sd, 4) END) > 2, false) AS is_anomaly
+        |FROM scored ORDER BY series, day""".stripMargin,
+    // a19: the TEXTBOOK correlated spelling (EXISTS + NOT EXISTS fact
+    // self-joins) — deliberately a different formulation than the
+    // Spark window decorrelation, so the hash match proves them
+    // equivalent
+    "a19_waiting_supplier" ->
+      """WITH sm AS (
+        | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+        | FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        | SELECT sm.* FROM sm JOIN orders ON o_orderkey = l_orderkey
+        | WHERE o_orderstatus = 'F')
+        |SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS waiting_count
+        |FROM f s1
+        |WHERE EXISTS (SELECT 1 FROM f s2 WHERE s2.l_orderkey = s1.l_orderkey
+        |   AND s2.l_suppkey <> s1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM f s3 WHERE s3.l_orderkey = s1.l_orderkey
+        |   AND s3.l_suppkey <> s1.l_suppkey AND s3.s_max >= s1.s_max)
+        |GROUP BY 1 ORDER BY waiting_count DESC, suppkey LIMIT 100""".stripMargin,
+    // a18: non-hierarchical grouping sets + grouping_id disambiguation
+    "a18_grouping_sets" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year, l_quantity FROM lineitem)
+        |SELECT CAST(grouping(l_returnflag, l_linestatus, ship_year) AS INT) AS gid,
+        | l_returnflag, l_linestatus, ship_year,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
   )
 }

@@ -153,6 +153,49 @@ object Queries {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
   }
 
+  /** a19: TPC-H Q21-shape "sole blocking supplier" — for finished
+    * multi-supplier orders, the supplier whose last shipment is the
+    * UNIQUE latest (every other supplier shipped strictly earlier),
+    * counted per supplier. The textbook spelling is a correlated
+    * EXISTS (another supplier in the order) + NOT EXISTS (another
+    * supplier as late or later) — TWO fact self-joins; the oracle
+    * replays exactly that spelling, so DuckDB itself proves the
+    * decorrelation below equivalent.
+    *
+    * Spark-first decorrelation: shuffle lineitem ONCE on l_orderkey
+    * (the explicit repartition makes the (orderkey, suppkey) agg,
+    * the orders join and BOTH whole-order windows all reuse that one
+    * exchange — hashpartitioning(orderkey) satisfies each step's
+    * clustering requirement, where a bare groupBy(orderkey, suppkey)
+    * would shuffle on the pair and again for the join). Both EXISTS
+    * quantifiers collapse into whole-partition window aggregates:
+    * n_supp ≥ 2 ⟺ EXISTS(other supplier), s_max = order max with a
+    * unique argmax ⟺ NOT EXISTS(other as-late supplier). No
+    * self-join: the fact table is scanned once and shuffled once.
+    */
+  def waitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("s_max"))
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .join(finished, perSupp("l_orderkey") === finished("o_orderkey"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("o_max", max(col("s_max")).over(w))
+      .withColumn("n_at_max",
+        count(when(col("s_max") === col("o_max"), lit(1))).over(w))
+      .filter(col("n_supp") >= 2 && col("s_max") === col("o_max") &&
+        col("n_at_max") === 1)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).cast("long").as("waiting_count"))
+      .orderBy(col("waiting_count").desc, col("suppkey"))
+      .limit(100)
+  }
+
   /** Exact distinct + conditional aggregation per order priority. */
   def distinctStats(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
@@ -307,6 +350,29 @@ object Queries {
         col("sum_qty"), col("sum_price"), col("n"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** a18: arbitrary (non-hierarchical) GROUPING SETS — the shape
+    * rollup/cube can't express: a detailed (flag, status) breakdown,
+    * an independent ship-year breakdown, and the grand total, in ONE
+    * scan and one shuffle (Catalyst expands the sets map-side
+    * exactly as a7/a14; the alternative is three scans UNION ALLed).
+    * grouping_id() disambiguates expansion NULLs from data NULLs.
+    */
+  def groupingSetsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("ship_year"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("ship_year").asc_nulls_first)
 
   /** a15: window FRAMES — running total and a trailing 3-row sum per
     * user over the event stream, the cumulative-metrics shape (a4 and

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Rolling engagement and anomaly operators over the event stream —
+  * the "is the product healthy" pair every analytics deployment runs
+  * daily: rolling distinct actives (DAU/WAU/stickiness) and
+  * self-baselined series anomaly flags.
+  */
+object Activity {
+
+  /** Rolling distinct active users: for each active day, the distinct
+    * users that day (DAU) and over the trailing `windowDays` window
+    * (WAU), plus the DAU/WAU stickiness ratio.
+    *
+    * Rolling COUNT DISTINCT does not decompose into a window frame
+    * (distinct is not subtractable), so the naive spelling is a
+    * per-day self-join over the raw fact table — at 100 TB that
+    * re-scans the corpus per day. This spelling instead: (1) dedupe
+    * to (day, user) pairs — ONE shuffle over data that is already
+    * tiny relative to the fact table (≤ days × users rows, and
+    * map-side partial dedupe collapses each task's repeat visitors
+    * before the exchange); (2) explode each pair to the ≤
+    * `windowDays` window days it contributes to — a NARROW
+    * constant-factor fan-out, no join, never quadratic; (3) one
+    * distinct-agg shuffle on (target day, user). Target days with
+    * dau = 0 are exactly the days that were never active (gap days
+    * and the fan-out past the series end) — an active day has ≥ 1
+    * distinct user by construction — so a post-agg filter replaces
+    * the day-grid semi-join a between-join spelling needs (which
+    * would both re-scan the fact table for the grid and plan a
+    * nested-loop). Total: ONE fact scan, one dedupe shuffle, one
+    * agg shuffle, no joins at all. An exact sliding distinct at a
+    * 7-day window costs ≤ 7× the deduped pair set — the approximate
+    * path (per-day HLL sketches merged across the window, a5b's
+    * sketch family) is the lever when even that fan-out is too much.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    events
+      .filter(col(userCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+      .withColumn("g_day",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .groupBy(col("g_day"))
+      .agg(
+        countDistinct(when(col("day") === col("g_day"), col("__u"))).as("dau"),
+        countDistinct(col("__u")).as("wau"))
+      .filter(col("dau") > 0)
+      .select(col("g_day").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  /** Verified entry (st8): 7-day rolling actives over `events`. */
+  def st8(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsers(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy(col("day"))
+
+  /** The sketch path for rolling actives — the lever named in
+    * [[rollingActiveUsers]] for when even the bounded pair fan-out is
+    * too much: ONE mergeable HLL sketch row per day (constant bytes,
+    * Spark's DataSketches `hll_sketch_agg`) replaces the per-(day,
+    * user)-pair fan-out, so the rolling union runs over days ×
+    * windowDays SKETCH rows instead of pairs × windowDays — the
+    * per-day reduction is map-side and the rolling stage's input no
+    * longer scales with user count at all. DAU stays exact (free at
+    * day grain); WAU becomes the HLL union estimate (±~0.8% at
+    * lgK=14). Returns (day, dau, wau_est).
+    */
+  def rollingActiveSketch(events: DataFrame, userCol: String, tsCol: String,
+                          windowDays: Int = 7, lgK: Int = 14): DataFrame = {
+    events
+      .filter(col(userCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("__u"), lgK).as("__sk"),
+        countDistinct(col("__u")).as("__dau"))
+      .withColumn("g_day",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .groupBy(col("g_day"))
+      .agg(
+        max(when(col("day") === col("g_day"), col("__dau"))).as("dau"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("wau_est"))
+      .filter(col("dau").isNotNull)
+      .select(col("g_day").as("day"), col("dau"), col("wau_est"))
+  }
+
+  /** Verified entry (st8b): the sketch path gated IN-QUERY against
+    * the exact path (a8b's pattern — the oracle replays the exact
+    * values and literal-true flags, so a drifting sketch breaks the
+    * hash): exact dau must agree bit-for-bit, wau_est must land
+    * within 5% (≥6σ headroom at lgK=14) of exact wau.
+    */
+  def st8b(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val exact = rollingActiveUsers(events, "user_id", "ts")
+    val sketch = rollingActiveSketch(events, "user_id", "ts")
+    exact.join(sketch.select(col("day"), col("dau").as("__dau_sk"),
+        col("wau_est")), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("__dau_sk") === col("dau")).as("dau_ok"),
+        (abs(col("wau_est") - col("wau")) <=
+          greatest(lit(1.0), col("wau") * 0.05)).as("wau_ok"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-series z-score anomaly flags: each (series key, day) point
+    * is scored against the trailing `baselineDays` points of ITS OWN
+    * series — mean and sample stddev over a lagged ROWS frame, so
+    * today's value never contaminates its own baseline. A point with
+    * fewer than 2 prior points has no defined deviation and is
+    * never flagged (null z).
+    *
+    * Scale shape: one shuffle to the (key, day) grain — map-side
+    * partial aggregation collapses the fact rows — then a window
+    * over the key-grain SERIES, whose per-key length is days, not
+    * rows. The fact table is never window-sorted; series math rides
+    * a frame that is bounded by construction (`baselineDays`).
+    */
+  def zscoreAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, baselineDays: Int = 7,
+                      threshold: Double = 2.0): DataFrame = {
+    val series = events
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(avg(col(valCol)).as("__mean"))
+    val baseline = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(-baselineDays, -1)
+    series
+      .withColumn("__mu", avg(col("__mean")).over(baseline))
+      .withColumn("__sd", stddev_samp(col("__mean")).over(baseline))
+      .withColumn("z",
+        round(when(col("__sd") > 0,
+          (col("__mean") - col("__mu")) / col("__sd")), 4))
+      .select(col("series"), col("day"),
+        round(col("__mean"), 4).as("daily_mean"), col("z"),
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
+  }
+
+  /** Verified entry (st9): per-event-type daily mean `value` scored
+    * against its trailing week.
+    */
+  def st9(spark: SparkSession, dir: String): DataFrame =
+    zscoreAnomalies(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy(col("series"), col("day"))
+}

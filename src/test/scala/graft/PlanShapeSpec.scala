@@ -466,4 +466,47 @@ class PlanShapeSpec extends GraftSpecBase {
     val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
     assert(corpusShuffles <= 1, s"corpus must only shuffle for the per-doc agg:\n$plan")
   }
+
+  test("st8: rolling actives — one fact scan, no joins, no range partition") {
+    val plan = finalPlan(operators.Activity.rollingActiveUsers(
+      Tables.events(spark, sf), "user_id", "ts"))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"the fact table must be scanned exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"the explode+filter spelling needs no join at all:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort in the library operator:\n$plan")
+  }
+
+  test("st9: anomaly scoring — map-side day-grain reduction, key-partitioned series window") {
+    val plan = finalPlan(operators.Activity.zscoreAnomalies(
+      Tables.events(spark, sf), "event_type", "ts", "value"))
+    assert(plan.contains("partial_"),
+      s"day-grain reduction must start map-side:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"agg-to-grain + series window only, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"series window partitions by key, never range:\n$plan")
+  }
+
+  test("a19: Q21-shape decorrelation — fact shuffles ONCE, no self-join, orders filter pushed") {
+    val plan = finalPlan(analytics.Queries.waitingSupplier(spark, sf))
+    val liScans = "lineitem".r.findAllIn(plan).length
+    assert(liScans == 1, s"one lineitem scan — the EXISTS pair must not self-join:\n$plan")
+    val okShuffles = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).length
+    assert(okShuffles == 1,
+      s"agg, orders join and both windows must reuse ONE orderkey exchange:\n$plan")
+    assert(plan.contains("PushedFilters: [EqualTo(o_orderstatus,F)]"),
+      s"status filter must reach the orders scan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("a18: grouping sets expand map-side — one scan, one shuffle, no union of scans") {
+    val plan = finalPlan(analytics.Queries.groupingSetsStats(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"grouping sets must not re-scan per set:\n$plan")
+    assert(plan.contains("Expand"), s"Catalyst must expand the sets:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"one shuffle on the expanded keys, got $shuffles:\n$plan")
+  }
 }
