@@ -103,6 +103,7 @@ object SparkEntry {
     "st9_zscore_anomaly" -> ((s, d) => operators.Activity.st9(s, d)),
     "a18_grouping_sets" -> ((s, d) => analytics.Queries.groupingSetsStats(s, d)),
     "a19_waiting_supplier" -> ((s, d) => analytics.Queries.waitingSupplier(s, d)),
+    "x13_leakage_safe_split" -> ((s, d) => text.Curation.x13LeakageSafeSplit(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -209,6 +210,28 @@ object SparkEntry {
     * assignment - everything up to `corpus(vec_id, emb, cell)`.
     * Consumed by the s3 (IVF KNN) and d9 (semantic dedup) oracles.
     */
+  /** Shared by d6 and x13: transitive closure over the exact 3-gram
+    * jaccard pair set (the same pairs d4 verifies) → min-id cluster
+    * labels for every doc that appears in an edge.
+    */
+  private val ccLabelCtes: String =
+    """g AS (
+      | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+      | WHERE len(toks) >= 3),
+      |p AS (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      | FROM g a JOIN g b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      |reach AS (
+      | SELECT src AS id, src AS r FROM edges
+      | UNION
+      | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   private val ivfCorpusCtes: String =
     """e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -892,27 +915,12 @@ object SparkEntry {
     // d6: connected components = transitive closure over the exact
     // jaccard pair set (the same pairs d4 verifies), min-id labels
     "d6_dedup_clusters" ->
-      """WITH RECURSIVE g AS (
-        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
-        | WHERE len(toks) >= 3),
-        |p AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        | FROM g a JOIN g b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
-        |reach AS (
-        | SELECT src AS id, src AS r FROM edges
-        | UNION
-        | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-        |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      ("WITH RECURSIVE " + ccLabelCtes + """,
         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
         |SELECT l.doc_id, l.cluster_id, s.cluster_size, (l.doc_id = l.cluster_id) AS keep
         |FROM labels l JOIN sizes s USING (cluster_id)
         |WHERE s.cluster_size > 1
-        |ORDER BY l.doc_id""".stripMargin,
+        |ORDER BY l.doc_id""".stripMargin),
     // d3: bit-exact DuckDB replay of the simhash pipeline — FNV-1a 64
     // per token then the splitmix64 finalizer applied twice
     // (ShingleHashes n=1 mixes the token hash, then the 1-gram combine
@@ -1088,6 +1096,28 @@ object SparkEntry {
         |SELECT doc_id, bucket,
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // x13: d6's transitive-closure labels (shared ccLabelCtes), rep =
+    // coalesce(label, own id), then x8's exact mix64 chain on rep
+    "x13_leakage_safe_split" ->
+      ("WITH RECURSIVE " + ccLabelCtes + """,
+        |rep AS (
+        | SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep_id
+        | FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+        |m0 AS (SELECT doc_id, rep_id, (CAST(rep_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z FROM rep),
+        |m1 AS (SELECT doc_id, rep_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, rep_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, rep_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, rep_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, rep_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id, rep_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+        | FROM m5),
+        |b AS (SELECT doc_id, rep_id, ((h % 100) + 100) % 100 AS bucket FROM sgn)
+        |SELECT doc_id, rep_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
     // s8: quantized-ANN candidates for query 0, then the unrolled
     // greedy MMR replay (see mmrCtes)
     "s8_mmr_rerank" -> ("WITH " + sqKnnCtes + ",\n" + mmrCtes + "\n" + mmrSelect),

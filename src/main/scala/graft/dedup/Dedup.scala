@@ -295,7 +295,7 @@ object Dedup {
   private val jaccardPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[dedup] def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsCache.computeIfAbsent(dir,
       _ => exactJaccardPairs(Tables.documents(spark, dir)).persist())
 

@@ -146,6 +146,42 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed on the doc's near-dup
+    * cluster REPRESENTATIVE (d6's min-id connected-component label;
+    * singletons keep rep = own id, so the dup-free part of the corpus
+    * splits exactly as x8 does) — a near-dup pair can then never
+    * straddle train and test, the eval-contamination hole a per-doc
+    * hash split leaves open: two near-identical docs hash
+    * INDEPENDENTLY, so at 80/10/10 an expected ~2·0.8·0.2+2·0.1·0.9
+    * ≈ 34% of cross-dup pairs land in different splits. Cost on top
+    * of x8: the near-dup clustering over the SHARED persisted pair
+    * set (free when any dedup consumer already ran) plus one
+    * labels⋈docs join on doc_id — the corpus never shuffles for the
+    * split itself, which stays a narrow deterministic map of rep_id.
+    */
+  def leakageSafeSplit(docs: DataFrame, labels: DataFrame,
+                       idCol: String = "doc_id",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    hashSplit(
+      docs.select(col(idCol))
+        .join(labels.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+        .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+        .drop("cluster_id"),
+      "rep_id", trainPct, valPct)
+
+  /** Verified entry (x13): leakage-safe split over `documents` with
+    * d6's exact-jaccard components as the cluster labels.
+    */
+  def x13LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = graft.dedup.Dedup.cachedJaccardPairs(spark, dir)
+    val labels = graft.dedup.Clusters.connectedComponents(
+      docs, pairs.select(col("a_id"), col("b_id")))
+    leakageSafeSplit(docs, labels)
+      .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budgeted source mixing: fill each source's token budget
     * BEST-FIRST — rank a source's docs by quality, admit them in
     * order while the running token total stays under the source's

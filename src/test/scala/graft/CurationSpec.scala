@@ -148,6 +148,34 @@ class CurationSpec extends GraftSpecBase {
     assert(re == byId, "split must be invariant under repartitioning")
   }
 
+  test("x13 leakage-safe split: clusters never straddle splits, and it actually rescues leaks x8 permits") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax}
+    // planted clusters chosen so x8's PER-DOC split demonstrably
+    // disagrees within a cluster (ids 0-99 hash to a mix of splits)
+    val docs = (0L until 100L).toDF("doc_id")
+    val labels = docs.withColumn("cluster_id", col("doc_id") - (col("doc_id") % 4))
+    val safe = text.Curation.leakageSafeSplit(docs, labels)
+    // 1) every cluster lands in exactly one split
+    val straddling = safe.join(labels, "doc_id")
+      .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling == 0, "a near-dup cluster must never straddle splits")
+    // 2) the per-doc split DOES straddle some of these clusters — the
+    //    leak x13 exists to close (if this stops holding, the planted
+    //    ids no longer exercise the operator)
+    val naive = text.Curation.hashSplit(docs, "doc_id")
+    val naiveStraddles = naive.join(labels, "doc_id")
+      .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(naiveStraddles > 0, "planted clusters must expose the per-doc-split leak")
+    // 3) singletons (rep = own id) split exactly as x8
+    val singles = docs.withColumn("cluster_id", col("doc_id"))
+    val asX8 = text.Curation.leakageSafeSplit(docs, singles)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val x8 = naive.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asX8 == x8, "singleton docs must split identically to the per-doc hash split")
+  }
+
   test("x11 weighted sample: draw replays mix64, acceptance tracks the weight, layout-invariant") {
     val df = (0L until 400L).map(i => (i, i.toDouble / 400.0)).toDF("id", "w")
     val kept = text.Curation.qualityWeightedSample(df, "id", col("w"))
