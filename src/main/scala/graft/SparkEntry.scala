@@ -104,6 +104,7 @@ object SparkEntry {
     "a18_grouping_sets" -> ((s, d) => analytics.Queries.groupingSetsStats(s, d)),
     "a19_waiting_supplier" -> ((s, d) => analytics.Queries.waitingSupplier(s, d)),
     "x13_leakage_safe_split" -> ((s, d) => text.Curation.x13LeakageSafeSplit(s, d)),
+    "d12_strip_dup_spans" -> ((s, d) => dedup.Substring.d12(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1118,6 +1119,28 @@ object SparkEntry {
         |SELECT doc_id, rep_id, bucket,
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
+    // d12: token-window replay of the span stripper — hot 8-token
+    // windows (≥2 distinct docs), covered positions, ordered re-join
+    // of the surviving tokens
+    "d12_strip_dup_spans" ->
+      """WITH base AS (
+        | SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |wins AS (
+        | SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS w
+        | FROM base, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+        |hot AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins) GROUP BY w HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS p
+        |        FROM wins SEMI JOIN hot USING (w), UNNEST(generate_series(0, 7)) AS g(k)),
+        |tokpos AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        |           FROM base, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |keep AS (SELECT t.doc_id, t.p, t.tok
+        |         FROM tokpos t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p),
+        |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text FROM keep GROUP BY doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, len(b.toks) AS n_tokens, COALESCE(n.n_removed, 0) AS n_removed,
+        | COALESCE(c.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN nrem n USING (doc_id) LEFT JOIN clean c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // s8: quantized-ANN candidates for query 0, then the unrolled
     // greedy MMR replay (see mmrCtes)
     "s8_mmr_rerank" -> ("WITH " + sqKnnCtes + ",\n" + mmrCtes + "\n" + mmrSelect),

@@ -66,4 +66,60 @@ object Substring {
     duplicatedWindows(Tables.documents(spark, dir))
       .select("doc_id", "n_windows", "n_dup_windows", "dup_fraction", "flagged")
       .orderBy("doc_id")
+
+  /** Duplicated-span REMOVAL (the ExactSubstr-dedup transform): where
+    * [[duplicatedWindows]] only *flags* shared passages, this strips
+    * them — every token covered by a `width`-token window that occurs
+    * in ≥ `minDocs` distinct documents is deleted and the surviving
+    * tokens are re-joined, so repeated boilerplate disappears from
+    * every copy while each document keeps its unique prose. Removing
+    * (rather than dropping whole docs) is the published ExactSubstr
+    * result: near-dup doc filters cannot see a paragraph shared by
+    * otherwise-different pages.
+    *
+    * Scale shape: token windows explode to (doc, pos, window) — the
+    * same D·n fan-out d8 bounds, never a pair set; hot windows are
+    * decided by a count on the window-string shuffle key; covered
+    * positions come back per doc as hot START offsets only
+    * (`collect_set` of starts, each start expanding to `width`
+    * positions inside a higher-order function on the reduce side —
+    * the w× position fan-out never crosses the wire); the final
+    * reconstruction is a narrow indexed-lambda filter over the
+    * original token array. Two shuffles total (window key, doc key),
+    * both hash-balanced. At 100 TB the window strings become 64-bit
+    * rolling hashes — same plan, 8-byte keys (d8's documented lever).
+    */
+  def stripDupSpans(docs: DataFrame, width: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val wins = toks
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - width),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(width))))))
+      .toDF("doc_id", "pos", "w")
+    val hot = wins.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).count()
+      .filter(col("count") >= minDocs)
+      .select(col("w"))
+    val starts = wins.join(hot, Seq("w"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(
+        array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + width - 1)))),
+        array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("toks"),
+          (t, i) => !array_contains(col("cov"), i))).as("clean_text"))
+  }
+
+  /** d12: strip 8-token spans duplicated across ≥2 docs. */
+  def d12(spark: SparkSession, dir: String): DataFrame =
+    stripDupSpans(Tables.documents(spark, dir))
+      .orderBy("doc_id")
 }

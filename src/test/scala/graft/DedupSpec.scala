@@ -156,6 +156,34 @@ class DedupSpec extends GraftSpecBase {
     assert(got(1L)._1 > 0)
   }
 
+  test("d12: shared spans are stripped from every copy, unique prose survives verbatim") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")      // 10-token shared span
+    def uniq(seed: Int) = (1 to 12).map(i => s"w${seed}_$i").mkString(" ")
+    val (u1, u2, u3) = (uniq(1), uniq(2), uniq(3))
+    val df = Seq(
+      (1L, boiler + " " + u1),   // span at offset 0
+      (2L, u2 + " " + boiler),   // same span at a DIFFERENT offset
+      (3L, u3),                  // all unique
+      (4L, "t1 t2 t3"))          // < width -> untouched
+      .toDF("doc_id", "text")
+    val got = dedup.Substring.stripDupSpans(df, width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the whole 10-token span is covered in both copies (windows at
+    // starts 0..2 within the span overlap to cover all 10 tokens),
+    // and ONLY the span: unique prose survives character-exact
+    assert(got(1L)._3 == u1, "doc 1 must keep exactly its unique tail")
+    assert(got(2L)._3 == u2, "doc 2 must keep exactly its unique head")
+    assert(got(1L)._2 >= 10 && got(2L)._2 >= 10, "all span tokens removed")
+    assert(got(3L) == ((12L, 0L, u3)), "unique doc is untouched")
+    assert(got(4L) == ((3L, 0L, "t1 t2 t3")), "sub-width doc is untouched")
+    // layout invariance: repartitioning must not change the result
+    val re = dedup.Substring.stripDupSpans(df.repartition(7), width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(re == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("d10: incremental dedup flags exact and near batch dups; fresh docs pass as new") {
     import spark.implicits._
     val corpus = Seq(

@@ -323,6 +323,22 @@ class PlanShapeSpec extends GraftSpecBase {
       s"duplicated windows must come back via a semi-join:\n$plan")
   }
 
+  test("d12: span stripper shuffles only window and doc keys — no pairs, no sort") {
+    val plan = finalPlan(dedup.Substring.stripDupSpans(
+      Tables.documents(spark, sf)))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no pair blowup:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"hot windows must come back via a semi-join:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"the library operator must not globally sort its output:\n$plan")
+    // hash exchanges only on the window string (hot count) and
+    // doc_id (start collection) — position fan-out stays inside the
+    // reduce-side HOF, never on the wire
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 4, s"window-key + doc-key shuffles only:\n$plan")
+  }
+
   test("a16: cohort triangle reads the fact table ONCE — window cohorting, no self-join") {
     val plan = finalPlan(analytics.Queries.cohortRetention(spark, sf))
     val scans = plan.split("\n").count(_.contains("Scan parquet"))
