@@ -105,6 +105,7 @@ object SparkEntry {
     "a19_waiting_supplier" -> ((s, d) => analytics.Queries.waitingSupplier(s, d)),
     "x13_leakage_safe_split" -> ((s, d) => text.Curation.x13LeakageSafeSplit(s, d)),
     "d12_strip_dup_spans" -> ((s, d) => dedup.Substring.d12(s, d)),
+    "t11_source_kl" -> ((s, d) => text.TextAnalysis.t11SourceKl(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1141,6 +1142,20 @@ object SparkEntry {
         | COALESCE(c.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN nrem n USING (doc_id) LEFT JOIN clean c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // t11: identical per-term doubles (p, q, ln), order-free after
+    // the 4dp round on the summed KL
+    "t11_source_kl" ->
+      """WITH toks AS (
+        | SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+        | FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct)
+        |SELECT st.source, ns.n_s AS n_tokens, count(*) AS n_types,
+        | round(sum((CAST(c_st AS DOUBLE) / n_s) * ln((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n.n))), 4) AS kl
+        |FROM st JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN n
+        |GROUP BY st.source, ns.n_s ORDER BY st.source""".stripMargin,
     // s8: quantized-ANN candidates for query 0, then the unrolled
     // greedy MMR replay (see mmrCtes)
     "s8_mmr_rerank" -> ("WITH " + sqKnnCtes + ",\n" + mmrCtes + "\n" + mmrSelect),

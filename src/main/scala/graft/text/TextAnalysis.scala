@@ -387,4 +387,52 @@ object TextAnalysis {
         "bullet_ratio", "ellipsis_ratio", "alpha_ratio",
         "n_req_stopwords", "keep")
       .orderBy("doc_id")
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * unigram token distribution — the mixture-monitoring signal of a
+    * training-data pipeline (a source whose token distribution drifts
+    * from the corpus mix flags a scraper change, an injected spam
+    * campaign, or a mislabeled domain; the same statistic ranks
+    * sources for mixture reweighting, DoReMi-style).
+    *
+    * Scale shape: ONE token-explode shuffle to (source, token) counts
+    * — partial-aggregated map-side, so the wire carries per-partition
+    * distinct (source, token) pairs, not token occurrences; corpus
+    * marginals REUSE those counts (a second vocab-keyed agg over the
+    * already-tiny count frame, never the raw tokens); per-source
+    * totals are sources-bounded and broadcast; the 1-row grand total
+    * rides a broadcast cross join (t7's pattern — no driver collect).
+    * Every per-term double (p, q, ln) is computed identically by the
+    * oracle; only the final sum's order differs, absorbed by round 4.
+    */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    // the count frame feeds FOUR consumers (the term join, ct, ns, n);
+    // materialize it once so the token explode runs once, not per
+    // branch (localCheckpoint: eager, lineage-free, blocks GC'd with
+    // the frame — the in-library pattern for single-call reuse)
+    val st = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val n = ct.agg(sum(col("c_t")).as("n"))
+    val p = col("c_st").cast("double") / col("n_s").cast("double")
+    val q = col("c_t").cast("double") / col("n").cast("double")
+    st.join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("term", p * log(p / q))
+      .groupBy(col("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_types"),
+        round(sum(col("term")), 4).as("kl"))
+      .withColumnRenamed("n_s", "n_tokens")
+  }
+
+  def t11SourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlDivergence(Tables.documents(spark, dir))
+      .select("source", "n_tokens", "n_types", "kl")
+      .orderBy("source")
 }

@@ -142,4 +142,25 @@ class TextSpec extends GraftSpecBase {
       .filter(col("doc_id") === 4L).select("ttr", "hapax_frac").head()
     assert(ratios.isNullAt(0) && ratios.isNullAt(1), "empty doc ratios are null, not 0/0")
   }
+
+  test("t11: per-source KL matches the hand computation; drifted source ranks above conforming") {
+    import spark.implicits._
+    // corpus: x appears 3 times, y once (N=4, q_x=3/4, q_y=1/4)
+    // srcA = [x, y]: KL = .5 ln(.5/.75) + .5 ln(.5/.25) = .5 ln(4/3)
+    // srcB = [x, x]: KL = ln(1/.75) = ln(4/3)
+    val df = Seq(("srcA", "x y"), ("srcB", "x x"))
+      .toDF("source", "text").withColumn("doc_id", lit(0L))
+    val got = text.TextAnalysis.sourceKlDivergence(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ln43 = math.log(4.0 / 3.0)
+    assert(got("srcA") == ((2L, 2L, math.rint(0.5 * ln43 * 1e4) / 1e4)))
+    assert(got("srcB") == ((2L, 1L, math.rint(ln43 * 1e4) / 1e4)))
+    assert(got("srcB")._3 > got("srcA")._3,
+      "the fully-skewed source must show more drift")
+    // layout invariance (the agg must not depend on partitioning)
+    val re = text.TextAnalysis.sourceKlDivergence(df.repartition(5))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re == got.map { case (k, v) => k -> v._3 })
+  }
 }
