@@ -106,6 +106,7 @@ object SparkEntry {
     "x13_leakage_safe_split" -> ((s, d) => text.Curation.x13LeakageSafeSplit(s, d)),
     "d12_strip_dup_spans" -> ((s, d) => dedup.Substring.d12(s, d)),
     "t11_source_kl" -> ((s, d) => text.TextAnalysis.t11SourceKl(s, d)),
+    "p13_snapshot_diff" -> ((s, d) => pipeline.Medallion.p13SnapshotDiff(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1142,6 +1143,28 @@ object SparkEntry {
         | COALESCE(c.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN nrem n USING (doc_id) LEFT JOIN clean c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // p13: identical half-split (integer-div midpoint), identical
+    // total version order, FULL JOIN USING for the coalesced key
+    "p13_snapshot_diff" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |m AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+        |h1 AS (
+        | SELECT user_id, value AS old_value, ts_us AS old_ts_us FROM (
+        |  SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev, m WHERE ts_us <= mid) WHERE rn = 1),
+        |h2 AS (
+        | SELECT user_id, value AS new_value, ts_us AS new_ts_us FROM (
+        |  SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev, m WHERE ts_us > mid) WHERE rn = 1)
+        |SELECT user_id,
+        | CASE WHEN old_ts_us IS NULL THEN 'added'
+        |      WHEN new_ts_us IS NULL THEN 'removed'
+        |      WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        | old_value, old_ts_us, new_value, new_ts_us
+        |FROM h1 FULL JOIN h2 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // t11: identical per-term doubles (p, q, ln), order-free after
     // the 4dp round on the summed KL
     "t11_source_kl" ->

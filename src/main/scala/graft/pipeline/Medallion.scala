@@ -215,6 +215,61 @@ object Medallion {
         col("value"))
       .orderBy(col("user_id"), col("version"))
 
+  /** Keyed snapshot diff — the migration-parity / CDC-validation
+    * staple: classify every key across two snapshots of the same
+    * logical table as `added` (new side only), `removed` (old side
+    * only), `changed` (both, compare columns differ, null-safe) or
+    * `unchanged`, carrying both sides' values for audit. One FULL
+    * OUTER hash join on the key — each snapshot shuffles once on its
+    * key (or broadcasts when one side is dim-sized); the
+    * classification is a narrow map over the joined row. Null-safe
+    * (`<=>`) comparison so a NULL→value transition reads as `changed`,
+    * never `unchanged` through 3VL (p12's lesson).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, compareCols: Seq[String]): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.filter(_ != keyCol).foldLeft(df) {
+        (d, c) => d.withColumnRenamed(c, s"$p$c") }
+    val o = prefixed(oldSnap, "old_").withColumn("__in_old", lit(1))
+    val n = prefixed(newSnap, "new_").withColumn("__in_new", lit(1))
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(differs, "changed")
+          .otherwise("unchanged"))
+      .drop("__in_old", "__in_new")
+  }
+
+  /** p13: diff the per-user latest state between the first and second
+    * half of the event log (midpoint = (min+max)/2 of the time range,
+    * 1-row broadcast — no driver collect): users active only in H2
+    * are `added`, only in H1 `removed`, value drift `changed`.
+    */
+  def p13SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val withMid = ev.crossJoin(broadcast(mid))
+    def latest(half: DataFrame): DataFrame =
+      latestPerKey(half, "user_id",
+        Seq(col("ts_us").desc, col("event_id").desc))
+        .select(col("user_id"), col("ts_us"), col("value"))
+    // state compare on `value` only — the snapshot timestamps always
+    // differ between halves and are audit columns, not state
+    snapshotDiff(
+      latest(withMid.filter(col("ts_us") <= col("mid"))),
+      latest(withMid.filter(col("ts_us") > col("mid"))),
+      "user_id", Seq("value"))
+      .select(col("user_id"), col("status"), col("old_value"),
+        col("old_ts_us"), col("new_value"), col("new_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
   def p9CdcLatest(spark: SparkSession, dir: String): DataFrame =
     latestPerKey(
       Tables.events(spark, dir).select(col("user_id"), col("event_id"),

@@ -217,4 +217,38 @@ class PipelineSpec extends GraftSpecBase {
     assert(rows.forall(r => r._3 <= r._4), "no cell exceeds its cohort size")
     assert(rows.forall(r => r._2 >= 0), "activity never precedes the cohort day")
   }
+
+  test("p13: snapshot diff classifies added/removed/changed/unchanged, null-safe") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val b = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, Some(30.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val got = pipeline.Medallion.snapshotDiff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got == Map(
+      1L -> "unchanged",   // same value
+      2L -> "changed",     // 20 -> 21
+      3L -> "changed",     // NULL -> 30: 3VL must not call this unchanged
+      4L -> "removed",     // old only
+      5L -> "added"))      // new only
+    // both sides' values survive for audit
+    val r2 = pipeline.Medallion.snapshotDiff(a, b, "k", Seq("v"))
+      .filter(col("k") === 2L).head()
+    assert(r2.getAs[Double]("old_v") == 20.0 && r2.getAs[Double]("new_v") == 21.0)
+  }
+
+  test("p13 entry: every user classifies; changed/unchanged carry both snapshots") {
+    val r = pipeline.Medallion.p13SnapshotDiff(spark, sf).collect()
+    assert(r.nonEmpty)
+    val byStatus = r.groupBy(_.getAs[String]("status"))
+    // both-sided rows carry both audit timestamps, with old <= mid < new
+    for (row <- byStatus.getOrElse("changed", Array()) ++ byStatus.getOrElse("unchanged", Array()))
+      assert(!row.isNullAt(3) && !row.isNullAt(5) &&
+        row.getLong(3) < row.getLong(5), "old snapshot must precede new")
+    for (row <- byStatus.getOrElse("added", Array()))
+      assert(row.isNullAt(2) && row.isNullAt(3), "added rows have no old side")
+    for (row <- byStatus.getOrElse("removed", Array()))
+      assert(row.isNullAt(4) && row.isNullAt(5), "removed rows have no new side")
+  }
 }

@@ -179,10 +179,11 @@ class PlanShapeSpec extends GraftSpecBase {
     // s7, which wraps s6+s4) cross-joins the single-row BM25 corpus
     // stats, s9 (and s11, which wraps s9's candidate scan) broadcasts
     // the bounded query-LUT side into the non-equi (q_id <> n_id)
-    // ADC scan, t11 cross-joins its single-row corpus token total.
+    // ADC scan, t11 cross-joins its single-row corpus token total,
+    // p13 its single-row time-range midpoint.
     val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
       "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn", "s11_pq_rerank",
-      "t11_source_kl")
+      "t11_source_kl", "p13_snapshot_diff")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
