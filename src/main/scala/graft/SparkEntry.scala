@@ -107,6 +107,7 @@ object SparkEntry {
     "d12_strip_dup_spans" -> ((s, d) => dedup.Substring.d12(s, d)),
     "t11_source_kl" -> ((s, d) => text.TextAnalysis.t11SourceKl(s, d)),
     "p13_snapshot_diff" -> ((s, d) => pipeline.Medallion.p13SnapshotDiff(s, d)),
+    "s12_range_search" -> ((s, d) => similarity.Similarity.s12(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1472,6 +1473,16 @@ object SparkEntry {
     // s11: generated PQ replay widened to 100 candidates + exact
     // cosine re-rank — see pqRerankOracle
     "s11_pq_rerank" -> pqRerankOracle,
+    // s12: exact radius search — membership decided on the 6dp
+    // ROUNDED cosine on both sides so fp summation order can't flip
+    // a borderline pair
+    "s12_range_search" ->
+      """SELECT q_id, n_id, cosine FROM (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id % 50 = 0)
+        |WHERE cosine >= 0.35 ORDER BY q_id, n_id""".stripMargin,
     // t10: frequency-table entropy replay; 4dp round absorbs the
     // unordered-sum float noise (t7's precedent)
     "t10_token_entropy" ->

@@ -321,6 +321,48 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact radius (range) search: every corpus neighbor with cosine
+    * >= tau — the other half of the vector-store API surface (top-k
+    * bounds the RESULT size, radius bounds the QUALITY; near-dup
+    * audits and recall studies want the latter). Plan: broadcast the
+    * bounded query set, stream the corpus through one narrow
+    * scan-score-filter — no shuffle, no window state, one pass over a
+    * 100 TB corpus, embarrassingly parallel. Membership is decided on
+    * the ROUNDED cosine (6 dp) so an oracle replay can't flip a
+    * borderline pair on fp summation-order differences.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("n_emb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+  }
+
+  /** IVF-pruned radius search: same contract as [[rangeSearch]] but
+    * scores only the nprobe closest quantizer cells per query — the
+    * scale path when tau sits in the near-dup regime, where true
+    * neighbors concentrate in few cells and the scan prunes
+    * ~numCells/nprobe×. Approximate exactly like [[ivfKnn]]; recall
+    * vs the exact path is measured in SimilaritySpec.
+    */
+  def ivfRangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double,
+                     numCells: Int = 16, nprobe: Int = 4,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("cell_id", assignBest(col("n_emb"), cents))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell_id", explode(probeCells(col("q_emb"), cents, nprobe)))
+    broadcast(q).join(c, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cosine", round(cosine_sim(col("q_emb"), col("n_emb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+  }
+
   // ---- Verified entry points (query set = every 50th vector) ----
 
   private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") % 50 === 0)
@@ -469,6 +511,17 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     pqRerankKnn(querySet(emb), emb, nCand = 100, m = 16, ksub = 32,
       cacheKey = Some(dir))
+  }
+
+  /** Verified entry (s12): exact radius search at tau = 0.35 — the
+    * upper edge of this corpus's 64-dim noise floor, so the result
+    * is a non-trivial but bounded pair set at every SF (24 pairs at
+    * sf0.01, 163 at sf0.1). Sort is oracle-determinism only.
+    */
+  def s12(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    rangeSearch(querySet(emb), emb, tau = 0.35)
+      .orderBy(col("q_id"), col("n_id"))
   }
 
   /** s5: semantic document retrieval — the RAG/retrieval composition:

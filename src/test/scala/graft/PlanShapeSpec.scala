@@ -180,10 +180,12 @@ class PlanShapeSpec extends GraftSpecBase {
     // stats, s9 (and s11, which wraps s9's candidate scan) broadcasts
     // the bounded query-LUT side into the non-equi (q_id <> n_id)
     // ADC scan, t11 cross-joins its single-row corpus token total,
-    // p13 its single-row time-range midpoint.
+    // p13 its single-row time-range midpoint, s12 broadcasts the
+    // bounded query set into the non-equi exact radius scan (same
+    // shape as s1).
     val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
       "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn", "s11_pq_rerank",
-      "t11_source_kl", "p13_snapshot_diff")
+      "t11_source_kl", "p13_snapshot_diff", "s12_range_search")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

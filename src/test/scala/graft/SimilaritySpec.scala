@@ -26,6 +26,37 @@ class SimilaritySpec extends GraftSpecBase {
     exact.intersect(a).size.toDouble / exact.size
   }
 
+  test("s12 range search: exact membership at tau, no self-pairs, agrees with knn above the radius") {
+    val tau = 0.35
+    val r = similarity.Similarity.rangeSearch(queries, emb, tau)
+    val rows = r.collect()
+    assert(rows.nonEmpty, "tau = 0.35 must admit some noise-floor pairs on this corpus")
+    assert(rows.forall(_.getDouble(2) >= tau))
+    assert(r.filter(col("q_id") === col("n_id")).count() == 0)
+    // membership == the knn pairs whose cosine clears tau (k wide enough to cover them all)
+    val fromKnn = similarity.Similarity.bruteForceKnn(queries, emb, k = 50)
+      .filter(col("cosine") >= tau)
+      .select("q_id", "n_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = rows.map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == fromKnn, s"range-search membership diverged: ${got.size} vs ${fromKnn.size}")
+  }
+
+  test("s12 IVF range search: planted near-dup neighbors are all recalled at nprobe=4") {
+    // plant 3 near-identical copies of query 0's vector — the
+    // high-tau near-dup regime IVF pruning exists for
+    val base = emb.filter(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
+    val planted = (1 to 3).map { i =>
+      (100000L + i, base.zipWithIndex.map { case (v, j) => v + (if (j == i) 0.001f else 0f) }.toSeq)
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(spark.createDataFrame(planted).toDF("vec_id", "embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+    val got = similarity.Similarity.ivfRangeSearch(q, corpus, tau = 0.99, nprobe = 4)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(Set(100001L, 100002L, 100003L).subsetOf(got),
+      s"planted near-dups must fall in probed cells, got $got")
+  }
+
   test("s2 LSH ANN recall >= 0.9 vs brute force at entry parameters") {
     val recall = recallVsExact(
       similarity.Similarity.lshKnn(queries, emb, k = 10, numPlanes = 4, probeHamming = 3))
