@@ -108,6 +108,8 @@ object SparkEntry {
     "t11_source_kl" -> ((s, d) => text.TextAnalysis.t11SourceKl(s, d)),
     "p13_snapshot_diff" -> ((s, d) => pipeline.Medallion.p13SnapshotDiff(s, d)),
     "s12_range_search" -> ((s, d) => similarity.Similarity.s12(s, d)),
+    "x14_corpus_mix" -> ((s, d) => text.Curation.x14CorpusMix(s, d)),
+    "d13_fingerprint_dedup" -> ((s, d) => dedup.Dedup.d13(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1483,6 +1485,22 @@ object SparkEntry {
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id % 50 = 0)
         |WHERE cosine >= 0.35 ORDER BY q_id, n_id""".stripMargin,
+    // d13: d1's grouping keyed on t3's fingerprint expression (t3's
+    // oracle already proves the md5-canonical-form parity)
+    "d13_fingerprint_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // x14: t2's whitespace token definition aggregated per stratum;
+    // share denominator = the same table's total
+    "x14_corpus_mix" ->
+      """WITH g AS (
+        | SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM g), 6) AS token_share
+        |FROM g ORDER BY source, lang""".stripMargin,
     // t10: frequency-table entropy replay; 4dp round absorbs the
     // unordered-sum float noise (t7's precedent)
     "t10_token_entropy" ->

@@ -299,8 +299,26 @@ object Dedup {
     jaccardPairsCache.computeIfAbsent(dir,
       _ => exactJaccardPairs(Tables.documents(spark, dir)).persist())
 
+  /** "Fuzzy-exact" dedup (d13): d1's keep-min-id grouping keyed on
+    * t3's order-insensitive fingerprint (md5 of the sorted distinct
+    * lowercase token set) instead of the raw byte hash — catches
+    * token-reordered / re-whitespaced / re-cased copies that
+    * byte-exact dedup misses, at d1's exact cost: one narrow
+    * fingerprint map, one map-side-combined hash agg on the
+    * fingerprint key. The standard middle rung of the dedup ladder
+    * (exact < fuzzy-exact < minhash) — cheap enough to always run,
+    * no pair explosion.
+    */
+  def fingerprintDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.text.TextAnalysis.fingerprint(docs, textCol)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+
   def d1(spark: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.documents(spark, dir)).orderBy(col("keep_id"))
+
+  def d13(spark: SparkSession, dir: String): DataFrame =
+    fingerprintDedup(Tables.documents(spark, dir)).orderBy(col("keep_id"))
 
   // Oracle-determinism sorts live HERE, not in the library functions:
   // only the DuckDB hash-compare needs an ordered pair set.

@@ -182,6 +182,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus composition report: per (source, lang) doc and token
+    * counts plus each stratum's share of the GLOBAL token total —
+    * the mixture report a pretraining corpus is steered by (x9's
+    * token budgets are set against exactly this table). Token
+    * definition is t2's whitespace count, so the report is
+    * consistent with every other token-denominated operator. Plan:
+    * one narrow count map, one partial-agg shuffle on the tiny
+    * (source, lang) key space, then the |strata|-row frame re-aggs
+    * to a single-row total that broadcasts back (t7/t11's pattern)
+    * — the corpus is scanned once and never shuffled.
+    */
+  def corpusMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = docs.withColumn("__n",
+      size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    val grp = counted.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1L)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val tot = grp.agg(sum(col("n_tokens")).as("__tot"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("__tot"), 6))
+      .drop("__tot")
+  }
+
+  /** Verified entry (x14): composition report over `documents`. */
+  def x14CorpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMix(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("lang"))
+
   /** Token-budgeted source mixing: fill each source's token budget
     * BEST-FIRST — rank a source's docs by quality, admit them in
     * order while the running token total stays under the source's

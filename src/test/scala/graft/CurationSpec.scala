@@ -176,6 +176,29 @@ class CurationSpec extends GraftSpecBase {
     assert(asX8 == x8, "singleton docs must split identically to the per-doc hash split")
   }
 
+  test("x14 corpus mix: exact strata counts, shares sum to 1, token def matches t2") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b c", "en", "s1"),      // 3 tokens
+      (1L, "d e", "en", "s1"),        // 2
+      (2L, "f g h i j", "de", "s1"),  // 5
+      (3L, "k l m n o p q r s t", "en", "s2") // 10
+    ).toDF("doc_id", "text", "lang", "source")
+    val mix = text.Curation.corpusMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(mix(("s1", "en")) == ((2L, 5L, 0.25)))
+    assert(mix(("s1", "de")) == ((1L, 5L, 0.25)))
+    assert(mix(("s2", "en")) == ((1L, 10L, 0.5)))
+    assert(math.abs(mix.values.map(_._3).sum - 1.0) < 1e-9)
+    // token definition consistency with t2 over the real table
+    val real = Tables.documents(spark, sf)
+    val viaT2 = text.TextAnalysis.tokenCounts(real)
+      .agg(org.apache.spark.sql.functions.sum(col("ws_tokens"))).collect()(0).getLong(0)
+    val viaMix = text.Curation.corpusMix(real)
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(viaT2 == viaMix, "x14 must count tokens exactly as t2 does")
+  }
+
   test("x11 weighted sample: draw replays mix64, acceptance tracks the weight, layout-invariant") {
     val df = (0L until 400L).map(i => (i, i.toDouble / 400.0)).toDF("id", "w")
     val kept = text.Curation.qualityWeightedSample(df, "id", col("w"))

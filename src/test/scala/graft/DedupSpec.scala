@@ -11,6 +11,24 @@ class DedupSpec extends GraftSpecBase {
     assert(r.agg(sum(col("n_copies"))).head().getLong(0) == docs.count())
   }
 
+  test("d13 fingerprint dedup folds reordered/re-cased copies that exact dedup keeps apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "fox brown THE Quick"),   // reorder + case: same fingerprint
+      (12L, "the  quick   brown fox"),// extra whitespace only
+      (13L, "a different document")
+    ).toDF("doc_id", "text")
+    val exact = dedup.Dedup.exactDedup(docs)
+    assert(exact.count() == 4, "byte-exact dedup must see 4 distinct contents")
+    val fp = dedup.Dedup.fingerprintDedup(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fp == Map(10L -> 3L, 13L -> 1L),
+      s"fingerprint dedup must fold 10/11/12 into keep_id 10, got $fp")
+    // conservation: every doc is accounted for exactly once
+    assert(fp.values.sum == 4L)
+  }
+
   test("minhash-LSH candidates recover the exact high-jaccard pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.7)
