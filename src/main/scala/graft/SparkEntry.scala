@@ -110,6 +110,7 @@ object SparkEntry {
     "s12_range_search" -> ((s, d) => similarity.Similarity.s12(s, d)),
     "x14_corpus_mix" -> ((s, d) => text.Curation.x14CorpusMix(s, d)),
     "d13_fingerprint_dedup" -> ((s, d) => dedup.Dedup.d13(s, d)),
+    "x15_interleave" -> ((s, d) => text.Curation.x15Interleave(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1485,6 +1486,28 @@ object SparkEntry {
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id % 50 = 0)
         |WHERE cosine >= 0.35 ORDER BY q_id, n_id""".stripMargin,
+    // x15: x10's mix64 chain for the within-source shuffle key, then
+    // pos = (per-source row_number - 1) * n_sources + source index
+    "x15_interleave" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS shuffle_key
+        | FROM m5)
+        |SELECT d.doc_id, d.source,
+        | CAST((row_number() OVER (PARTITION BY d.source ORDER BY s.shuffle_key, d.doc_id) - 1)
+        |      * (SELECT count(DISTINCT source) FROM documents)
+        |      + dense_rank() OVER (ORDER BY d.source) - 1 AS BIGINT) AS pos
+        |FROM documents d JOIN sgn s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // d13: d1's grouping keyed on t3's fingerprint expression (t3's
     // oracle already proves the md5-canonical-form parity)
     "d13_fingerprint_dedup" ->

@@ -210,6 +210,52 @@ object Curation {
     corpusMix(Tables.documents(spark, dir))
       .orderBy(col("source"), col("lang"))
 
+  /** Source-interleaved training order (x15): deterministic position
+    * for every doc such that reading in position order round-robins
+    * the sources — pos = within_source_rank · S + source_index. The
+    * curriculum/data-order step that stops a training run from seeing
+    * long single-source runs (source-correlated gradient noise), with
+    * the within-source order itself the x10 mix64 shuffle. Positions
+    * are UNIQUE and interleave-ordered but not dense — a short source
+    * exhausts early and leaves gaps; an epoch reader orders by pos,
+    * density is irrelevant. Scale shape: within-source rank is x10's
+    * banded two-phase prefix-sum keyed on (source, top byte of the
+    * shuffle key) — no rangepartitioning, no per-source
+    * single-task sort; source index and band offsets are tiny
+    * broadcast dimensions, so the corpus shuffles ONCE on the
+    * bounded (source, band) key.
+    */
+  def interleaveBySource(docs: DataFrame, idCol: String = "doc_id",
+                         srcCol: String = "source"): DataFrame = {
+    val keyed = docs.select(col(idCol), col(srcCol))
+      .withColumn("shuffle_key",
+        graft.functions.GraftFunctions.mix64(col(idCol).cast("long")))
+      .withColumn("__b", shiftright(col("shuffle_key"), 56) + lit(128L))
+    val offsets = keyed.groupBy(col(srcCol), col("__b")).count()
+      .withColumn("__offset", coalesce(
+        sum(col("count")).over(Window.partitionBy(col(srcCol))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(srcCol), col("__b"), col("__offset"))
+    val srcIdx = keyed.select(col(srcCol)).distinct()
+      .withColumn("__src_idx",
+        (row_number().over(Window.orderBy(col(srcCol))) - 1).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("__n_src"))
+    val wIn = Window.partitionBy(col(srcCol), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(broadcast(offsets), Seq(srcCol, "__b"))
+      .withColumn("__rank", col("__offset") + row_number().over(wIn) - 1)
+      .join(broadcast(srcIdx), Seq(srcCol))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("pos", col("__rank") * col("__n_src") + col("__src_idx"))
+      .select(col(idCol), col(srcCol), col("pos"))
+  }
+
+  /** Verified entry (x15): interleaved order over `documents`. */
+  def x15Interleave(spark: SparkSession, dir: String): DataFrame =
+    interleaveBySource(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Token-budgeted source mixing: fill each source's token budget
     * BEST-FIRST — rank a source's docs by quality, admit them in
     * order while the running token total stays under the source's

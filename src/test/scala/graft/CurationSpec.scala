@@ -199,6 +199,34 @@ class CurationSpec extends GraftSpecBase {
     assert(viaT2 == viaMix, "x14 must count tokens exactly as t2 does")
   }
 
+  test("x15 interleave: round-robin invariant, unique positions, dense when sources are equal-size") {
+    import org.apache.spark.sql.functions.col
+    // 2 equal sources x 3 docs: positions must be exactly 0..5 and
+    // alternate sources
+    val docs = Seq((0L, "sA"), (2L, "sA"), (4L, "sA"), (1L, "sB"), (3L, "sB"), (5L, "sB"))
+      .toDF("doc_id", "source")
+    val r = text.Curation.interleaveBySource(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.map(_._3).sorted.toSeq == (0L to 5L), s"equal sources must pack densely, got $r")
+    // round-robin invariant: pos mod S identifies the source
+    val bySrc = r.groupBy(_._2).view.mapValues(_.map(_._3 % 2).toSet).toMap
+    assert(bySrc("sA") == Set(0L) && bySrc("sB") == Set(1L))
+    // real table: positions unique, pos % S == sorted-source index
+    val real = Tables.documents(spark, sf)
+    val full = text.Curation.interleaveBySource(real)
+    assert(full.select("pos").distinct().count() == real.count())
+    val srcs = real.select("source").distinct().collect().map(_.getString(0)).sorted
+    val idx = srcs.zipWithIndex.toMap
+    val bad = full.collect().count { x =>
+      x.getLong(2) % srcs.length != idx(x.getString(1)) }
+    assert(bad == 0, s"$bad rows violate pos % S == source index")
+    // layout invariance
+    val re = text.Curation.interleaveBySource(real.repartition(7))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(re == full.collect().map(x => x.getLong(0) -> x.getLong(2)).toMap,
+      "positions must be invariant under repartitioning")
+  }
+
   test("x11 weighted sample: draw replays mix64, acceptance tracks the weight, layout-invariant") {
     val df = (0L until 400L).map(i => (i, i.toDouble / 400.0)).toDF("id", "w")
     val kept = text.Curation.qualityWeightedSample(df, "id", col("w"))
