@@ -111,6 +111,7 @@ object SparkEntry {
     "x14_corpus_mix" -> ((s, d) => text.Curation.x14CorpusMix(s, d)),
     "d13_fingerprint_dedup" -> ((s, d) => dedup.Dedup.d13(s, d)),
     "x15_interleave" -> ((s, d) => text.Curation.x15Interleave(s, d)),
+    "s13_cluster_cohesion" -> ((s, d) => similarity.Similarity.s13(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1508,6 +1509,30 @@ object SparkEntry {
         |      + dense_rank() OVER (ORDER BY d.source) - 1 AS BIGINT) AS pos
         |FROM documents d JOIN sgn s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // s13: exact centroid replay — avg per (label, dim) float-cast on
+    // BOTH engines (absorbs fp summation-order noise), then the same
+    // double-cosine as s1's proven replay; 6dp round on the three
+    // cosine-derived columns
+    "s13_cluster_cohesion" ->
+      """WITH comp AS (
+        | SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, list(CAST(cv AS FLOAT) ORDER BY i) AS centroid
+        | FROM (SELECT label, i, avg(CAST(v AS DOUBLE)) AS cv FROM comp GROUP BY label, i)
+        | GROUP BY label),
+        |coh AS (
+        | SELECT e.label, count(*) AS n_vecs,
+        |  avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))) AS coh,
+        |  min(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))) AS mincos
+        | FROM embeddings e JOIN cent c USING (label) GROUP BY e.label),
+        |sep AS (
+        | SELECT a.label,
+        |  max(list_cosine_similarity(CAST(a.centroid AS DOUBLE[]), CAST(b.centroid AS DOUBLE[]))) AS sepmax
+        | FROM cent a JOIN cent b ON a.label <> b.label GROUP BY a.label)
+        |SELECT label, n_vecs, round(coh, 6) AS cohesion, round(mincos, 6) AS min_cos,
+        | round(sepmax, 6) AS max_other_sim
+        |FROM coh JOIN sep USING (label) ORDER BY label""".stripMargin,
     // d13: d1's grouping keyed on t3's fingerprint expression (t3's
     // oracle already proves the md5-canonical-form parity)
     "d13_fingerprint_dedup" ->

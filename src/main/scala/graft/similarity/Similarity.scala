@@ -630,4 +630,66 @@ object Similarity {
     val cand = quantizeVecs(emb, "n_id", "q", "nsq").join(broadcast(knn), "n_id")
     mmrRerank(cand, k = 10).orderBy(col("mmr_rank"))
   }
+
+  /** Distributed per-label centroids: ONE posexplode pass over the
+    * corpus (narrow) into a (label, dim) partial-agg shuffle — the
+    * shuffled frame is L·d rows regardless of corpus size — then the
+    * tiny component set is rebuilt into L centroid vectors. Components
+    * are float-cast so both engines round the averaged sums to the
+    * same 24-bit mantissa and downstream cosines replay bit-identically
+    * (fp summation-order noise is ~2^-52 relative; the float cast
+    * absorbs it). Unlike the IVF trainer (driver k-means over a
+    * bounded sample), this is exact over the FULL corpus — it's an
+    * aggregation, not a fit, so it never needs to sample.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label"): DataFrame =
+    emb.select(col(labelCol), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("s"))
+      .select(col(labelCol),
+        transform(col("s"), x => x.getField("cv").cast("float")).as("centroid"))
+
+  /** Per-label embedding-cluster quality report: cohesion (mean and
+    * worst cosine of each member to its own centroid) and separation
+    * (max cosine between this centroid and any other) — the
+    * label-noise / cluster-QA audit a curation pipeline runs before
+    * trusting a label column for stratified sampling, dedup blocking,
+    * or classifier training. A label whose min_cos is low has
+    * mislabeled members; one whose max_other_sim approaches its
+    * cohesion is not a real cluster.
+    *
+    * Scale shape: centroids via [[labelCentroids]] (corpus shuffles
+    * once on the bounded (label, dim) key); the corpus then streams
+    * ONCE through a broadcast-centroid join scoring the codegen'd
+    * cosine into a map-side-combined label agg; separation is an
+    * L×L broadcast self-join over the L-row centroid frame — the
+    * corpus is never in any pairwise product.
+    */
+  def clusterCohesion(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    val cents = labelCentroids(emb, labelCol)
+    val coh = emb.join(broadcast(cents), Seq(labelCol))
+      .select(col(labelCol),
+        cosine_sim(col("embedding"), col("centroid")).as("cos"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("cos")).as("coh"),
+        min(col("cos")).as("mincos"))
+    val sep = cents
+      .join(broadcast(cents.select(col(labelCol).as("o_label"),
+        col("centroid").as("o_centroid"))), col(labelCol) =!= col("o_label"))
+      .select(col(labelCol), cosine_sim(col("centroid"), col("o_centroid")).as("cc"))
+      .groupBy(col(labelCol)).agg(max(col("cc")).as("sepmax"))
+    coh.join(sep, Seq(labelCol))
+      .select(col(labelCol), col("n_vecs"),
+        round(col("coh"), 6).as("cohesion"),
+        round(col("mincos"), 6).as("min_cos"),
+        round(col("sepmax"), 6).as("max_other_sim"))
+  }
+
+  /** Verified entry (s13): cluster-quality report over the embeddings
+    * table's label column. Sort is oracle-determinism only.
+    */
+  def s13(spark: SparkSession, dir: String): DataFrame =
+    clusterCohesion(Tables.embeddings(spark, dir)).orderBy(col("label"))
 }

@@ -41,6 +41,35 @@ class SimilaritySpec extends GraftSpecBase {
     assert(got == fromKnn, s"range-search membership diverged: ${got.size} vs ${fromKnn.size}")
   }
 
+  test("s13 cluster cohesion: hand-computed centroids, planted separation, layout-invariant") {
+    import spark.implicits._
+    // label 0 on the +x/+y axes, label 1 mirrored: centroids (.5,.5)
+    // and (-.5,-.5), so every member sits at cos 1/sqrt(2) from its
+    // own centroid and the two centroids are antipodal
+    val df = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
+                 (2L, Seq(-1f, 0f), 1), (3L, Seq(0f, -1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = similarity.Similarity.clusterCohesion(df).orderBy("label").collect()
+    assert(r.length == 2)
+    val a = r(0)
+    assert(a.getLong(1) == 2)
+    assert(math.abs(a.getDouble(2) - 0.707107) < 1e-6, s"cohesion ${a.getDouble(2)}")
+    assert(math.abs(a.getDouble(3) - 0.707107) < 1e-6, s"min_cos ${a.getDouble(3)}")
+    assert(math.abs(a.getDouble(4) + 1.0) < 1e-6, s"max_other_sim ${a.getDouble(4)}")
+    // real table: one row per label, every member counted, cohesion
+    // bounds hold, and the report is partitioning-invariant
+    val full = similarity.Similarity.clusterCohesion(emb)
+    val rows = full.collect()
+    assert(rows.map(_.getInt(0)).toSet ==
+      emb.select("label").distinct().collect().map(_.getInt(0)).toSet)
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.forall(x => x.getDouble(2) <= 1.0 + 1e-9 && x.getDouble(2) >= x.getDouble(3)))
+    def key(x: org.apache.spark.sql.Row) =
+      x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    val re = similarity.Similarity.clusterCohesion(emb.repartition(7)).collect().map(key).toMap
+    assert(re == rows.map(key).toMap, "report must be invariant under repartitioning")
+  }
+
   test("s12 IVF range search: planted near-dup neighbors are all recalled at nprobe=4") {
     // plant 3 near-identical copies of query 0's vector — the
     // high-tau near-dup regime IVF pruning exists for
