@@ -112,6 +112,7 @@ object SparkEntry {
     "d13_fingerprint_dedup" -> ((s, d) => dedup.Dedup.d13(s, d)),
     "x15_interleave" -> ((s, d) => text.Curation.x15Interleave(s, d)),
     "s13_cluster_cohesion" -> ((s, d) => similarity.Similarity.s13(s, d)),
+    "m4_resize" -> ((s, d) => multimodal.Multimodal.m4(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -978,6 +979,37 @@ object SparkEntry {
         |        THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END) AS BIGINT) % 1000000)
         |   / 1000000.0 AS feat_norm
         |FROM h ORDER BY doc_id""".stripMargin,
+    // m4: m2's fold → dims, integer-exact box fit, then the fake
+    // resize hash = ((31·(31·u + out_w) + out_h) mod 2^64) signed —
+    // the corpus never hits the real-BMP pixel path (m2's oracle
+    // already proves the dispatch lands on the stub for text bytes)
+    "m4_resize" ->
+      """WITH h AS (
+        | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, u,
+        |  CAST(64 + u % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (u // 131072) % 1024 AS INTEGER) AS height
+        | FROM h),
+        |r AS (
+        | SELECT doc_id, u, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+        |       ELSE greatest(1, width * 224 // greatest(width, height)) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+        |       ELSE greatest(1, height * 224 // greatest(width, height)) END AS INTEGER) AS out_h
+        | FROM d),
+        |v AS (
+        | SELECT doc_id, width, height, out_w, out_h,
+        |  (31 * ((31 * u + out_w) % CAST('18446744073709551616' AS HUGEINT)) + out_h)
+        |    % CAST('18446744073709551616' AS HUGEINT) AS vv
+        | FROM r)
+        |SELECT doc_id, width, height, out_w, out_h,
+        | CAST(CASE WHEN vv >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN vv - CAST('18446744073709551616' AS HUGEINT) ELSE vv END AS BIGINT) AS resize_hash
+        |FROM v ORDER BY doc_id""".stripMargin,
     // m3: frame stride/count from the same fold; frame_hash replays
     // java.util.Arrays.hashCode (31x fold mod 2^32, signed)
     "m3_frame_sample" ->

@@ -217,6 +217,94 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                                out_w: Int, out_h: Int, resize_hash: Long)
+
+  /** Aspect-preserving fit of (w, h) into a `box`×`box` square,
+    * longest side pinned to `box`, never upscaled. Pure integer
+    * arithmetic (floor division) so the geometry replays exactly on
+    * any engine — no float scale factor to round differently.
+    */
+  private[graft] def fitBox(w: Int, h: Int, box: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= box) (w, h)
+    else (math.max(1, w * box / m), math.max(1, h * box / m))
+  }
+
+  /** 24-bit uncompressed BMP → (width, height, bottom-up pixel rows
+    * as raw BGR bytes, 4-byte-aligned stride stripped). Only the
+    * format the real-decode spec exercises; anything else falls back
+    * to the deterministic fake in [[resizeMedia]].
+    */
+  private[graft] def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (decodeBmp(0L, b).isEmpty || b.length < 54) return None
+    if (u16(b, 28) != 24 || u32(b, 30) != 0L) return None // 24bpp, BI_RGB only
+    val w = u32(b, 18).toInt
+    val h = math.abs(u32(b, 22).toInt)
+    val off = u32(b, 10).toInt
+    val stride = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(b, off + y * stride, px, y * w * 3, w * 3)
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** m4: resize — the third leg of the decode/feature/frame plumbing.
+    * Each payload's dimensions are fit into a `box`×`box` square
+    * ([[fitBox]], integer-exact); the pixel work is REAL
+    * nearest-neighbor resampling for 24-bit BMPs (spec-covered on
+    * hand-built bitmaps) and a deterministic dims-folded content hash
+    * for codec-requiring payloads, exactly m2's stub contract. Runs
+    * per-partition like m2/m3 so a real codec's resize kernel slots
+    * in without touching the plan: one narrow mapPartitions pass,
+    * zero shuffle, output O(docs) regardless of media size.
+    */
+  def resizeMedia(docs: DataFrame, box: Int = 224): Dataset[ResizedMedia] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val binary = docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    binary.mapPartitions { batch =>
+      batch.map { case (id, bytes) => resizeOne(id, bytes, box) }
+    }
+  }
+
+  /** Per-payload resize kernel (the unit the spec exercises on real
+    * BMP bytes directly, since the verified corpus carries text).
+    */
+  private[graft] def resizeOne(id: Long, bytes: Array[Byte], box: Int): ResizedMedia =
+    bmpPixels(bytes) match {
+      case Some((w, h, px)) =>
+        val (ow, oh) = fitBox(w, h, box)
+        val out = new Array[Byte](ow * oh * 3)
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x * w / ow
+            System.arraycopy(px, (sy * w + sx) * 3, out, (y * ow + x) * 3, 3)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(id, w, h, ow, oh, java.util.Arrays.hashCode(out).toLong)
+      case None =>
+        val m = decode(id, bytes)
+        val (ow, oh) = fitBox(m.width, m.height, box)
+        var hh = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) { hh = 31 * hh + bytes(i); i += 1 }
+        ResizedMedia(id, m.width, m.height, ow, oh,
+          31 * (31 * hh + ow) + oh)
+    }
+
   // ---- Verified entry points ----
 
   def m1(spark: SparkSession, dir: String): DataFrame =
@@ -228,4 +316,7 @@ object Multimodal {
   def m3(spark: SparkSession, dir: String): DataFrame =
     frameSample(Tables.documents(spark, dir)).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  def m4(spark: SparkSession, dir: String): DataFrame =
+    resizeMedia(Tables.documents(spark, dir)).toDF().orderBy(col("doc_id"))
 }

@@ -104,4 +104,39 @@ class MultimodalSpec extends GraftSpecBase {
       "ASCII text has no NUL reserved bytes — BMP sniff must reject")
     assert(multimodal.Multimodal.decodeWav(1L, bytes).isEmpty)
   }
+
+  test("m4 resize: real BMP nearest-neighbor picks the exact source pixels") {
+    // 4x2 24-bit BMP, stride 12 (no padding), pixel bytes 0..23
+    val buf = java.nio.ByteBuffer.allocate(54 + 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(78).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(4).putInt(2).putShort(1).putShort(24)
+    buf.putInt(0).putInt(24).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until 24).foreach(i => buf.put(i.toByte))
+    val b = buf.array()
+    val px = multimodal.Multimodal.bmpPixels(b)
+    assert(px.isDefined && px.get._1 == 4 && px.get._2 == 2)
+    // fit 4x2 into box 2 → 2x1; nearest-neighbor samples source row 0
+    // at x = 0 and 2 → pixel bytes [0,1,2] and [6,7,8]
+    val r = multimodal.Multimodal.resizeOne(7L, b, box = 2)
+    assert((r.width, r.height, r.out_w, r.out_h) == ((4, 2, 2, 1)), s"got $r")
+    val expected = java.util.Arrays.hashCode(Array[Byte](0, 1, 2, 6, 7, 8)).toLong
+    assert(r.resize_hash == expected, s"hash ${r.resize_hash} != $expected")
+    // no-upscale: a bitmap already inside the box keeps its dims and
+    // resampling is identity (hash = hash of the raw pixel block)
+    val same = multimodal.Multimodal.resizeOne(7L, b, box = 224)
+    assert((same.out_w, same.out_h) == ((4, 2)))
+    assert(same.resize_hash == java.util.Arrays.hashCode(px.get._3).toLong)
+  }
+
+  test("m4 entry: every output fits the box, aspect order preserved, one row per doc") {
+    val docs = Tables.documents(spark, sf)
+    val r = multimodal.Multimodal.m4(spark, sf).collect()
+    assert(r.length == docs.count())
+    assert(r.forall(x => x.getInt(3) <= 224 && x.getInt(4) <= 224))
+    assert(r.forall(x => (x.getInt(1) >= x.getInt(2)) == (x.getInt(3) >= x.getInt(4))),
+      "box fit must preserve which side is longer")
+    assert(r.forall(x => math.max(x.getInt(3), x.getInt(4)) == 224 ||
+      (x.getInt(1) == x.getInt(3) && x.getInt(2) == x.getInt(4))),
+      "longest side pins to the box unless the image already fits")
+  }
 }
