@@ -113,6 +113,7 @@ object SparkEntry {
     "x15_interleave" -> ((s, d) => text.Curation.x15Interleave(s, d)),
     "s13_cluster_cohesion" -> ((s, d) => similarity.Similarity.s13(s, d)),
     "m4_resize" -> ((s, d) => multimodal.Multimodal.m4(s, d)),
+    "a20_item_cooccurrence" -> ((s, d) => analytics.Queries.a20(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -979,6 +980,31 @@ object SparkEntry {
         |        THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END) AS BIGINT) % 1000000)
         |   / 1000000.0 AS feat_norm
         |FROM h ORDER BY doc_id""".stripMargin,
+    // a20: capped per-user top-items (count desc, item asc — the
+    // deterministic cut), within-user pair join, PMI from marginals;
+    // all-integer counts make the double ratio exact, 4dp absorbs ln
+    "a20_item_cooccurrence" ->
+      """WITH it AS (
+        | SELECT user_id, CAST(json_extract(props, '$.k') AS INTEGER) AS item, count(*) AS c
+        | FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        | GROUP BY user_id, item),
+        |cap AS (
+        | SELECT user_id, item FROM (
+        |  SELECT user_id, item, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, item) AS rn
+        |  FROM it) WHERE rn <= 20),
+        |nu AS (SELECT item, count(*) AS n_item FROM cap GROUP BY item),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM cap),
+        |pairs AS (
+        | SELECT a.item AS item_u, b.item AS item_v, count(*) AS n_cooccur
+        | FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2)
+        |SELECT item_u, item_v, n_cooccur,
+        | round(ln(CAST(n_cooccur AS DOUBLE) * n_users / (ua.n_item * CAST(ub.n_item AS DOUBLE))), 4) AS pmi
+        |FROM pairs
+        |JOIN nu ua ON ua.item = pairs.item_u
+        |JOIN nu ub ON ub.item = pairs.item_v
+        |CROSS JOIN tot
+        |ORDER BY item_u, item_v""".stripMargin,
     // m4: m2's fold → dims, integer-exact box fit, then the fake
     // resize hash = ((31·(31·u + out_w) + out_h) mod 2^64) signed —
     // the corpus never hits the real-BMP pixel path (m2's oracle

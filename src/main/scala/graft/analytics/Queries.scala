@@ -483,4 +483,46 @@ object Queries {
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** a20: item co-occurrence with PMI — the co-engagement statistic
+    * embedding pretraining and recsys negative-sampling tables are
+    * built from. The quadratic is CAPPED by construction: each user
+    * contributes at most `cap` items (their most frequent, count-desc
+    * then item-asc so the cut is deterministic), so the within-user
+    * self-join emits ≤ cap²/2 pairs per user no matter how hot the
+    * user — the 100 TB guard is the cap, not salting, because a
+    * power-law user would otherwise square. Pair counting shuffles on
+    * user_id (equi-join, never a cross product); the item marginals
+    * and user total are item-cardinality-sized and broadcast back
+    * onto the pair frame.
+    */
+  def itemCooccurrence(events: DataFrame, cap: Int = 20): DataFrame = {
+    val it = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .where(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("c").desc, col("item"))
+    val capped = it.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).select(col("user_id"), col("item"))
+    val nu = capped.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nUsers = capped.agg(countDistinct(col("user_id")).as("n_users"))
+    val pairs = capped
+      .join(capped.withColumnRenamed("item", "item_v"), Seq("user_id"))
+      .where(col("item") < col("item_v"))
+      .groupBy(col("item").as("item_u"), col("item_v"))
+      .agg(count(lit(1)).as("n_cooccur"))
+    pairs
+      .join(broadcast(nu.select(col("item").as("item_u"), col("n_item").as("n_u"))), Seq("item_u"))
+      .join(broadcast(nu.select(col("item").as("item_v"), col("n_item").as("n_v"))), Seq("item_v"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_u"), col("item_v"), col("n_cooccur"),
+        round(log(col("n_cooccur").cast("double") * col("n_users") /
+          (col("n_u") * col("n_v").cast("double"))), 4).as("pmi"))
+  }
+
+  /** Verified entry (a20). Sort is oracle-determinism only. */
+  def a20(spark: SparkSession, dir: String): DataFrame =
+    itemCooccurrence(Tables.events(spark, dir))
+      .orderBy(col("item_u"), col("item_v"))
 }

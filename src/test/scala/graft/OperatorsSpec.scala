@@ -228,4 +228,30 @@ class OperatorsSpec extends GraftSpecBase {
       .collect().map(_.getDouble(1))
     assert(sums.forall(p => math.abs(p - 1.0) < 1e-4), sums.mkString(","))
   }
+
+  test("a20 co-occurrence: cap bounds a hot user, counts respect marginals, layout-invariant") {
+    // hot user 1 touches 30 items; cap 3 keeps only their 3 most
+    // frequent (items 0,1,2 — seen twice; the 27 singletons lose the
+    // count-desc tie-break), so pairs from user 1 are C(3,2)=3.
+    // user 2 contributes items 0,1 → one more pair (0,1).
+    val rows =
+      (0 until 30).map(i => (1L, i)) ++ Seq((1L, 0), (1L, 1), (1L, 2)) ++
+        Seq((2L, 0), (2L, 1))
+    val ev = rows.zipWithIndex.map { case ((u, k), i) =>
+      (i.toLong, u, s"""{"k": $k}""") }.toDF("event_id", "user_id", "props")
+    val r = analytics.Queries.itemCooccurrence(ev, cap = 3).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r == Map((0, 1) -> 2L, (0, 2) -> 1L, (1, 2) -> 1L), s"got $r")
+    // real table: n_cooccur can never exceed either item's user count
+    val full = analytics.Queries.a20(spark, sf)
+    val bad = full.filter(col("pmi") > lit(0.0001 + math.log(150.0))).count() +
+      full.filter(col("n_cooccur") <= 0).count()
+    assert(bad == 0)
+    val again = analytics.Queries.itemCooccurrence(
+      Tables.events(spark, sf).repartition(7)).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    val base = full.collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(again == base, "pair set must be invariant under repartitioning")
+  }
 }

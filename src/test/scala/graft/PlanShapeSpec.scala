@@ -186,7 +186,8 @@ class PlanShapeSpec extends GraftSpecBase {
     val bnljAllowed = Set("s1_knn_bruteforce", "s4_sq_knn", "s5_semantic_search",
       "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn", "s11_pq_rerank",
       "t11_source_kl", "p13_snapshot_diff", "s12_range_search",
-      "x14_corpus_mix", "x15_interleave", "s13_cluster_cohesion")
+      "x14_corpus_mix", "x15_interleave", "s13_cluster_cohesion",
+      "a20_item_cooccurrence")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
