@@ -99,4 +99,40 @@ object StatefulTwins {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // ---------------------------------------------------------- exact dedup
+
+  final case class DocEv(doc_id: Long, content_hash: String)
+  final case class DedupVerdict(doc_id: Long, content_hash: String,
+                                keep_id: Long, is_dup: Boolean)
+
+  /** Streaming twin of d1's exact dedup — the continuous-ingest
+    * spelling of "which of the arriving documents are already in the
+    * corpus" (the stream-shaped half of d10's nightly batch gate).
+    * Keyed BY content hash, so per-key state is a single long (the
+    * keeper id): the first arrival of a hash is the keeper, every
+    * later arrival (same batch or any later one) is verdicted a dup
+    * of it. Under the arrival contract that a hash's first occurrence
+    * has its smallest doc_id (ids are assigned in ingest order, the
+    * same monotonicity st1/st5/st6 assume for timestamps), the
+    * verdicts are row-identical to batch d1. In-batch id order is
+    * repaired by the per-batch sort; state never stores content, so
+    * memory is O(distinct hashes) × O(1) regardless of how hot a
+    * duplicate cluster runs.
+    */
+  def exactDedupStream(docs: Dataset[DocEv]): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+
+    def fn(hash: String, evs: Iterator[DocEv], state: GroupState[Long]): Iterator[DedupVerdict] = {
+      val sorted = evs.toSeq.sortBy(_.doc_id)
+      if (sorted.isEmpty) return Iterator.empty
+      val keeper = math.min(state.getOption.getOrElse(Long.MaxValue), sorted.head.doc_id)
+      state.update(keeper)
+      sorted.iterator.map(e =>
+        DedupVerdict(e.doc_id, hash, keeper, e.doc_id != keeper))
+    }
+
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -235,4 +235,36 @@ class StreamingSpec extends GraftSpecBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
     assert(streamMatrix == st6Matrix)
   }
+
+  test("streaming exact dedup verdicts equal batch d1 keep-min-id groups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{DocEv, DedupVerdict}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .as[DocEv].collect()
+    // split by id (ingest order — the arrival contract), scramble
+    // within each batch to prove the in-batch sort repairs it
+    val cut = docs.map(_.doc_id).sorted.apply(docs.length / 2)
+    val (b1, b2) = docs.partition(_.doc_id < cut)
+    val mem = MemoryStream[DocEv]
+    val q = streaming.StatefulTwins.exactDedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dedup_twin").as[DedupVerdict].collect()
+    assert(streamed.length == docs.length, "exactly one verdict per arriving doc")
+    val streamKeep = streamed.map(v => v.content_hash -> v.keep_id).toMap
+    val batch = dedup.Dedup.exactDedup(Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamKeep == batch.view.mapValues(_._1).toMap,
+      "every hash's streaming keeper must be the batch min doc_id")
+    // dup counts agree too: n_copies - 1 dup verdicts per hash
+    val dupCounts = streamed.filter(_.is_dup).groupBy(_.content_hash).view.mapValues(_.size.toLong).toMap
+    assert(batch.forall { case (h, (_, n)) => dupCounts.getOrElse(h, 0L) == n - 1 })
+    // a cross-batch duplicate is flagged against batch-1's keeper
+    assert(streamed.forall(v => v.is_dup == (v.doc_id != v.keep_id)))
+  }
 }
