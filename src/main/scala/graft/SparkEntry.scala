@@ -114,6 +114,8 @@ object SparkEntry {
     "s13_cluster_cohesion" -> ((s, d) => similarity.Similarity.s13(s, d)),
     "m4_resize" -> ((s, d) => multimodal.Multimodal.m4(s, d)),
     "a20_item_cooccurrence" -> ((s, d) => analytics.Queries.a20(s, d)),
+    "d14_cross_source_dupes" -> ((s, d) => dedup.Dedup.d14(s, d)),
+    "p14_profile" -> ((s, d) => quality.Checks.p14Profile(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -980,6 +982,53 @@ object SparkEntry {
         |        THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END) AS BIGINT) % 1000000)
         |   / 1000000.0 AS feat_norm
         |FROM h ORDER BY doc_id""".stripMargin,
+    // d14: d4's pair replay decorated with sources, unordered pair
+    // key via least/greatest; n_pairs halves the exploded rows
+    "d14_cross_source_dupes" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |ps AS (
+        | SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b, a_id, b_id
+        | FROM p JOIN documents da ON da.doc_id = p.a_id
+        |        JOIN documents db ON db.doc_id = p.b_id),
+        |ex AS (
+        | SELECT source_a, source_b, a_id AS doc_id FROM ps
+        | UNION ALL SELECT source_a, source_b, b_id FROM ps)
+        |SELECT source_a, source_b, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM ex GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+    // p14: one UNION ALL branch per profiled column; min/max decided
+    // on the native type then stringified (both engines), shipdate
+    // day-cast
+    "p14_profile" ->
+      """WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        | CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+        | count(DISTINCT l_orderkey) AS n_distinct,
+        | CAST(min(l_orderkey) AS VARCHAR) AS min_val, CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |FROM li
+        |UNION ALL SELECT 'l_quantity', count(*),
+        | CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT),
+        | count(DISTINCT l_quantity), CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR) FROM li
+        |UNION ALL SELECT 'l_returnflag', count(*),
+        | CAST(count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS BIGINT),
+        | count(DISTINCT l_returnflag), CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM li
+        |UNION ALL SELECT 'l_shipdate', count(*),
+        | CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT),
+        | count(DISTINCT l_shipdate), CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM li
+        |UNION ALL SELECT 'l_linestatus', count(*),
+        | CAST(count(CASE WHEN l_linestatus IS NULL THEN 1 END) AS BIGINT),
+        | count(DISTINCT l_linestatus), CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM li
+        |ORDER BY col_name""".stripMargin,
     // a20: capped per-user top-items (count desc, item asc — the
     // deterministic cut), within-user pair join, PMI from marginals;
     // all-integer counts make the double ratio exact, 4dp absorbs ln

@@ -336,4 +336,40 @@ object Dedup {
 
   def d11(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir)).orderBy(col("a_id"), col("b_id"))
+
+  /** Cross-source duplication matrix (d14): how much of each source
+    * pair is near-duplicated — the governance report that decides
+    * which feed to drop (or down-weight in x9's budgets) when two
+    * crawls overlap. Unordered source pair via least/greatest so A→B
+    * and B→A fold together; `n_pairs` = near-dup pairs bridging the
+    * two, `n_docs` = distinct docs involved on either side.
+    *
+    * Scale shape: rides the SHARED persisted d4 pair set (already
+    * bounded = actual near-dups, orders of magnitude under the
+    * corpus), which BROADCASTS into the documents table twice for
+    * source decoration — the corpus streams, it is never shuffled;
+    * the final agg groups the tiny decorated pair frame on the
+    * source-pair key.
+    */
+  def crossSourceDupes(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val withA = src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "src_a")
+      .join(broadcast(pairs.select(col("a_id"), col("b_id"))), Seq("a_id"))
+    val decorated = src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "src_b")
+      .join(broadcast(withA), Seq("b_id"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("a_id"), col("b_id"))
+    decorated
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  def d14(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupes(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
+      .orderBy(col("source_a"), col("source_b"))
 }

@@ -319,4 +319,52 @@ object Checks {
         Tables.supplier(spark, dir), "s_suppkey"),
       ("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
         Tables.customer(spark, dir), "c_custkey")))
+
+  /** Column profiling (p14): the describe-the-data report every
+    * pipeline runs before writing checks — per column: null count,
+    * exact distinct count, lexicographic-free min/max (computed on
+    * the NATIVE type, then stringified for the uniform report
+    * schema). ONE aggregation pass over the table: Spark compiles the
+    * multi-distinct agg into a single Expand + two-phase hash
+    * aggregate, so the table is scanned once and shuffled once on the
+    * expand key regardless of how many columns are profiled. At 100
+    * TB swap `countDistinct` for `approx_count_distinct` (a5b's
+    * documented trade) and the pass loses the Expand entirely —
+    * profiling never needs exact cardinalities; exact is the verified
+    * configuration because the oracle can replay it.
+    *
+    * Stringification parity note: doubles/dates/longs format
+    * identically on both engines in this corpus's value ranges
+    * (no scientific-notation thresholds crossed); min/max order is
+    * decided BEFORE the cast, so numeric columns compare numerically.
+    */
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val stack = columns.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    one.select(col("__n_rows").as("n_rows"),
+        expr(s"stack(${columns.length}, $stack)")
+          .as(Seq("col_name", "n_nulls", "n_distinct", "min_val", "max_val")))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  /** Verified entry (p14): profile the lineitem fact's key/measure/
+    * flag/date columns (shipdate day-cast — the µs-truncation gotcha
+    * keeps raw timestamps out of verified output). Sort is
+    * oracle-determinism only.
+    */
+  def p14Profile(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(
+      Tables.lineitem(spark, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date")),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus"))
+      .orderBy(col("col_name"))
 }

@@ -315,4 +315,24 @@ class DedupSpec extends GraftSpecBase {
     val again = dedup.SemDedup.semanticDedup(kept, cacheKey = Some(sf)).collect()
     assert(again.forall(_.getBoolean(4)), "dedup of the deduped corpus is a no-op")
   }
+
+  test("d14 cross-source matrix: pair sources fold unordered, counts hand-checked") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val docs = Seq(
+      (1L, "web"), (2L, "books"),   // cross pair, web<books reversed by least/greatest
+      (3L, "books"), (4L, "web"),   // same cross pair the other way around
+      (5L, "web"), (6L, "web"))     // within-source pair
+      .toDF("doc_id", "source")
+    val r = dedup.Dedup.crossSourceDupes(pairs, docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      ("books", "web") -> ((2L, 4L)),
+      ("web", "web") -> ((1L, 2L))), s"got $r")
+    // real corpus: every pair lands in exactly one matrix cell
+    val full = dedup.Dedup.d14(spark, sf).collect()
+    val nPairs = dedup.Dedup.cachedJaccardPairs(spark, sf).count()
+    assert(full.map(_.getLong(2)).sum == nPairs,
+      "matrix must partition the pair set")
+  }
 }

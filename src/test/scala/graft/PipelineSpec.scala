@@ -251,4 +251,21 @@ class PipelineSpec extends GraftSpecBase {
     for (row <- byStatus.getOrElse("removed", Array()))
       assert(row.isNullAt(4) && row.isNullAt(5), "removed rows have no new side")
   }
+
+  test("p14 profile: nulls/distincts/min/max per column from a hand-built table") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (Some(3L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val r = quality.Checks.profileColumns(df, Seq("k", "s")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        Option(x.getString(4)), Option(x.getString(5))))).toMap
+    assert(r("k") == ((4L, 1L, 2L, Some("1"), Some("3"))), s"got ${r("k")}")
+    assert(r("s") == ((4L, 1L, 2L, Some("a"), Some("b"))), s"got ${r("s")}")
+    // entry: one row per profiled column, n_rows constant
+    val full = quality.Checks.p14Profile(spark, sf).collect()
+    assert(full.map(_.getString(0)).toSeq ==
+      Seq("l_linestatus", "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    assert(full.map(_.getLong(1)).toSet.size == 1)
+  }
 }
