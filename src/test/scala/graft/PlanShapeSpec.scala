@@ -237,6 +237,44 @@ class PlanShapeSpec extends GraftSpecBase {
       s"bucket offsets must broadcast back:\n$plan")
   }
 
+  test("x15: interleave never rangepartitions the corpus — banded prefix-sum like x10") {
+    val plan = finalPlan(text.Curation.interleaveBySource(
+      Tables.documents(spark, sf).select("doc_id", "source")))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no per-source global sort over corpus rows:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"band offsets / source index must broadcast back:\n$plan")
+  }
+
+  test("s13: cluster report — corpus never in a pairwise product, centroids broadcast back") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = finalPlan(similarity.Similarity.clusterCohesion(emb))
+    // the only BNLJ is the L×L centroid self-join (tiny); the corpus
+    // reaches cosine scoring via BroadcastHashJoin on label
+    assert(plan.contains("BroadcastHashJoin"),
+      s"member scoring must ride a broadcast-centroid hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here is big enough to SMJ — the corpus must stream:\n$plan")
+  }
+
+  test("a20: the capped item set shuffles on user_id; marginals ride broadcasts") {
+    val plan = finalPlan(analytics.Queries.itemCooccurrence(Tables.events(spark, sf)))
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair join must stay a hash join on user_id:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"item marginals must broadcast onto the pair frame:\n$plan")
+  }
+
+  test("d14: source decoration streams the corpus — pair side broadcasts, no corpus shuffle for the joins") {
+    val pairs = dedup.Dedup.cachedJaccardPairs(spark, sf)
+      .select("a_id", "b_id").localCheckpoint()
+    val plan = finalPlan(dedup.Dedup.crossSourceDupes(
+      pairs, Tables.documents(spark, sf)))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 2, s"both decorations must be broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must never SMJ:\n$plan")
+  }
+
   test("runtime bloom filter prunes the big side of a selective fact-fact join") {
     // the third runtime-pruning lever next to DPP and AQE: a selective
     // filter on one join side injects a bloom filter into the other
