@@ -116,6 +116,8 @@ object SparkEntry {
     "a20_item_cooccurrence" -> ((s, d) => analytics.Queries.a20(s, d)),
     "d14_cross_source_dupes" -> ((s, d) => dedup.Dedup.d14(s, d)),
     "p14_profile" -> ((s, d) => quality.Checks.p14Profile(s, d)),
+    "t12_novelty" -> ((s, d) => text.TextAnalysis.t12Novelty(s, d)),
+    "st10_disorder_audit" -> ((s, d) => operators.Activity.st10(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -982,6 +984,42 @@ object SparkEntry {
         |        THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END) AS BIGINT) % 1000000)
         |   / 1000000.0 AS feat_norm
         |FROM h ORDER BY doc_id""".stripMargin,
+    // t12: d11's shingle replay → global first-seen min → per-doc
+    // novel fraction; LEFT JOIN keeps shingle-less docs (null rate)
+    "t12_novelty" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |f AS (SELECT s, min(doc_id) AS first_id FROM g GROUP BY s),
+        |per AS (
+        | SELECT g.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        | FROM g JOIN f USING (s) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+        | CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+        | round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // st10: running event-time max over the arrival order (event_id)
+    // per key; lateness = how far behind the max an event lands
+    "st10_disorder_audit" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        | SELECT user_id,
+        |  CASE WHEN max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts_us
+        |   THEN max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us
+        |   ELSE 0 END AS late_us
+        | FROM x)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | max(late_us) AS max_late_us
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     // d14: d4's pair replay decorated with sources, unordered pair
     // key via least/greatest; n_pairs halves the exploded rows
     "d14_cross_source_dupes" ->

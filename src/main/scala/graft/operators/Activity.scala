@@ -147,4 +147,34 @@ object Activity {
   def st9(spark: SparkSession, dir: String): DataFrame =
     zscoreAnomalies(Tables.events(spark, dir), "event_type", "ts", "value")
       .orderBy(col("series"), col("day"))
+
+  /** Event-time disorder audit (st10): per key, how out-of-order the
+    * stream actually arrives — n_late = events whose event time is
+    * behind the running max of everything that arrived before them
+    * (arrival order = event_id, the ingest sequence), max_late_us =
+    * the worst such regression. THE watermark-sizing report: a
+    * streaming deployment sets `withWatermark` delay from the
+    * observed lateness tail, and this measures that tail from the
+    * recorded log instead of guessing. One shuffle (the per-key
+    * window); the running max is a single-pass frame, no self-join.
+    */
+  def disorderAudit(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    val prev = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(keyCol), col(seqCol), unix_micros(col(tsCol)).as("__ts_us"))
+      .withColumn("__max_prev", max(col("__ts_us")).over(prev))
+      .withColumn("__late_us",
+        when(col("__max_prev") > col("__ts_us"), col("__max_prev") - col("__ts_us"))
+          .otherwise(lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("__late_us")).as("max_late_us"))
+  }
+
+  /** Verified entry (st10). Sort is oracle-determinism only. */
+  def st10(spark: SparkSession, dir: String): DataFrame =
+    disorderAudit(Tables.events(spark, dir)).orderBy(col("user_id"))
 }

@@ -435,4 +435,37 @@ object TextAnalysis {
     sourceKlDivergence(Tables.documents(spark, dir))
       .select("source", "n_tokens", "n_types", "kl")
       .orderBy("source")
+
+  /** Novelty scoring (t12): the fraction of a document's distinct
+    * word-3-gram shingles that appear in NO earlier document (earlier
+    * = smaller doc_id, the ingest order) — the "novel n-gram rate"
+    * that ranks a crawl's marginal value and orders curriculum
+    * sampling: a doc of recycled shingles scores ~0 even when no
+    * single pair clears a dedup threshold (the diffuse-duplication
+    * blind spot of d4/d2).
+    *
+    * Scale shape: one shingle pass (the d4 expression, already
+    * distinct per doc), a map-side-combined min(doc_id) per shingle
+    * (linear, no df cap needed — min is not a pair explosion), and
+    * one posting-keyed equi-join back; both shuffles key on the
+    * shingle, never on the corpus row. Shingle-less docs (<3 tokens)
+    * keep a row with n_shingles = 0 and null novelty.
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val posts = docs
+      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("s"))
+    val firstSeen = posts.groupBy(col("s")).agg(min(col("doc_id")).as("first_id"))
+    val per = posts.join(firstSeen, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  def t12Novelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

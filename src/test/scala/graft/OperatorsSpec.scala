@@ -229,6 +229,19 @@ class OperatorsSpec extends GraftSpecBase {
     assert(sums.forall(p => math.abs(p - 1.0) < 1e-4), sums.mkString(","))
   }
 
+  test("st10 disorder: lateness measured against the running max in arrival order") {
+    // arrival order = event_id; ts regresses at event 2 (10→5) and
+    // event 5 (30→7): two late events, worst regression 30-7=23
+    val df = Seq((1L, 10L, 100L), (2L, 5L, 100L), (3L, 20L, 100L),
+                 (4L, 30L, 100L), (5L, 7L, 100L), (6L, 50L, 200L))
+      .toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val r = operators.Activity.disorderAudit(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(100L) == ((5L, 2L, 23L)), s"got ${r(100L)}")
+    assert(r(200L) == ((1L, 0L, 0L)), s"got ${r(200L)}")
+  }
+
   test("a20 co-occurrence: cap bounds a hot user, counts respect marginals, layout-invariant") {
     // hot user 1 touches 30 items; cap 3 keeps only their 3 most
     // frequent (items 0,1,2 — seen twice; the 27 singletons lose the

@@ -163,4 +163,27 @@ class TextSpec extends GraftSpecBase {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(re == got.map { case (k, v) => k -> v._3 })
   }
+
+  test("t12 novelty: first occurrence owns the shingle, copies score zero, short docs null") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles "a b c","b c d" — both first here
+      (2L, "a b c d"),     // exact recycle → novelty 0
+      (3L, "b c d e"),     // "b c d" seen, "c d e" new → 0.5
+      (4L, "x y"))         // < 3 tokens → no shingles
+      .toDF("doc_id", "text")
+    val r = text.TextAnalysis.noveltyScores(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    assert(r(1L) == ((2L, 2L, Some(1.0))), s"got ${r(1L)}")
+    assert(r(2L) == ((2L, 0L, Some(0.0))), s"got ${r(2L)}")
+    assert(r(3L) == ((2L, 1L, Some(0.5))), s"got ${r(3L)}")
+    assert(r(4L) == ((0L, 0L, None)), s"got ${r(4L)}")
+    // layout invariance on the real corpus
+    val real = Tables.documents(spark, sf)
+    val base = text.TextAnalysis.noveltyScores(real).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val again = text.TextAnalysis.noveltyScores(real.repartition(7)).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(base == again, "novel counts must be partitioning-invariant")
+  }
 }
