@@ -118,6 +118,10 @@ object SparkEntry {
     "p14_profile" -> ((s, d) => quality.Checks.p14Profile(s, d)),
     "t12_novelty" -> ((s, d) => text.TextAnalysis.t12Novelty(s, d)),
     "st10_disorder_audit" -> ((s, d) => operators.Activity.st10(s, d)),
+    "st11_watermark_sim" -> ((s, d) => operators.Activity.st11(s, d)),
+    "a21_market_share" -> ((s, d) => analytics.Queries.a21(s, d)),
+    "a22_dormant_customers" -> ((s, d) => analytics.Queries.a22(s, d)),
+    "m5_phash_dupes" -> ((s, d) => multimodal.Multimodal.m5(s, d)),
   )
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1020,6 +1024,72 @@ object SparkEntry {
         | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // m5: text payloads all route through the stub content fold
+    // (m4's HUGEINT replay); the group verdict replays over the hash
+    "m5_phash_dupes" ->
+      """WITH h AS (
+        | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |   THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS phash
+        | FROM h)
+        |SELECT doc_id, phash,
+        | count(*) OVER (PARTITION BY phash) AS n_copies,
+        | doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // st11: micro-batch = event_id DIV 1000; the watermark in force
+    // during a batch is the running max of EARLIER batch maxima minus
+    // the delay (batch-boundary advance, Spark semantics); four
+    // candidate delays as conditional sums over one joined pass
+    "st11_watermark_sim" ->
+      """WITH x AS (
+        | SELECT event_id // 1000 AS b, epoch_us(ts) AS ts_us FROM events),
+        |bm AS (SELECT b, max(ts_us) AS bmax FROM x GROUP BY b),
+        |wm AS (SELECT b, max(bmax) OVER (ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+        |       FROM bm),
+        |j AS (SELECT x.ts_us, wm.wm_base FROM x JOIN wm USING (b))
+        |SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+        | count(*) AS n_events,
+        | CAST(sum(CASE WHEN wm_base - d.delay_s * 1000000 > ts_us
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | round(CAST(sum(CASE WHEN wm_base - d.delay_s * 1000000 > ts_us
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS drop_frac
+        |FROM j CROSS JOIN (VALUES (0), (60), (300), (900)) d(delay_s)
+        |GROUP BY d.delay_s ORDER BY delay_s""".stripMargin,
+    // a21: Q8-shape market share — ASIA market, PROMO parts,
+    // NATION_3's supplier share by order year
+    "a21_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS nation_revenue,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS market_revenue,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // a22: Q22-shape — scalar AVG subquery + NOT EXISTS since cutoff,
+    // decorrelated Spark-side into broadcast cross join + anti join
+    "a22_dormant_customers" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        | round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer,
+        | (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+        |WHERE c_acctbal > a
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                 AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // d14: d4's pair replay decorated with sources, unordered pair
     // key via least/greatest; n_pairs halves the exploded rows
     "d14_cross_source_dupes" ->

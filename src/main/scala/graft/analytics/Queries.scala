@@ -525,4 +525,85 @@ object Queries {
   def a20(spark: SparkSession, dir: String): DataFrame =
     itemCooccurrence(Tables.events(spark, dir))
       .orderBy(col("item_u"), col("item_v"))
+
+  /** National market share (TPC-H Q8 shape): within one region's
+    * market for one part type, the share of revenue supplied by a
+    * target nation, by order year. Selectivity-first join order on
+    * BOTH fact reductions: orders meets the ASIA-customer dim chain
+    * (customer ⋈ nation ⋈ region-filter) BEFORE the orderkey
+    * shuffle (~1/5 region selectivity — a2's lesson), and lineitem
+    * meets the PROMO-filtered part BEFORE orders (~1/6 type
+    * selectivity), so the big orderkey exchange carries doubly-
+    * pre-shrunk sides. Hard broadcast hints only on fixed-cardinality
+    * nation/region; part/customer/supplier scale with SF and are left
+    * to the size estimate + AQE (hint-forced OOM vs planned
+    * degradation — a2's contract). Share = conditional sum over the
+    * same single agg, no second pass.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  region: String = "ASIA", pType: String = "PROMO",
+                  nation: String = "NATION_3"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val partP = Tables.part(spark, dir).filter(col("p_type") === pType)
+      .select(col("p_partkey"))
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(partP, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === nation, col("__rev"))
+          .otherwise(lit(0.0))), 4).as("nation_revenue"),
+        round(sum(col("__rev")), 4).as("market_revenue"),
+        round(sum(when(col("supp_nation") === nation, col("__rev"))
+          .otherwise(lit(0.0))) / sum(col("__rev")), 6).as("mkt_share"))
+  }
+
+  /** Verified entry (a21). Sort is oracle-determinism only. */
+  def a21(spark: SparkSession, dir: String): DataFrame =
+    marketShare(spark, dir).orderBy(col("o_year"))
+
+  /** Dormant high-balance customers (TPC-H Q22 shape): customers
+    * whose balance sits above the positive-balance average yet have
+    * placed no order since a cutoff — per nation, how many and how
+    * much parked capital. The two classic decorrelations: the scalar
+    * AVG subquery becomes a 1-row broadcast cross join (no
+    * re-scan per row), and NOT EXISTS becomes a LEFT ANTI join
+    * against the date-pruned orders side (the o_orderdate predicate
+    * pushes to the scan, so the anti join's build side is the
+    * recent-orders slice, not the full history). One agg shuffle on
+    * the tiny nation key.
+    */
+  def dormantCustomers(spark: SparkSession, dir: String,
+                       since: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(since).cast("date"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+  }
+
+  /** Verified entry (a22). Sort is oracle-determinism only. */
+  def a22(spark: SparkSession, dir: String): DataFrame =
+    dormantCustomers(spark, dir).orderBy(col("c_nationkey"))
 }

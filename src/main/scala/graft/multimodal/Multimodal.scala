@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -305,6 +306,79 @@ object Multimodal {
           31 * (31 * hh + ow) + oh)
     }
 
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Difference-hash (dHash) kernel over 24-bit BMP pixels: luminance
+    * is nearest-neighbor-resampled (the m4 kernel geometry, integer-
+    * exact) onto a 9×8 grid and each of the 64 bits records whether
+    * luminance rises left-to-right between horizontal neighbors — the
+    * classic perceptual fingerprint that is invariant to uniform
+    * brightness shifts (gradient signs don't move) and to resizing
+    * (the grid re-samples the same geometry), which byte-level hashes
+    * (m1's md5) are blind to.
+    */
+  private[graft] def dHashBmp(w: Int, h: Int, px: Array[Byte]): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var lastLum = 0
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        val o = (sy * w + sx) * 3
+        // BGR byte order; integer Rec.601 luma
+        val lum = ((px(o + 2) & 0xff) * 299 + (px(o + 1) & 0xff) * 587 +
+          (px(o) & 0xff) * 114) / 1000
+        if (x > 0 && lum > lastLum) hash |= 1L << (y * 8 + (x - 1))
+        lastLum = lum
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** m5: perceptual-hash near-dup grouping for media payloads — the
+    * image-side analogue of d1's exact text dedup: identical-looking
+    * images (re-encodes, brightness shifts, resizes) collapse onto
+    * one dHash bucket even when their bytes differ. REAL dHash for
+    * 24-bit BMPs ([[dHashBmp]], spec-covered on hand-built bitmaps
+    * including a brightness-shifted copy); the deterministic
+    * content-fold fake stands in for codec-requiring payloads (m2's
+    * stub contract — swap in a codec and the plan is unchanged).
+    * Scale shape: one narrow per-partition hash pass, then ONE
+    * shuffle keyed on the 8-byte hash (never on pixels) for the
+    * group verdict — keeper = min doc_id, d1's deterministic rule.
+    */
+  def phashDupes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ph = bmpPixels(bytes) match {
+            case Some((w, h, px)) => dHashBmp(w, h, px)
+            case None =>
+              var hh = 1125899906842597L
+              var i = 0
+              while (i < bytes.length) { hh = 31 * hh + bytes(i); i += 1 }
+              hh
+          }
+          MediaHash(id, ph)
+        }
+      }.toDF()
+    val groups = Window.partitionBy(col("phash"))
+    hashed
+      .withColumn("n_copies", count(lit(1)).over(groups))
+      .withColumn("keeper_id", min(col("doc_id")).over(groups))
+      .select(col("doc_id"), col("phash"), col("n_copies"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   // ---- Verified entry points ----
 
   def m1(spark: SparkSession, dir: String): DataFrame =
@@ -319,4 +393,8 @@ object Multimodal {
 
   def m4(spark: SparkSession, dir: String): DataFrame =
     resizeMedia(Tables.documents(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  /** Verified entry (m5). Sort is oracle-determinism only. */
+  def m5(spark: SparkSession, dir: String): DataFrame =
+    phashDupes(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

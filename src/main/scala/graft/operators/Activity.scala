@@ -177,4 +177,53 @@ object Activity {
   /** Verified entry (st10). Sort is oracle-determinism only. */
   def st10(spark: SparkSession, dir: String): DataFrame =
     disorderAudit(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** Watermark-drop simulation (st11): replay the recorded log
+    * through Structured Streaming's batch-boundary watermark
+    * semantics to answer "what would each candidate `withWatermark`
+    * delay have cost in dropped events?" — st10 measures the
+    * lateness tail; this prices the cutoffs before a deployment
+    * commits to one. Arrival order (seqCol, the ingest sequence) is
+    * chunked into micro-batches of `batchSize`; the watermark in
+    * force DURING batch i is the max event time over all earlier
+    * batches minus the delay (exactly Spark's semantics: the
+    * watermark only advances between micro-batches), and an event is
+    * dropped iff its event time falls behind that. Batch 1 has no
+    * watermark yet — nothing drops there, in Spark or here.
+    *
+    * Scale shape: one map-side-combined agg to per-batch maxima
+    * (n/batchSize rows), the running max on that TINY frame (the
+    * fact table is never window-sorted — st9's contract), and the
+    * per-batch watermark broadcast back to the facts. The candidate
+    * delays ride ONE pass as conditional-sum columns (p14's
+    * stack spelling), not a |delays|× row fan-out.
+    */
+  def watermarkSim(events: DataFrame, delaysSec: Seq[Int] = Seq(0, 60, 300, 900),
+                   batchSize: Long = 1000, tsCol: String = "ts",
+                   seqCol: String = "event_id"): DataFrame = {
+    val facts = events.select(
+      expr(s"$seqCol DIV $batchSize").as("__batch"),
+      unix_micros(col(tsCol)).as("__ts_us"))
+    val prev = Window.orderBy(col("__batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = facts.groupBy(col("__batch"))
+      .agg(max(col("__ts_us")).as("__bmax"))
+      .withColumn("__wm_base", max(col("__bmax")).over(prev))
+      .select(col("__batch"), col("__wm_base"))
+    val joined = facts.join(broadcast(wm), Seq("__batch"))
+    val drops = delaysSec.map { d =>
+      sum(when(col("__wm_base") - lit(d.toLong * 1000000L) > col("__ts_us"), 1L)
+        .otherwise(0L)).as(s"__drop_$d")
+    }
+    val one = joined.agg(count(lit(1)).as("__n"), drops: _*)
+    val stack = delaysSec.map(d => s"CAST($d AS BIGINT), `__drop_$d`").mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${delaysSec.length}, $stack)").as(Seq("delay_s", "n_dropped")))
+      .select(col("delay_s"), col("__n").as("n_events"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("__n"), 6).as("drop_frac"))
+  }
+
+  /** Verified entry (st11). Sort is oracle-determinism only. */
+  def st11(spark: SparkSession, dir: String): DataFrame =
+    watermarkSim(Tables.events(spark, dir)).orderBy(col("delay_s"))
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends GraftSpecBase {
+  import spark.implicits._
 
   test("binary meta: byte length and hash over the payload") {
     val r = multimodal.Multimodal.m1(spark, sf)
@@ -126,6 +127,47 @@ class MultimodalSpec extends GraftSpecBase {
     val same = multimodal.Multimodal.resizeOne(7L, b, box = 224)
     assert((same.out_w, same.out_h) == ((4, 2)))
     assert(same.resize_hash == java.util.Arrays.hashCode(px.get._3).toLong)
+  }
+
+  // 24bpp BMP from a per-pixel gray-level function (BGR all = lum)
+  private def grayBmp(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up rows, as real BMPs store them
+    (h - 1 to 0 by -1).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = lum(x, y).toByte; buf.put(v).put(v).put(v)
+      }
+      (w * 3 until stride).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("m5 dHash: brightness-shift invariant, gradient-reversal variant, grouped by hash") {
+    val ramp = grayBmp(18, 16, (x, _) => x * 10)           // rises left→right
+    val brighter = grayBmp(18, 16, (x, _) => x * 10 + 40)  // same gradient signs
+    val reversed = grayBmp(18, 16, (x, _) => 170 - x * 10) // falls left→right
+    def ph(b: Array[Byte]): Long = {
+      val Some((w, h, px)) = multimodal.Multimodal.bmpPixels(b)
+      multimodal.Multimodal.dHashBmp(w, h, px)
+    }
+    assert(ph(ramp) == ph(brighter),
+      "uniform brightness shift must not move the dHash")
+    assert(ph(ramp) != ph(reversed),
+      "reversed gradient must flip comparison bits")
+    assert(ph(ramp) == -1L >>> 0, s"all-rising rows set all 64 bits, got ${ph(ramp)}")
+    // the grouping verdict: byte-different near-dups share a bucket,
+    // keeper is the smallest doc_id
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      .toDF("doc_id", "text") // identical text → identical stub hash
+    val r = multimodal.Multimodal.phashDupes(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((2L, true)) && r(2L) == ((2L, false)) && r(3L) == ((1L, true)), s"got $r")
   }
 
   test("m4 entry: every output fits the box, aspect order preserved, one row per doc") {

@@ -242,6 +242,24 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(200L) == ((1L, 0L, 0L)), s"got ${r(200L)}")
   }
 
+  test("st11 watermark sim: drops priced against batch-boundary watermark, first batch immune") {
+    // batchSize=2 → batches {0:(e0,e1)} {1:(e2,e3)} {2:(e4,e5)}.
+    // batch 0 has no watermark (nothing drops). watermark base for
+    // batch 1 = max(100,200)=200: e2 ts=50 drops at delay 0 (200>50)
+    // and at delay 100 (100>50); e3 ts=150 drops only at delay 0.
+    // base for batch 2 = max(200,150)=200: e4 ts=190 drops at delay 0
+    // only (200-100=100 < 190); e5 ts=500 never drops.
+    val df = Seq((0L, 100L), (1L, 200L), (2L, 50L), (3L, 150L),
+                 (4L, 190L), (5L, 500L))
+      .toDF("event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us") * 1000000L))
+    val r = operators.Activity.watermarkSim(df, delaysSec = Seq(0, 100),
+        batchSize = 2, tsCol = "ts")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((6L, 3L)), s"got ${r(0L)}")
+    assert(r(100L) == ((6L, 1L)), s"got ${r(100L)}")
+  }
+
   test("a20 co-occurrence: cap bounds a hot user, counts respect marginals, layout-invariant") {
     // hot user 1 touches 30 items; cap 3 keeps only their 3 most
     // frequent (items 0,1,2 — seen twice; the 27 singletons lose the

@@ -54,6 +54,22 @@ class PlanShapeSpec extends GraftSpecBase {
       s"orders must be filtered through customers before meeting lineitem:\n$plan")
   }
 
+  test("a21: both fact reductions pushed/pre-joined; only fixed dims carry hints") {
+    val plan = finalPlan(analytics.Queries.marketShare(spark, sf))
+    // part-type and region filters reach their scans
+    assert(plan.contains("PushedFilters: [EqualTo(p_type,PROMO)]"),
+      s"part-type filter must push to the part scan:\n$plan")
+    assert(plan.contains("PushedFilters: [EqualTo(r_name,ASIA)]"),
+      s"region filter must push to the region scan:\n$plan")
+    // orders must be filtered through the ASIA customer chain BELOW
+    // (printed after) the orderkey join — the doubly-pre-shrunk
+    // exchange is the point of the spelling
+    val okJoin = plan.indexOf("Join [l_orderkey")
+    val custJoin = plan.indexOf("Join [o_custkey")
+    assert(okJoin >= 0 && custJoin > okJoin,
+      s"orders must meet the ASIA customers before meeting lineitem:\n$plan")
+  }
+
   test("a11: fact table never shuffles for the part join (size-estimated broadcast, zero hash exchanges)") {
     val plan = finalPlan(analytics.Queries.promoRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
