@@ -122,7 +122,33 @@ object SparkEntry {
     "a21_market_share" -> ((s, d) => analytics.Queries.a21(s, d)),
     "a22_dormant_customers" -> ((s, d) => analytics.Queries.a22(s, d)),
     "m5_phash_dupes" -> ((s, d) => multimodal.Multimodal.m5(s, d)),
+    "p15_profile_drift" -> ((s, d) => quality.Checks.p15ProfileDrift(s, d)),
+    "t13_zipf_alpha" -> ((s, d) => text.TextAnalysis.t13ZipfAlpha(s, d)),
   )
+
+  /** p15 oracle: p14's per-column profile replay GENERATED for each
+    * slice predicate, joined per column for the drift verdict.
+    */
+  private def p15Oracle: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    def side(pred: String): String = cols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM li WHERE $pred""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag,
+       |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem),
+       |a AS (${side("l_shipdate < DATE '1998-01-01'")}),
+       |b AS (${side("l_shipdate >= DATE '1998-01-01'")})
+       |SELECT a.col_name, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       | round(CAST(a.n_nulls AS DOUBLE) / a.n_rows, 6) AS null_rate_a,
+       | round(CAST(b.n_nulls AS DOUBLE) / b.n_rows, 6) AS null_rate_b,
+       | a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+       | round(CAST(b.n_distinct AS DOUBLE) / a.n_distinct, 6) AS distinct_ratio,
+       | (a.min_val <> b.min_val OR a.max_val <> b.max_val) AS range_changed
+       |FROM a JOIN b USING (col_name) ORDER BY col_name""".stripMargin
+  }
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
     * each of the m slices: deterministic init (first ksub sample
@@ -1024,6 +1050,24 @@ object SparkEntry {
         | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p15_profile_drift" -> p15Oracle,
+    // t13: rank window (count desc, token asc — deterministic), top-V
+    // cut, closed-form OLS slope; integer counts → identical ln
+    // inputs, 4dp absorbs the unordered-sum noise (t11 pattern)
+    "t13_zipf_alpha" ->
+      """WITH c AS (
+        | SELECT source, t AS token, count(*) AS c
+        | FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |       FROM documents)
+        | WHERE t <> '' GROUP BY source, t),
+        |r AS (SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS r
+        | FROM c),
+        |x AS (SELECT source, ln(r) AS x, ln(c) AS y FROM r WHERE r <= 100)
+        |SELECT source, count(*) AS n_terms,
+        | round(-(count(*) * sum(x*y) - sum(x) * sum(y))
+        |   / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_alpha
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     // m5: text payloads all route through the stub content fold
     // (m4's HUGEINT replay); the group verdict replays over the hash
     "m5_phash_dupes" ->

@@ -367,4 +367,45 @@ object Checks {
         .withColumn("l_shipdate", col("l_shipdate").cast("date")),
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus"))
       .orderBy(col("col_name"))
+
+  /** Profile drift (p15): p14's one-pass profile run on a baseline
+    * and a candidate slice, joined per column — the "did the new
+    * partition change shape?" gate a pipeline runs before promoting a
+    * batch: null-rate movement, distinct-cardinality ratio, and
+    * min/max range escape. Each side is the single profile pass
+    * (map-side partials into one tiny stacked row set of |columns|
+    * rows); the drift join is over those |columns|-row frames, so
+    * the comparison itself is free at any corpus size.
+    */
+  def profileDrift(base: DataFrame, cand: DataFrame,
+                   columns: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      profileColumns(df, columns).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_val").as(s"min_$s"), col("max_val").as(s"max_$s"))
+    side(base, "a").join(side(cand, "b"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        round(col("n_nulls_a").cast("double") / col("n_rows_a"), 6).as("null_rate_a"),
+        round(col("n_nulls_b").cast("double") / col("n_rows_b"), 6).as("null_rate_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        round(col("n_distinct_b").cast("double") / col("n_distinct_a"), 6)
+          .as("distinct_ratio"),
+        (col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+          .as("range_changed"))
+  }
+
+  /** Verified entry (p15): lineitem's 1998 boundary as the baseline/
+    * candidate split. Sort is oracle-determinism only.
+    */
+  def p15ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    profileDrift(
+      li.filter(col("l_shipdate") < lit("1998-01-01").cast("date")),
+      li.filter(col("l_shipdate") >= lit("1998-01-01").cast("date")),
+      cols).orderBy(col("col_name"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions.word_shingles
@@ -468,4 +469,42 @@ object TextAnalysis {
 
   def t12Novelty(spark: SparkSession, dir: String): DataFrame =
     noveltyScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Zipf slope per source (t13): α from the OLS fit of ln(freq) on
+    * ln(rank) over each source's top-`topV` tokens — the
+    * rank-frequency exponent natural text holds near 1; spammy or
+    * templated sources flatten (α ↓) and keyword-stuffed ones steepen.
+    * With t10's per-doc entropy this is the corpus-level half of the
+    * repetition-structure report.
+    *
+    * Scale shape: ONE map-side-combined token-explode shuffle to
+    * (source, token) counts (t11's pass), the rank window over the
+    * per-source COUNT frame (vocabulary-sized, never the corpus), a
+    * top-V cut, and a per-source fold of the five regression sums.
+    * The fit itself is closed-form — no iteration, no driver math.
+    */
+  def zipfAlpha(docs: DataFrame, topV: Int = 100): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("token"))
+    val pts = counts
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= topV)
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(-(count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 4)
+          .as("zipf_alpha"))
+  }
+
+  /** Verified entry (t13). Sort is oracle-determinism only. */
+  def t13ZipfAlpha(spark: SparkSession, dir: String): DataFrame =
+    zipfAlpha(Tables.documents(spark, dir)).orderBy(col("source"))
 }

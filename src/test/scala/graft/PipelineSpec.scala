@@ -268,4 +268,21 @@ class PipelineSpec extends GraftSpecBase {
       Seq("l_linestatus", "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
     assert(full.map(_.getLong(1)).toSet.size == 1)
   }
+
+  test("p15 drift: null-rate movement, distinct ratio, and range escape from hand-built slices") {
+    import spark.implicits._
+    val base = Seq((Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), Some("a")), (None, Some("b")))
+      .toDF("k", "s")
+    val cand = Seq((Some(5L), Some("a")), (Some(5L), Some("a")))
+      .toDF("k", "s")
+    val r = quality.Checks.profileDrift(base, cand, Seq("k", "s")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getLong(5), x.getLong(6),
+        x.getDouble(7), x.getBoolean(8)))).toMap
+    // k: nulls 1/4 → 0/2, distinct 3 → 1, max 3 → 5 (range escaped)
+    assert(r("k") == ((4L, 2L, 0.25, 0.0, 3L, 1L, 0.333333, true)), s"got ${r("k")}")
+    // s: no nulls either side, distinct 2 → 1, min/max a..b → a..a
+    assert(r("s") == ((4L, 2L, 0.0, 0.0, 2L, 1L, 0.5, true)), s"got ${r("s")}")
+  }
 }

@@ -164,6 +164,20 @@ class TextSpec extends GraftSpecBase {
     assert(re == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("t13 zipf: exact power law fits alpha 1, uniform source fits 0") {
+    // counts 60/r at consecutive ranks 1..5 — 60,30,20,15,12 — is an
+    // EXACT alpha=1 power law with integer counts; uniform counts
+    // have zero log-log slope
+    val power = (1 to 5).flatMap(r => Seq.fill(60 / r)(s"p$r")).mkString(" ")
+    val flat = Seq.fill(4)(Seq("u1", "u2", "u3")).flatten.mkString(" ")
+    val docs = Seq((1L, power, "power"), (2L, flat, "flat"))
+      .toDF("doc_id", "text", "source")
+    val r = text.TextAnalysis.zipfAlpha(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r("power") == ((5L, 1.0)), s"got ${r("power")}")
+    assert(r("flat")._1 == 3L && math.abs(r("flat")._2) == 0.0, s"got ${r("flat")}")
+  }
+
   test("t12 novelty: first occurrence owns the shingle, copies score zero, short docs null") {
     val docs = Seq(
       (1L, "a b c d"),     // shingles "a b c","b c d" — both first here
