@@ -124,6 +124,7 @@ object SparkEntry {
     "m5_phash_dupes" -> ((s, d) => multimodal.Multimodal.m5(s, d)),
     "p15_profile_drift" -> ((s, d) => quality.Checks.p15ProfileDrift(s, d)),
     "t13_zipf_alpha" -> ((s, d) => text.TextAnalysis.t13ZipfAlpha(s, d)),
+    "st12_changepoint" -> ((s, d) => operators.Activity.st12(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1051,6 +1052,28 @@ object SparkEntry {
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p15_profile_drift" -> p15Oracle,
+    // st12: CUSUM argmax over the day-grain series; all sums fold in
+    // day order (window cumsum), argmax ties break earliest-day
+    "st12_changepoint" ->
+      """WITH s AS (
+        | SELECT event_type AS series, CAST(ts AS DATE) AS day, avg(value) AS x
+        | FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT series, day, x,
+        |  sum(x) OVER (PARTITION BY series ORDER BY day ROWS UNBOUNDED PRECEDING) AS s,
+        |  row_number() OVER (PARTITION BY series ORDER BY day) AS t,
+        |  count(*) OVER (PARTITION BY series) AS n,
+        |  sum(x) OVER (PARTITION BY series) AS total
+        | FROM s),
+        |d AS (SELECT *, abs(s - CAST(t AS DOUBLE) / n * total) AS d
+        |      FROM c WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY series
+        |        ORDER BY d DESC, day) AS rk FROM d)
+        |SELECT series, day AS cp_day, n AS n_days,
+        | round(s / t, 4) AS pre_mean,
+        | round((total - s) / (n - t), 4) AS post_mean,
+        | round((total - s) / (n - t) - s / t, 4) AS shift,
+        | round(d, 4) AS cusum_score
+        |FROM r WHERE rk = 1 ORDER BY series""".stripMargin,
     // t13: rank window (count desc, token asc — deterministic), top-V
     // cut, closed-form OLS slope; integer counts → identical ln
     // inputs, 4dp absorbs the unordered-sum noise (t11 pattern)

@@ -226,4 +226,57 @@ object Activity {
   /** Verified entry (st11). Sort is oracle-determinism only. */
   def st11(spark: SparkSession, dir: String): DataFrame =
     watermarkSim(Tables.events(spark, dir)).orderBy(col("delay_s"))
+
+  /** Offline changepoint per series (st12): the CUSUM argmax — for
+    * each series the day that best splits it into a before/after with
+    * maximal cumulative deviation |S_t − (t/n)·S_n|, plus the level
+    * shift across that split. st9 flags single outlier DAYS against a
+    * trailing baseline; this finds the persistent LEVEL SHIFT (deploy
+    * regression, logging change, mix shift) a pointwise z-score
+    * smears across the tail.
+    *
+    * Scale shape: one map-side-combined shuffle to the (key, day)
+    * grain, then every statistic — ordered cumulative sum, row index,
+    * series total — rides ONE window pass over the day-grain series
+    * (per-key length = days, not rows; st9's contract). The argmax is
+    * a rank filter, not a self-join. All series math folds in day
+    * order, so the doubles are reproducible bit-for-bit on any
+    * engine — the same ordered-fold discipline as s3's trainer.
+    * The last day is excluded as a candidate (a changepoint must
+    * leave a non-empty "after"); ties break to the earliest day.
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String = "event_type",
+                       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val series = events
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(avg(col(valCol)).as("x"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = series
+      .withColumn("__s", sum(col("x")).over(cum))
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__total", sum(col("x")).over(all))
+      .filter(col("__t") < col("__n"))
+      .withColumn("__d",
+        abs(col("__s") - col("__t").cast("double") / col("__n") * col("__total")))
+    val best = Window.partitionBy(col("series"))
+      .orderBy(col("__d").desc, col("day"))
+    scored
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("series"), col("day").as("cp_day"), col("__n").as("n_days"),
+        round(col("__s") / col("__t"), 4).as("pre_mean"),
+        round((col("__total") - col("__s")) / (col("__n") - col("__t")), 4)
+          .as("post_mean"),
+        round((col("__total") - col("__s")) / (col("__n") - col("__t"))
+          - col("__s") / col("__t"), 4).as("shift"),
+        round(col("__d"), 4).as("cusum_score"))
+  }
+
+  /** Verified entry (st12). Sort is oracle-determinism only. */
+  def st12(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(Tables.events(spark, dir)).orderBy(col("series"))
 }

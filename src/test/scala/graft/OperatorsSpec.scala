@@ -260,6 +260,22 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(100L) == ((6L, 1L)), s"got ${r(100L)}")
   }
 
+  test("st12 cusum: finds the planted level shift at the exact boundary day") {
+    // series 'a': value 10 for days 1-4, then 20 for days 5-8 — the
+    // argmax split must land on day 4 with shift +10; series 'b' is
+    // flat so the score is ~0 and shift 0 (argmax ties → earliest day)
+    val rows = (1 to 8).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00")
+      Seq(("a", ts, if (d <= 4) 10.0 else 20.0), ("b", ts, 7.0))
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val r = operators.Activity.cusumChangepoint(df).collect()
+      .map(x => x.getString(0) -> ((x.getDate(1).toString, x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("a") == (("2024-01-04", 8L, 10.0, 20.0, 10.0)), s"got ${r("a")}")
+    assert(r("b") == (("2024-01-01", 8L, 7.0, 7.0, 0.0)), s"got ${r("b")}")
+  }
+
   test("a20 co-occurrence: cap bounds a hot user, counts respect marginals, layout-invariant") {
     // hot user 1 touches 30 items; cap 3 keeps only their 3 most
     // frequent (items 0,1,2 — seen twice; the 27 singletons lose the
