@@ -135,4 +135,42 @@ object StatefulTwins {
     docs.groupByKey(_.content_hash)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // ------------------------------------------------------- disorder audit
+
+  final case class DisEv(user_id: Long, event_id: Long, ts_us: Long)
+  final case class DisState(maxTs: Long, n: Long, nLate: Long, maxLate: Long)
+  final case class DisOut(user_id: Long, n_events: Long, n_late: Long,
+                          max_late_us: Long)
+
+  /** Streaming twin of st10's disorder audit — lateness measured
+    * CONTINUOUSLY, which is where the report actually belongs: the
+    * deployment watching its own watermark headroom. State per key is
+    * O(1) — the running event-time max plus three counters — and the
+    * fold is st10's exactly: an event is late iff the stored max
+    * (over everything that arrived before it) exceeds its event time.
+    * Arrival order within a batch is repaired by the event_id sort
+    * (the ingest sequence, d1's monotonicity contract); emits each
+    * key's CURRENT audit row every batch (Update mode, keyed-upsert
+    * sink contract).
+    */
+  def disorderAuditStream(events: Dataset[DisEv]): Dataset[DisOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[DisEv], state: GroupState[DisState]): DisOut = {
+      var st = state.getOption.getOrElse(DisState(Long.MinValue, 0L, 0L, 0L))
+      evs.toSeq.sortBy(_.event_id).foreach { e =>
+        val late =
+          if (st.maxTs != Long.MinValue && st.maxTs > e.ts_us) st.maxTs - e.ts_us
+          else 0L
+        st = DisState(math.max(st.maxTs, e.ts_us), st.n + 1,
+          st.nLate + (if (late > 0) 1L else 0L), math.max(st.maxLate, late))
+      }
+      state.update(st)
+      DisOut(userId, st.n, st.nLate, st.maxLate)
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+  }
 }

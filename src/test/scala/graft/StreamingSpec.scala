@@ -267,4 +267,37 @@ class StreamingSpec extends GraftSpecBase {
     // a cross-batch duplicate is flagged against batch-1's keeper
     assert(streamed.forall(v => v.is_dup == (v.doc_id != v.keep_id)))
   }
+
+  test("streaming disorder audit equals batch st10 on the real event log (cross-batch max)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{DisEv, DisOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[DisEv].collect()
+    // split by event_id (arrival order — the contract), scramble
+    // within each batch to prove the in-batch sort repairs it
+    val cut = evs.map(_.event_id).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.event_id < cut)
+    val mem = MemoryStream[DisEv]
+    val q = streaming.StatefulTwins.disorderAuditStream(mem.toDS())
+      .writeStream.format("memory").queryName("disorder_twin").outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits a key's row each batch it appears in —
+    // the LAST emission per key is its final audit
+    val streamed = spark.table("disorder_twin").as[DisOut].collect()
+      .zipWithIndex.groupBy(_._1.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+    val batch = operators.Activity.disorderAudit(Tables.events(spark, sf)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (u, (n, late, maxLate)) =>
+      val s = streamed(u)
+      assert((s.n_events, s.n_late, s.max_late_us) == ((n, late, maxLate)),
+        s"user $u: stream ${s} != batch ${(n, late, maxLate)}")
+    }
+  }
 }
