@@ -125,6 +125,7 @@ object SparkEntry {
     "p15_profile_drift" -> ((s, d) => quality.Checks.p15ProfileDrift(s, d)),
     "t13_zipf_alpha" -> ((s, d) => text.TextAnalysis.t13ZipfAlpha(s, d)),
     "st12_changepoint" -> ((s, d) => operators.Activity.st12(s, d)),
+    "s14_centroid_drift" -> ((s, d) => similarity.Similarity.s14(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1052,6 +1053,27 @@ object SparkEntry {
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p15_profile_drift" -> p15Oracle,
+    // s14: even/odd halves, float-cast centroid components (s13's
+    // discipline), index-ordered norm folds — all engine-exact
+    "s14_centroid_drift" ->
+      """WITH comp AS (
+        | SELECT label, vec_id % 2 AS h, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, h, list(CAST(cv AS FLOAT) ORDER BY i) AS c, max(n) AS n_vecs
+        | FROM (SELECT label, h, i, avg(CAST(v AS DOUBLE)) AS cv, count(*) AS n
+        |       FROM comp GROUP BY label, h, i)
+        | GROUP BY label, h)
+        |SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+        | round(list_cosine_similarity(CAST(a.c AS DOUBLE[]), CAST(b.c AS DOUBLE[])), 6)
+        |   AS centroid_cos,
+        | round(sqrt(list_reduce(list_transform(CAST(b.c AS DOUBLE[]), x -> x * x),
+        |         (p, q) -> p + q))
+        |   / sqrt(list_reduce(list_transform(CAST(a.c AS DOUBLE[]), x -> x * x),
+        |         (p, q) -> p + q)), 6) AS norm_ratio
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.h = 0 AND b.h = 1
+        |ORDER BY a.label""".stripMargin,
     // st12: CUSUM argmax over the day-grain series; all sums fold in
     // day order (window cumsum), argmax ties break earliest-day
     "st12_changepoint" ->

@@ -692,4 +692,60 @@ object Similarity {
     */
   def s13(spark: SparkSession, dir: String): DataFrame =
     clusterCohesion(Tables.embeddings(spark, dir)).orderBy(col("label"))
+
+  /** Per-label exact centroid + member count in ONE corpus pass —
+    * [[labelCentroids]] with the count folded into the same (label,
+    * dim) aggregation (every dim of a label sees the same member
+    * count, so max() recovers it without a second scan).
+    */
+  private def centroidWithCount(emb: DataFrame, labelCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col(labelCol), col("i"))
+      .agg(avg(col("v").cast("double")).as("cv"), count(lit(1)).as("n"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("s"),
+        max(col("n")).as("n_vecs"))
+      .select(col(labelCol),
+        transform(col("s"), x => x.getField("cv").cast("float")).as("centroid"),
+        col("n_vecs"))
+
+  /** Embedding drift monitor (s14): per label, how far the class
+    * centroid MOVED between a baseline and a candidate slice —
+    * direction drift as centroid cosine, magnitude drift as the norm
+    * ratio. The "did the encoder / upstream distribution change"
+    * gate an embedding pipeline runs before trusting stored vectors
+    * against freshly-produced ones (p15's profile-drift idea lifted
+    * into embedding space); s13 QAs one snapshot's cluster geometry,
+    * this compares two snapshots'.
+    *
+    * Scale shape: each side is ONE corpus pass to (label, dim)
+    * partial-agg'd means ([[centroidWithCount]] — the s13 centroid
+    * discipline: float-cast components so fp summation-order noise
+    * dies at the 24-bit mantissa and the cosines replay exactly);
+    * the drift math then rides the L-row centroid frames. Norms fold
+    * in index order (deterministic on any engine).
+    */
+  def centroidDrift(base: DataFrame, cand: DataFrame,
+                    labelCol: String = "label"): DataFrame = {
+    val a = centroidWithCount(base, labelCol)
+      .select(col(labelCol), col("centroid").as("cent_a"), col("n_vecs").as("n_a"))
+    val b = centroidWithCount(cand, labelCol)
+      .select(col(labelCol), col("centroid").as("cent_b"), col("n_vecs").as("n_b"))
+    def norm(c: Column) = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    a.join(b, Seq(labelCol))
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        round(cosine_sim(col("cent_a"), col("cent_b")), 6).as("centroid_cos"),
+        round(norm(col("cent_b")) / norm(col("cent_a")), 6).as("norm_ratio"))
+  }
+
+  /** Verified entry (s14): even/odd vec_id halves as baseline and
+    * candidate (deterministic, engine-replayable split). Sort is
+    * oracle-determinism only.
+    */
+  def s14(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    centroidDrift(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1)).orderBy(col("label"))
+  }
 }

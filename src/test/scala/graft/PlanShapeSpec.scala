@@ -203,7 +203,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "t7_lm_surprisal", "s6_bm25", "s7_rrf_fusion", "s9_pq_knn", "s11_pq_rerank",
       "t11_source_kl", "p13_snapshot_diff", "s12_range_search",
       "x14_corpus_mix", "x15_interleave", "s13_cluster_cohesion",
-      "a20_item_cooccurrence")
+      "a20_item_cooccurrence",
+      // a22 cross-joins the single-row decorrelated scalar AVG
+      "a22_dormant_customers")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -256,4 +256,21 @@ class SimilaritySpec extends GraftSpecBase {
     }.sum.toDouble / (10 * 5)
     assert(hit >= 0.8, s"planted near-dup recall was $hit")
   }
+
+  test("s14 drift: rotated label drifts to cos 0, scaled label keeps cos 1 with norm ratio 2") {
+    import spark.implicits._
+    // label 1 rotates x→y between halves; label 2 only doubles scale
+    val base = Seq((1L, Seq(1f, 0f), 1), (3L, Seq(1f, 0f), 1),
+      (5L, Seq(0f, 3f), 2), (7L, Seq(0f, 1f), 2))
+    val cand = Seq((2L, Seq(0f, 1f), 1), (4L, Seq(0f, 1f), 1),
+      (6L, Seq(0f, 6f), 2), (8L, Seq(0f, 2f), 2))
+    val df = (base ++ cand).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = similarity.Similarity.centroidDrift(
+        df.filter(col("vec_id") % 2 === 1), df.filter(col("vec_id") % 2 === 0))
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1) == ((2L, 2L, 0.0, 1.0)), s"got ${r(1)}")
+    assert(r(2) == ((2L, 2L, 1.0, 2.0)), s"got ${r(2)}")
+  }
 }
