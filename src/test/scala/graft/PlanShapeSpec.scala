@@ -587,4 +587,38 @@ class PlanShapeSpec extends GraftSpecBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"one shuffle on the expanded keys, got $shuffles:\n$plan")
   }
+
+  test("r6 additions: library results unordered, shuffles bounded, facts never window-sorted") {
+    val docs = Tables.documents(spark, sf)
+    val events = Tables.events(spark, sf)
+    // (name, frame, max hash exchanges) — every one must also plan
+    // zero rangepartitioning (sorts are entry-only, x10's rule)
+    val cases = Seq(
+      // shingle posting agg + posting join (reused exchange) + doc agg
+      // + corpus left join
+      ("t12 noveltyScores", text.TextAnalysis.noveltyScores(docs), 4),
+      // (source,token) agg + source rank window + source agg
+      ("t13 zipfAlpha", text.TextAnalysis.zipfAlpha(docs), 3),
+      // one per-key window shuffle + the key agg it feeds
+      ("st10 disorderAudit", operators.Activity.disorderAudit(events), 2),
+      // batch agg; watermark joins back as broadcast; 1-row final agg
+      ("st11 watermarkSim", operators.Activity.watermarkSim(events), 2),
+      // (key,day) agg; both windows ride one series exchange
+      ("st12 cusumChangepoint", operators.Activity.cusumChangepoint(events), 2),
+      // one shuffle keyed on the 8-byte hash, never on payloads
+      ("m5 phashDupes", multimodal.Multimodal.phashDupes(docs), 1))
+    for ((name, df, maxHash) <- cases) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$name must not global-sort its result:\n$plan")
+      val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashes <= maxHash,
+        s"$name plans $hashes hash exchanges, expected <= $maxHash:\n$plan")
+    }
+    // st11's broadcast contract: the fact side never hash-shuffles for
+    // the watermark join
+    val wmPlan = finalPlan(operators.Activity.watermarkSim(events))
+    assert(wmPlan.contains("BroadcastHashJoin"),
+      s"watermark frame must broadcast back to facts:\n$wmPlan")
+  }
 }
