@@ -130,6 +130,31 @@ class PipelineSpec extends GraftSpecBase {
     }
   }
 
+  test("reference checks_gold.yml loads VERBATIM and gates a gold batch") {
+    // the reference's actual Soda file, unmodified
+    // (reference soda/checks/checks_gold.yml:1-11)
+    val path = java.nio.file.Paths.get("/root/reference/soda/checks/checks_gold.yml")
+    assume(java.nio.file.Files.exists(path), "reference checkout not present")
+    val yml = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val suite = quality.Checks.fromYaml(yml)
+    assert(suite.requiredColumns == Seq("station_id", "window_start",
+      "window_end", "avg_pct_bikes_available"))
+    assert(suite.checks.length == 3) // row_count, missing_count, avg-between
+
+    val gold = Seq((101L, "00:00", "00:15", 0.42), (102L, "00:00", "00:15", 0.77))
+      .toDF("station_id", "window_start", "window_end", "avg_pct_bikes_available")
+    val r = quality.Checks.runSuite(gold, suite)
+      .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(r.size == 4 && r.values.forall(identity), s"reference suite must pass: $r")
+
+    val broken = Seq((101L, "00:00", "00:15", 1.42)) // avg out of [0,1]
+      .toDF("station_id", "window_start", "window_end", "avg_pct_bikes_available")
+    val rb = quality.Checks.runSuite(broken, suite)
+      .collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(!rb("avg_avg_pct_bikes_available") && rb("row_count"),
+      s"out-of-range average must fail exactly that check: $rb")
+  }
+
   test("p12: planted orphans and null keys land in the right buckets; clean relation passes") {
     val child = Seq(
       (1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)), // 99 has no parent
