@@ -339,6 +339,15 @@ object Checks {
     * decided BEFORE the cast, so numeric columns compare numerically.
     */
   def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    // The multi-distinct Expand multiplies every input row by
+    // |columns|+1 and the partial aggregation runs WHERE THE SPLITS
+    // ARE — at production scale splits ≫ cores and this guard is a
+    // no-op, but a small table (few parquet splits) would run the
+    // whole Expand+dedup on those few tasks. One cheap round-robin
+    // exchange of the raw rows buys full-core parallelism exactly
+    // when the input is small enough for that exchange to be free.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
     val aggs = columns.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
@@ -346,7 +355,7 @@ object Checks {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val one = src.agg(count(lit(1)).as("__n_rows"), aggs: _*)
     val stack = columns.map(c =>
       s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
     one.select(col("__n_rows").as("n_rows"),
