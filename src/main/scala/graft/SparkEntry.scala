@@ -126,6 +126,8 @@ object SparkEntry {
     "t13_zipf_alpha" -> ((s, d) => text.TextAnalysis.t13ZipfAlpha(s, d)),
     "st12_changepoint" -> ((s, d) => operators.Activity.st12(s, d)),
     "s14_centroid_drift" -> ((s, d) => similarity.Similarity.s14(s, d)),
+    "st13_funnel_timing" -> ((s, d) => operators.Funnel.st13(s, d)),
+    "x16_mix_rebalance" -> ((s, d) => text.Curation.x16MixRebalance(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1053,6 +1055,53 @@ object SparkEntry {
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p15_profile_drift" -> p15Oracle,
+    // st13: st5's k-join funnel replay, unpivoted per transition,
+    // quantile_cont == Spark's exact interpolated percentile (a8)
+    "st13_funnel_timing" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |f AS (SELECT u.user_id, s1.t1, s2.t2, s3.t3
+        |      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |      LEFT JOIN s3 USING (user_id)),
+        |p AS (
+        | SELECT 'step1_to_step2' AS transition, CAST(t2 - t1 AS DOUBLE) AS delay_us,
+        |  t1 IS NOT NULL AS eligible FROM f
+        | UNION ALL
+        | SELECT 'step2_to_step3', CAST(t3 - t2 AS DOUBLE), t2 IS NOT NULL FROM f)
+        |SELECT transition,
+        | CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+        | count(delay_us) AS n_converted,
+        | round(CAST(count(delay_us) AS DOUBLE)
+        |   / sum(CASE WHEN eligible THEN 1 ELSE 0 END), 6) AS conv_rate,
+        | round(quantile_cont(delay_us, 0.25), 4) AS delay_p25_us,
+        | round(quantile_cont(delay_us, 0.5), 4) AS delay_p50_us,
+        | round(quantile_cont(delay_us, 0.75), 4) AS delay_p75_us
+        |FROM p GROUP BY transition ORDER BY transition""".stripMargin,
+    // x16: x14's token sums per source; plan math replays on the
+    // tiny frame — rate rounds BEFORE the expected-tokens product
+    "x16_mix_rebalance" ->
+      """WITH g AS (
+        | SELECT source,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS tot, count(*) AS ns FROM g),
+        |r AS (
+        | SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS share,
+        |  round(1.0 / ns, 6) AS target_share,
+        |  round(least(1.0, (1.0 / ns) * CAST(tot // 2 AS BIGINT) / n_tokens), 6) AS rate,
+        |  (1.0 / ns) * CAST(tot // 2 AS BIGINT) >= n_tokens AS capped
+        | FROM g, t)
+        |SELECT source, n_tokens, share, target_share, rate,
+        | round(rate * n_tokens, 4) AS expected_tokens, capped
+        |FROM r ORDER BY source""".stripMargin,
     // s14: even/odd halves, float-cast centroid components (s13's
     // discipline), index-ordered norm folds — all engine-exact
     "s14_centroid_drift" ->

@@ -89,4 +89,51 @@ object Funnel {
         col("step2_ts").as("step2_ts_us"), col("step3_ts").as("step3_ts_us"),
         col("reached"))
       .orderBy(col("user_id"))
+
+  /** Funnel step-timing report (st13): per transition, who was
+    * eligible (completed the previous step), who converted, and the
+    * exact p25/p50/p75 of the conversion delay — the "WHERE does the
+    * funnel leak and HOW LONG does the healthy path take" report that
+    * sits on top of st5's per-user times (conversion-rate numbers
+    * alone hide a step that converts fine but takes days).
+    *
+    * Scale shape: rides the funnel frame (one row per user — already
+    * the product of st5's single shuffle); each user unpivots to one
+    * row per transition (narrow ×2 fan-out), then ONE tiny-key agg.
+    * Percentiles are exact interpolated (a8's discipline — the
+    * engine-parity spelling); at 100 TB swap approx_percentile
+    * (t-digest), the a8b trade.
+    */
+  def funnelTiming(funnel: DataFrame): DataFrame = {
+    val pairs = funnel.select(explode(array(
+      struct(lit("step1_to_step2").as("transition"),
+        (col("step2_ts") - col("step1_ts")).cast("double").as("delay_us"),
+        col("step1_ts").isNotNull.as("eligible")),
+      struct(lit("step2_to_step3").as("transition"),
+        (col("step3_ts") - col("step2_ts")).cast("double").as("delay_us"),
+        col("step2_ts").isNotNull.as("eligible")))).as("t"))
+      .select(col("t.transition").as("transition"),
+        col("t.delay_us").as("delay_us"), col("t.eligible").as("eligible"))
+    pairs.groupBy(col("transition"))
+      .agg(
+        sum(when(col("eligible"), 1L).otherwise(0L)).as("n_eligible"),
+        count(col("delay_us")).as("n_converted"),
+        round(count(col("delay_us")).cast("double") /
+          sum(when(col("eligible"), 1L).otherwise(0L)), 6).as("conv_rate"),
+        round(percentile(col("delay_us"), lit(0.25)), 4).as("delay_p25_us"),
+        round(percentile(col("delay_us"), lit(0.5)), 4).as("delay_p50_us"),
+        round(percentile(col("delay_us"), lit(0.75)), 4).as("delay_p75_us"))
+  }
+
+  /** Verified entry (st13): timing over st5's funnel. Sort is
+    * oracle-determinism only.
+    */
+  def st13(spark: SparkSession, dir: String): DataFrame =
+    funnelTiming(funnel3(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")),
+      userCol = "user_id", tsCol = "ts_us", idCol = "event_id",
+      typeCol = "event_type", steps = ("view", "click", "purchase")))
+      .orderBy(col("transition"))
 }

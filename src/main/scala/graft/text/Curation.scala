@@ -210,6 +210,58 @@ object Curation {
     corpusMix(Tables.documents(spark, dir))
       .orderBy(col("source"), col("lang"))
 
+  /** Mixture rebalance plan (x16): given a token budget and target
+    * per-source shares, the per-source sampling rate that hits the
+    * target — the planning step between x14 (measure the mix) and
+    * x9/x11 (execute the sample): rate_s = min(1, target_s·B /
+    * tokens_s), with `capped` flagging sources too small to fill
+    * their allocation (the remainder is a policy decision — re-spread
+    * or under-deliver — not silently absorbed here). Default target
+    * is uniform across sources; default budget is half the corpus.
+    *
+    * Scale shape: ONE corpus scan into the tiny source-key agg
+    * (map-side combined token sums), the 1-row total broadcast back
+    * (x14's pattern); the plan math is all on the |sources|-row
+    * frame. Every input to the rates is integer-exact, so the
+    * doubles replay on any engine.
+    */
+  def mixRebalance(docs: DataFrame, budgetTokens: Option[Long] = None,
+                   targetShares: Map[String, Double] = Map.empty,
+                   textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .withColumn("__n", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("__tot"),
+      count(lit(1)).as("__n_sources"))
+    val budget = budgetTokens.map(lit(_).cast("long"))
+      .getOrElse((col("__tot") / 2).cast("long"))
+    val target = if (targetShares.isEmpty)
+      lit(1.0) / col("__n_sources")
+    else {
+      val m = map(targetShares.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, col("source")), lit(0.0))
+    }
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("__budget", budget)
+      .withColumn("target_share", round(target, 6))
+      .withColumn("rate", round(least(lit(1.0),
+        target * col("__budget") / col("n_tokens")), 6))
+      .withColumn("expected_tokens",
+        round(col("rate") * col("n_tokens"), 4))
+      .withColumn("capped",
+        target * col("__budget") >= col("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("share"),
+        col("target_share"), col("rate"), col("expected_tokens"), col("capped"))
+  }
+
+  /** Verified entry (x16): uniform-target plan at half the corpus
+    * budget. Sort is oracle-determinism only.
+    */
+  def x16MixRebalance(spark: SparkSession, dir: String): DataFrame =
+    mixRebalance(Tables.documents(spark, dir)).orderBy(col("source"))
+
   /** Source-interleaved training order (x15): deterministic position
     * for every doc such that reading in position order round-robins
     * the sources — pos = within_source_rank · S + source_index. The

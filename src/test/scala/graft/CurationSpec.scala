@@ -326,4 +326,24 @@ class CurationSpec extends GraftSpecBase {
       assert(rows.map(_.getLong(0)).min == cid, "cluster id is the min doc id")
     }
   }
+
+  test("x16 rebalance: rich source downsamples to its allocation, poor source caps at 1") {
+    // tokens: a=80, b=20; budget=50 (half), uniform target 25 each.
+    // a: rate 25/80=0.3125, expected 25; b: 25>=20 → capped, rate 1,
+    // expected 20
+    val docs = Seq(
+      (1L, Seq.fill(80)("t").mkString(" "), "a"),
+      (2L, Seq.fill(20)("t").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val r = text.Curation.mixRebalance(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(4),
+        x.getDouble(5), x.getBoolean(6)))).toMap
+    assert(r("a") == ((80L, 0.8, 0.3125, 25.0, false)), s"got ${r("a")}")
+    assert(r("b") == ((20L, 0.2, 1.0, 20.0, true)), s"got ${r("b")}")
+    // explicit targets override uniform: all budget to b
+    val rb = text.Curation.mixRebalance(docs, budgetTokens = Some(10L),
+        targetShares = Map("b" -> 1.0)).collect()
+      .map(x => x.getString(0) -> x.getDouble(4)).toMap
+    assert(rb("a") == 0.0 && rb("b") == 0.5, s"got $rb")
+  }
 }

@@ -260,6 +260,24 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(100L) == ((6L, 1L)), s"got ${r(100L)}")
   }
 
+  test("st13 funnel timing: eligibility chains, rates and exact quartiles from a hand funnel") {
+    // 4 users entered step1; 3 converted to step2 with delays 10,20,30
+    // (p25/50/75 = 15/20/25); 1 of the 3 converted to step3, delay 5
+    val f = Seq(
+      (1L, Some(100L), Some(110L), Some(115L)),
+      (2L, Some(100L), Some(120L), None),
+      (3L, Some(100L), Some(130L), None),
+      (4L, Some(100L), None, None))
+      .toDF("user_id", "step1_ts", "step2_ts", "step3_ts")
+    val r = operators.Funnel.funnelTiming(f).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r("step1_to_step2") == ((4L, 3L, 0.75, 15.0, 20.0, 25.0)),
+      s"got ${r("step1_to_step2")}")
+    assert(r("step2_to_step3") == ((3L, 1L, 0.333333, 5.0, 5.0, 5.0)),
+      s"got ${r("step2_to_step3")}")
+  }
+
   test("st12 cusum: finds the planted level shift at the exact boundary day") {
     // series 'a': value 10 for days 1-4, then 20 for days 5-8 — the
     // argmax split must land on day 4 with shift +10; series 'b' is
