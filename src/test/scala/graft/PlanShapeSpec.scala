@@ -205,7 +205,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "x14_corpus_mix", "x15_interleave", "s13_cluster_cohesion",
       "a20_item_cooccurrence",
       // a22 cross-joins the single-row decorrelated scalar AVG
-      "a22_dormant_customers")
+      "a22_dormant_customers",
+      // x16 cross-joins its single-row corpus total (x14's pattern)
+      "x16_mix_rebalance")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
