@@ -128,6 +128,7 @@ object SparkEntry {
     "s14_centroid_drift" -> ((s, d) => similarity.Similarity.s14(s, d)),
     "st13_funnel_timing" -> ((s, d) => operators.Funnel.st13(s, d)),
     "x16_mix_rebalance" -> ((s, d) => text.Curation.x16MixRebalance(s, d)),
+    "d15_minhash_calibration" -> ((s, d) => dedup.Dedup.d15(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1412,6 +1413,21 @@ object SparkEntry {
         |SELECT a_id, b_id, est_jaccard FROM scored
         |WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin),
+    // d15: d2's replay extended with the exact jaccard over the SAME
+    // hashed shingle sets; within_tol is literal truth (a8b pattern)
+    "d15_minhash_calibration" -> ("WITH " + minhashPairCtes("documents") +
+      """,
+        |sets AS (SELECT doc_id, list_distinct(raw) AS sh FROM h3)
+        |SELECT s.a_id, s.b_id, s.est_jaccard,
+        | round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+        |   AS exact_jaccard,
+        | true AS within_tol
+        |FROM scored s
+        |JOIN sets x ON s.a_id = x.doc_id
+        |JOIN sets y ON s.b_id = y.doc_id
+        |WHERE s.est_jaccard >= 0.5
+        |ORDER BY s.a_id, s.b_id""".stripMargin),
     // d7: 8-gram string-shingle overlap vs the src0 benchmark set
     // s6: BM25 replay — see bm25Ctes; scoring is fixed-fold-order
     // double math rounded to 6dp on both sides

@@ -372,4 +372,40 @@ object Dedup {
   def d14(spark: SparkSession, dir: String): DataFrame =
     crossSourceDupes(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
       .orderBy(col("source_a"), col("source_b"))
+
+  /** MinHash calibration gate (d15): every candidate pair the banded
+    * LSH emits, scored BOTH ways — the 128-perm signature estimate
+    * next to the exact jaccard over the same hashed shingle sets —
+    * with a tolerance verdict. The "trust the estimator before you
+    * run it at 100 TB" audit: est−exact should live inside the
+    * binomial band (sd = √(j(1−j)/128) ≤ 0.045, tol = 0.15 ≈ 3σ+),
+    * and the verified entry states `within_tol` as literal truth in
+    * the oracle (a8b's pattern), so estimator drift — a broken perm
+    * table, a signature slicing bug — breaks the round's hash, not
+    * just a spec.
+    *
+    * Scale shape: the pair set is LSH-bounded (never all-pairs); the
+    * exact re-score joins the shingle-set frame back by id — two
+    * equi-joins keyed on doc id, corpus never in a pairwise product.
+    * This is also the production candidate-verify stage a
+    * conservative dedup runs anyway (LSH generates, exact confirms).
+    */
+  def minhashCalibration(docs: DataFrame, threshold: Double = 0.5,
+                         tol: Double = 0.15): DataFrame = {
+    val sets = withShingleHashes(docs).filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    minhashLshPairs(docs, threshold)
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("exact_jaccard", round(col("__shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("__shared")), 6))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"),
+        (abs(col("est_jaccard") - col("exact_jaccard")) <= tol).as("within_tol"))
+  }
+
+  /** Verified entry (d15). Sort is oracle-determinism only. */
+  def d15(spark: SparkSession, dir: String): DataFrame =
+    minhashCalibration(Tables.documents(spark, dir))
+      .orderBy(col("a_id"), col("b_id"))
 }

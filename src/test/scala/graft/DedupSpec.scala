@@ -29,6 +29,26 @@ class DedupSpec extends GraftSpecBase {
     assert(fp.values.sum == 4L)
   }
 
+  test("d15 calibration: identical docs score est=exact=1, every real candidate inside tol") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy
+      (3L, "completely unrelated text body here now")
+    ).toDF("doc_id", "text")
+    val r = dedup.Dedup.minhashCalibration(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r((1L, 2L)) == ((1.0, 1.0, true)), s"got ${r.get((1L, 2L))}")
+    assert(r.size == 1, s"unrelated doc must not pair: $r")
+    // the real corpus: every LSH candidate's estimate sits inside the
+    // 3σ+ tolerance of its exact jaccard (the verified entry states
+    // this as literal truth, so this spec is the early warning)
+    val real = dedup.Dedup.minhashCalibration(Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty && real.forall(_.getBoolean(4)),
+      s"calibration violations: ${real.filterNot(_.getBoolean(4)).mkString(";")}")
+  }
+
   test("minhash-LSH candidates recover the exact high-jaccard pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = dedup.Dedup.exactJaccardPairs(docs, threshold = 0.7)
