@@ -37,10 +37,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark does not
-    * support natively — read it as epoch-nanos long and truncate to a
-    * microsecond timestamp (matches DuckDB's truncating ns→µs
-    * comparisons; see SURVEY §5).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+    * testdata generations (unsupported natively by Spark — read as
+    * epoch-nanos long via the legacy flag and truncate to micros,
+    * matching DuckDB's truncating ns→µs comparisons; SURVEY §5) and
+    * as plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+    * (inferred as TIMESTAMP_NTZ). `normalizeEventTs` folds every
+    * generation to a session-UTC TIMESTAMP so downstream operators
+    * (`unix_micros`, windows, watermarks) see one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -58,10 +62,19 @@ object Tables {
   }
 
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long generation: truncate ns → µs
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-NTZ generation: wall-clock is UTC by construction and
+        // the session timezone is pinned UTC, so the cast is
+        // value-preserving
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
