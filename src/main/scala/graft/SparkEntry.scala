@@ -129,6 +129,11 @@ object SparkEntry {
     "st13_funnel_timing" -> ((s, d) => operators.Funnel.st13(s, d)),
     "x16_mix_rebalance" -> ((s, d) => text.Curation.x16MixRebalance(s, d)),
     "d15_minhash_calibration" -> ((s, d) => dedup.Dedup.d15(s, d)),
+    "a23_big_orders" -> ((s, d) => analytics.Queries.a23(s, d)),
+    "a24_order_count_hist" -> ((s, d) => analytics.Queries.a24(s, d)),
+    "a25_returned_revenue" -> ((s, d) => analytics.Queries.a25(s, d)),
+    "a26_nation_trade" -> ((s, d) => analytics.Queries.a26(s, d)),
+    "a27_top_supplier" -> ((s, d) => analytics.Queries.a27(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1229,6 +1234,70 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                 AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // a23: Q18-shape — IN-subquery spelled directly; Spark side
+    // decorrelates to aggregate-then-join
+    "a23_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS o_day, o_totalprice,
+        | round(q.sum_qty, 4) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 250) q ON o_orderkey = q.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // a24: Q13-shape — LEFT join keeps zero-order customers;
+    // count(o_custkey) ignores the null-extended rows
+    "a24_order_count_hist" ->
+      """SELECT c_count, count(*) AS n_custs
+        |FROM (SELECT c_custkey, count(o_custkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin,
+    // a25: Q10-shape — returned revenue per customer in a quarter,
+    // top 20; ordering is part of the contract
+    "a25_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS returned_rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY returned_rev DESC, c_custkey LIMIT 20""".stripMargin,
+    // a26: Q7-shape — bilateral volume, both directions, by ship year
+    "a26_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | year(l_shipdate) AS ship_year,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        | AND cn.n_name IN ('NATION_1', 'NATION_2')
+        | AND sn.n_name <> cn.n_name
+        |GROUP BY supp_nation, cust_nation, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    // a27: Q15-shape — view + MAX scalar subquery, ties preserved;
+    // revenue rounded on BOTH engines before the equality
+    "a27_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     // d14: d4's pair replay decorated with sources, unordered pair
     // key via least/greatest; n_pairs halves the exploded rows
     "d14_cross_source_dupes" ->

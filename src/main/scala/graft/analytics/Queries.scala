@@ -606,4 +606,166 @@ object Queries {
   /** Verified entry (a22). Sort is oracle-determinism only. */
   def a22(spark: SparkSession, dir: String): DataFrame =
     dormantCustomers(spark, dir).orderBy(col("c_nationkey"))
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total
+    * line-item quantity clears a threshold, with their customer. The
+    * IN-subquery decorrelates to aggregate-then-join: lineitem
+    * shuffles ONCE on l_orderkey into a map-side-combined sum, the
+    * HAVING filter cuts that orders-cardinality frame to the ~1%
+    * tail BEFORE any join, so the orders⋈qty join's build side is
+    * the filtered aggregate (AQE sees the post-filter size and picks
+    * broadcast; a hard hint would lie at a lower threshold). The
+    * customer decoration joins the already-tiny result. The fact
+    * table never self-joins and never shuffles for a dim.
+    */
+  def bigOrders(spark: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_day"),
+        col("o_totalprice"), round(col("sum_qty"), 4).as("sum_qty"))
+  }
+
+  /** Verified entry (a23). Sort is oracle-determinism only. */
+  def a23(spark: SparkSession, dir: String): DataFrame =
+    bigOrders(spark, dir).orderBy(col("o_orderkey"))
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders. Orders pre-aggregates to a
+    * per-customer count (one shuffle on o_custkey, map-side
+    * combined), then CUSTOMER keeps the zero-order population via a
+    * LEFT join — the classic outer-join-then-count-the-nulls. The
+    * final histogram groups a customer-cardinality frame on a tiny
+    * integer key. Neither input shuffles twice; no hint on the
+    * SF-scaling counts side (size estimate + AQE decide).
+    */
+  def orderCountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** Verified entry (a24). Sort is oracle-determinism only. */
+  def a24(spark: SparkSession, dir: String): DataFrame =
+    orderCountHistogram(spark, dir).orderBy(col("c_count"))
+
+  /** Returned-item revenue ranking (TPC-H Q10 shape): customers who
+    * returned the most revenue in a quarter. Selectivity-first on
+    * both facts: the return-flag predicate pushes to the lineitem
+    * scan (~1/3) and the quarter predicate to the orders scan
+    * (~1/25) BEFORE the orderkey equi-join, so the join moves only
+    * the doubly-filtered slices; the per-customer agg reduces to
+    * customer cardinality before the decoration joins (customer by
+    * size estimate, fixed nation hard-broadcast). Top-k spells
+    * orderBy+limit → TakeOrderedAndProject, never a global sort.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String,
+                      from: String = "1996-01-01", until: String = "1996-04-01",
+                      k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("returned_rev"))
+    rev
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("returned_rev"))
+      .orderBy(col("returned_rev").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Verified entry (a25). Result IS the top-k — ordering is part of
+    * the contract, spelled identically in the oracle.
+    */
+  def a25(spark: SparkSession, dir: String): DataFrame =
+    returnedRevenue(spark, dir)
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue shipped
+    * between two nations (supplier side × customer side, both
+    * directions) by ship year. Both nation gates collapse their
+    * SF-scaling dim BEFORE touching a fact: supplier⋈nation-filter
+    * and customer⋈nation-filter shrink to ~1/12 each, the filtered
+    * customer side pre-reduces orders, and lineitem meets the
+    * filtered supplier map before the orderkey exchange — the one
+    * big shuffle carries only rows that can still qualify. Fixed
+    * nation is hard-broadcast; supplier/customer ride size estimate.
+    */
+  def nationTrade(spark: SparkSession, dir: String,
+                  nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Verified entry (a26). Sort is oracle-determinism only. */
+  def a26(spark: SparkSession, dir: String): DataFrame =
+    nationTrade(spark, dir)
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+
+  /** Top supplier by windowed revenue (TPC-H Q15 shape): the
+    * supplier(s) whose revenue over a ship-date quarter equals the
+    * maximum — ties preserved, like the view+MAX-subquery original.
+    * The scalar MAX decorrelates to a 1-row broadcast cross join
+    * (a22's pattern): one pushed-down-date lineitem pass into a
+    * supplier-cardinality agg, the 1-row max rejoins for free, and
+    * the comparison happens on the ROUNDED revenue on both engines
+    * so fp summation order can't split a tie. Supplier decoration
+    * joins the ≤-handful winners (size estimate broadcasts it).
+    */
+  def topSupplier(spark: SparkSession, dir: String,
+                  from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        // explicit (vacuous) key guard: the supplier join infers
+        // isnotnull(l_suppkey) onto ONE branch's scan otherwise,
+        // which de-canonicalizes the two agg subtrees and defeats
+        // ReuseExchange — with it spelled here, both the scalar-max
+        // and the filter branch share one exchange (plan-pinned)
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("__max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("__max_rev"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** Verified entry (a27). Sort is oracle-determinism only. */
+  def a27(spark: SparkSession, dir: String): DataFrame =
+    topSupplier(spark, dir).orderBy(col("s_suppkey"))
 }

@@ -70,6 +70,38 @@ class PlanShapeSpec extends GraftSpecBase {
       s"orders must meet the ASIA customers before meeting lineitem:\n$plan")
   }
 
+  test("a23: HAVING filter cuts the agg before any join; fact shuffles once") {
+    val plan = finalPlan(analytics.Queries.bigOrders(spark, sf))
+    // lineitem shuffles exactly once, for its own aggregation — the
+    // qty side arrives at the orders join already filtered + tiny
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"only the l_orderkey agg may shuffle:\n$plan")
+    // both decorating joins (filtered-qty into orders, customer) are
+    // size-estimated broadcasts, no hard hint in the query
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 2, s"expected 2 size-estimated broadcasts, got $broadcasts:\n$plan")
+  }
+
+  test("a25: both fact filters pushed to their scans; top-k is TakeOrdered, not a global sort") {
+    val plan = finalPlan(analytics.Queries.returnedRevenue(spark, sf))
+    assert(plan.contains("PushedFilters: [EqualTo(l_returnflag,R)]"),
+      s"return-flag filter must push to the lineitem scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter must push to the orders scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not plan a global sort:\n$plan")
+    assert(!"Exchange rangepartitioning".r.findFirstIn(plan).isDefined,
+      s"no rangepartition for a k-row cut:\n$plan")
+  }
+
+  test("a27: the windowed revenue agg is computed once, reused by max and filter branches") {
+    val plan = finalPlan(analytics.Queries.topSupplier(spark, sf))
+    assert(plan.contains("ReusedExchange"),
+      s"rev agg exchange must be reused across the scalar-max and filter branches:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"ship-date window must push to the scan:\n$plan")
+  }
+
   test("a11: fact table never shuffles for the part join (size-estimated broadcast, zero hash exchanges)") {
     val plan = finalPlan(analytics.Queries.promoRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
