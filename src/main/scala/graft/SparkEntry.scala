@@ -134,6 +134,16 @@ object SparkEntry {
     "a25_returned_revenue" -> ((s, d) => analytics.Queries.a25(s, d)),
     "a26_nation_trade" -> ((s, d) => analytics.Queries.a26(s, d)),
     "a27_top_supplier" -> ((s, d) => analytics.Queries.a27(s, d)),
+    "d16_dup_degree" -> ((s, d) => dedup.Dedup.d16(s, d)),
+    "s15_knn_graph" -> ((s, d) => similarity.Similarity.s15(s, d)),
+    "x17_length_curriculum" -> ((s, d) => text.Curation.x17LengthCurriculum(s, d)),
+    "d17_best_rep_dedup" -> ((s, d) => dedup.Clusters.d17(s, d)),
+    "st14_trending" -> ((s, d) => operators.Activity.st14(s, d)),
+    "x18_epoch_plan" -> ((s, d) => text.Curation.x18EpochPlan(s, d)),
+    "st15_attribution" -> ((s, d) => operators.Activity.st15(s, d)),
+    "a28_spend_deciles" -> ((s, d) => analytics.Queries.a28(s, d)),
+    "t14_vocab_coverage" -> ((s, d) => text.TextAnalysis.t14VocabCoverage(s, d)),
+    "d18_cluster_report" -> ((s, d) => dedup.Clusters.d18(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1108,6 +1118,101 @@ object SparkEntry {
         |SELECT source, n_tokens, share, target_share, rate,
         | round(rate * n_tokens, 4) AS expected_tokens, capped
         |FROM r ORDER BY source""".stripMargin,
+    // x18: epoch repeat plan — integer token sums in, double plan
+    // math replayed with identical operation order
+    "x18_epoch_plan" ->
+      """WITH g AS (
+        | SELECT source,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS tot, count(*) AS ns FROM g),
+        |r AS (
+        | SELECT source, n_tokens, (1.0 / ns) * tot AS alloc,
+        |  least(CAST(floor((1.0 / ns) * tot / n_tokens) AS BIGINT), 4) AS fullp
+        | FROM g, t),
+        |r2 AS (
+        | SELECT source, n_tokens, alloc, fullp,
+        |  CASE WHEN fullp < 4 THEN (alloc - fullp * n_tokens) / n_tokens
+        |       ELSE 0.0 END AS frac
+        | FROM r),
+        |r3 AS (
+        | SELECT source, n_tokens, alloc, fullp, frac,
+        |  round((fullp + frac) * n_tokens, 4) AS planned
+        | FROM r2)
+        |SELECT source, n_tokens, round(alloc, 4) AS alloc_tokens,
+        | CAST(fullp + CASE WHEN frac > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_epochs,
+        | round(frac, 6) AS last_epoch_rate,
+        | planned AS planned_tokens,
+        | round(greatest(alloc - planned, 0.0), 4) AS deficit
+        |FROM r3 ORDER BY source""".stripMargin,
+    // st15: the correlated "latest touch before t" spelled as the
+    // same strict-preceding IGNORE NULLS carry-forward window
+    "st15_attribution" ->
+      """SELECT event_id, user_id, ts_us, touch_event_id, touch_type, touch_ts_us,
+        | touch_event_id IS NOT NULL AS attributed,
+        | ts_us - touch_ts_us AS touch_age_us
+        |FROM (
+        | SELECT event_id, user_id, ts_us, event_type,
+        |  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+        |    OVER w AS touch_event_id,
+        |  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |    OVER w AS touch_type,
+        |  last_value(CASE WHEN event_type IN ('click', 'view') THEN ts_us END IGNORE NULLS)
+        |    OVER w AS touch_ts_us
+        | FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // a28: ntile over the aggregated spend frame; DuckDB's ntile
+    // uses the same larger-first remainder rule as Spark
+    "a28_spend_deciles" ->
+      """WITH s AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+        | FROM orders GROUP BY o_custkey),
+        |d AS (
+        | SELECT spend,
+        |  CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+        | FROM s)
+        |SELECT decile, count(*) AS n_custs,
+        | round(min(spend), 4) AS min_spend,
+        | round(max(spend), 4) AS max_spend,
+        | round(sum(spend), 4) AS total_spend
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // t14: rank over the vocab frame, ladder via conditional sums
+    "t14_vocab_coverage" ->
+      """WITH c AS (
+        | SELECT token, count(*) AS n
+        | FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
+        | WHERE token <> '' GROUP BY token),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS vocab_size FROM c),
+        |m AS (
+        | SELECT d.k, CAST(sum(CASE WHEN rk <= d.k THEN n END) AS BIGINT) AS topk_mass
+        | FROM r CROSS JOIN (VALUES (10), (100), (1000), (10000)) d(k)
+        | GROUP BY d.k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        | CAST(least(k, vocab_size) AS BIGINT) AS n_types,
+        | topk_mass, total_tokens,
+        | round(CAST(topk_mass AS DOUBLE) / total_tokens, 6) AS coverage
+        |FROM m, t ORDER BY k""".stripMargin,
+    // d18: closure labels + t1 replay, per-cluster spread audit
+    "d18_cluster_report" -> ("WITH RECURSIVE " + ccLabelCtes + """,
+        |q AS (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  round(least(1.0, len(toks) / 100.0) * 0.5
+        |   + round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) * 0.3
+        |   + (1.0 - round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6)) * 0.2, 6) AS quality_score
+        | FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))
+        |SELECT l.cluster_id, count(*) AS cluster_size,
+        | round(min(q.quality_score), 6) AS min_quality,
+        | round(max(q.quality_score), 6) AS max_quality,
+        | round(avg(q.quality_score), 6) AS avg_quality,
+        | CAST(min(q.n_tokens) AS BIGINT) AS min_tokens,
+        | CAST(max(q.n_tokens) AS BIGINT) AS max_tokens
+        |FROM labels l JOIN q USING (doc_id)
+        |GROUP BY l.cluster_id HAVING count(*) > 1
+        |ORDER BY l.cluster_id""".stripMargin),
     // s14: even/odd halves, float-cast centroid components (s13's
     // discipline), index-ordered norm folds — all engine-exact
     "s14_centroid_drift" ->
@@ -1298,6 +1403,83 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    // d17: closure labels + t1 quality replay; rep = argmax
+    // (quality DESC, doc_id ASC) per cluster, stated as literal truth
+    "d17_best_rep_dedup" -> ("WITH RECURSIVE " + ccLabelCtes + """,
+        |q AS (
+        | SELECT doc_id,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+        | FROM (
+        |  SELECT doc_id,
+        |   len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents))),
+        |lbl AS (SELECT l.doc_id, l.cluster_id, q.quality_score
+        |        FROM labels l JOIN q USING (doc_id)),
+        |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+        |  SELECT cluster_id, doc_id,
+        |   row_number() OVER (PARTITION BY cluster_id
+        |     ORDER BY quality_score DESC, doc_id) AS rn FROM lbl) WHERE rn = 1)
+        |SELECT lbl.doc_id, lbl.cluster_id, lbl.quality_score,
+        | rep.rep_id, lbl.doc_id = rep.rep_id AS keep
+        |FROM lbl JOIN rep USING (cluster_id)
+        |ORDER BY lbl.doc_id""".stripMargin),
+    // st14: hourly trending top-k; ties (count DESC, item ASC)
+    "st14_trending" ->
+      """SELECT hour_ts, item, n_events, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT hour_ts, item, n_events,
+        |  row_number() OVER (PARTITION BY hour_ts
+        |    ORDER BY n_events DESC, item) AS rank
+        | FROM (
+        |  SELECT date_trunc('hour', ts) AS hour_ts,
+        |   CAST(json_extract(props, '$.k') AS INTEGER) AS item,
+        |   count(*) AS n_events
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY hour_ts, item))
+        |WHERE rank <= 3 ORDER BY hour_ts, rank""".stripMargin,
+    // d16: d4's exact pair replay → per-doc degree → histogram;
+    // LEFT JOIN keeps the degree-0 population
+    "d16_dup_degree" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |deg AS (
+        | SELECT doc_id, count(*) AS degree
+        | FROM (SELECT a_id AS doc_id FROM p UNION ALL SELECT b_id AS doc_id FROM p)
+        | GROUP BY doc_id)
+        |SELECT COALESCE(d.degree, 0) AS degree, count(*) AS n_docs
+        |FROM documents LEFT JOIN deg d USING (doc_id)
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+    // x17: GLOBAL-window replay of the banded curriculum rank —
+    // proves the two-phase decomposition admits the identical order
+    "x17_length_curriculum" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS shuffle_key
+        | FROM m5),
+        |t AS (
+        | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT t.doc_id, t.n_tokens,
+        | CAST(row_number() OVER (ORDER BY t.n_tokens, s.shuffle_key, t.doc_id) AS BIGINT) AS curriculum_pos
+        |FROM t JOIN sgn s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // d14: d4's pair replay decorated with sources, unordered pair
     // key via least/greatest; n_pairs halves the exploded rows
     "d14_cross_source_dupes" ->
@@ -1651,6 +1833,17 @@ object SparkEntry {
         |SELECT doc_id, shuffle_key,
         | CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_pos
         |FROM sgn ORDER BY doc_id""".stripMargin,
+    // s15: within-cell kNN graph over the SAME replayed IVF training
+    // as s3; rank on unrounded cosine, n_id tiebreak
+    "s15_knn_graph" -> ("WITH " + ivfCorpusCtes + """,
+        |scored AS (
+        | SELECT a.vec_id, b.vec_id AS n_id,
+        |  list_cosine_similarity(a.emb, b.emb) AS cos,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rank
+        | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+        |FROM scored WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
     // p9: latest version per key; total order (ts desc, id desc)
     "p9_cdc_latest" ->
       """SELECT user_id, last_event_id, last_ts_us, last_value, n_versions FROM (

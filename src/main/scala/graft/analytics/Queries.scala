@@ -768,4 +768,39 @@ object Queries {
   /** Verified entry (a27). Sort is oracle-determinism only. */
   def a27(spark: SparkSession, dir: String): DataFrame =
     topSupplier(spark, dir).orderBy(col("s_suppkey"))
+
+  /** Customer spend deciles (a28): rank customers into ntile(10)
+    * buckets by lifetime spend, then per-decile population, spend
+    * range and totals — the whale-curve report behind "top decile
+    * drives X% of revenue". Two bounded shuffles: the per-customer
+    * spend agg (map-side combined on o_custkey), then the decile
+    * window over the ALREADY-AGGREGATED customer-cardinality frame;
+    * the final 10-row agg is free. ntile ties resolve by the
+    * (spend DESC, custkey ASC) order so bucket boundaries are
+    * deterministic on both engines.
+    *
+    * Scale note: the ntile window is a single global sort of the
+    * AGGREGATED frame (customer cardinality, not fact) — at extreme
+    * customer counts the x10 banded-rank idiom swaps in; at any SF
+    * here the agg output fits one rangepartition comfortably and
+    * the decile semantics (exact equal-population cut) genuinely
+    * require a total order.
+    */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(min(col("spend")), 4).as("min_spend"),
+        round(max(col("spend")), 4).as("max_spend"),
+        round(sum(col("spend")), 4).as("total_spend"))
+  }
+
+  /** Verified entry (a28). Sort is oracle-determinism only. */
+  def a28(spark: SparkSession, dir: String): DataFrame =
+    spendDeciles(spark, dir).orderBy(col("decile"))
 }

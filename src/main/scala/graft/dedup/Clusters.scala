@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -129,4 +130,74 @@ object Clusters {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Survivorship dedup (d17): keep the BEST copy, not the first.
+    * d1/d6 keep the min-id representative — fine for identity, wrong
+    * for value: when a cluster holds a clean original and a
+    * boilerplate-padded scrape, production dedup keeps the
+    * higher-quality member. Representative = argmax over
+    * (t1 quality_score DESC, doc_id ASC) per near-dup cluster, so
+    * the choice is deterministic and the quality definition is the
+    * SAME t1 every gate in the library uses.
+    *
+    * Scale shape: cluster labels ride the shared persisted pair set
+    * (union-find under the driver limit, min-label propagation
+    * above); quality is a narrow one-pass map (t1's single custom
+    * expression). The labeled corpus then shuffles ONCE on
+    * cluster_id — size filter, rep argmax, and keep verdict are all
+    * window functions over that one partitioning (no second
+    * exchange, no join-back; d6's groupBy+join spelling pays the
+    * cluster shuffle twice, this pays it once).
+    */
+  def bestRepDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(docs.select(col("doc_id")), pairs.select("a_id", "b_id"))
+    val q = graft.text.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val w = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cc.join(q, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("cluster_size") > 1)
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .withColumn("keep", col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("rep_id"), col("keep"))
+  }
+
+  /** Verified entry (d17). Sort is oracle-determinism only. */
+  def d17(spark: SparkSession, dir: String): DataFrame =
+    bestRepDedup(Tables.documents(spark, dir),
+      Dedup.cachedJaccardPairs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Cluster audit report (d18): one row per non-singleton near-dup
+    * cluster — size, quality spread (t1 min/max/avg) and token-length
+    * spread — the "what am I about to delete" governance table run
+    * BEFORE committing a d17 survivorship pass (a cluster whose
+    * quality spread is wide is a scrape family worth d17; one whose
+    * members are uniformly good may be a false merge worth a higher
+    * τ). Same shape as d17: shared pair set → labels, narrow t1
+    * decoration, ONE cluster_id agg shuffle.
+    */
+  def clusterReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(docs.select(col("doc_id")), pairs.select("a_id", "b_id"))
+    val q = graft.text.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    cc.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        round(min(col("quality_score")), 6).as("min_quality"),
+        round(max(col("quality_score")), 6).as("max_quality"),
+        round(avg(col("quality_score")), 6).as("avg_quality"),
+        min(col("n_tokens")).cast("long").as("min_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .filter(col("cluster_size") > 1)
+  }
+
+  /** Verified entry (d18). Sort is oracle-determinism only. */
+  def d18(spark: SparkSession, dir: String): DataFrame =
+    clusterReport(Tables.documents(spark, dir),
+      Dedup.cachedJaccardPairs(spark, dir))
+      .orderBy(col("cluster_id"))
 }

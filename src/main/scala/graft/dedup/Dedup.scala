@@ -408,4 +408,34 @@ object Dedup {
   def d15(spark: SparkSession, dir: String): DataFrame =
     minhashCalibration(Tables.documents(spark, dir))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Near-dup degree histogram (d16): how many docs have 0, 1, 2, …
+    * near-duplicate partners — the one-table answer to "how
+    * duplicated is this corpus" that decides whether dedup is worth
+    * a full pass and which τ to run it at (d14 says WHERE the dups
+    * bridge sources; this says HOW DEEP the duplication runs —
+    * a heavy tail here means boilerplate families, not pairwise
+    * copies, and d6 clustering is the right tool).
+    *
+    * Scale shape: degrees derive from the SHARED persisted d4 pair
+    * set (bounded = actual near-dups), so the degree frame is at
+    * most 2|pairs| rows and BROADCASTS into a LEFT join the corpus
+    * streams through to keep the degree-0 population; the final
+    * histogram groups on a tiny integer key. The corpus is never
+    * shuffled and never in a pairwise product.
+    */
+  def dupDegreeHistogram(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val deg = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id"))
+      .join(broadcast(deg), Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Verified entry (d16). Sort is oracle-determinism only. */
+  def d16(spark: SparkSession, dir: String): DataFrame =
+    dupDegreeHistogram(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
+      .orderBy(col("degree"))
 }

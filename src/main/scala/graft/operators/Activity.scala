@@ -279,4 +279,80 @@ object Activity {
   /** Verified entry (st12). Sort is oracle-determinism only. */
   def st12(spark: SparkSession, dir: String): DataFrame =
     cusumChangepoint(Tables.events(spark, dir)).orderBy(col("series"))
+
+  /** Windowed trending top-k (st14): per tumbling hour, the k most
+    * active items with their count and rank — the "trending now"
+    * report every event platform ships, and the batch twin of a
+    * streaming windowed-agg + per-window top-k. Two bounded steps:
+    * the (hour, item) count is a map-side-combined agg on a bounded
+    * composite key, and the per-hour cut is a row_number window over
+    * the already-aggregated frame (hours × items rows, not events).
+    * Ties break (count DESC, item ASC) so the cut is deterministic
+    * on both engines. No global sort; the corpus shuffles once on
+    * the agg key and once on the tiny hour key.
+    */
+  def trendingTopK(events: DataFrame, k: Int = 3,
+                   tsCol: String = "ts"): DataFrame = {
+    val counted = events
+      .select(date_trunc("hour", col(tsCol)).as("hour_ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("hour_ts"), col("item"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hour_ts"))
+      .orderBy(col("n_events").desc, col("item"))
+    counted
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("hour_ts"), col("item"), col("n_events"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Verified entry (st14). Sort is oracle-determinism only. */
+  def st14(spark: SparkSession, dir: String): DataFrame =
+    trendingTopK(Tables.events(spark, dir))
+      .orderBy(col("hour_ts"), col("rank"))
+
+  /** Last-touch attribution (st15): each conversion is credited to
+    * the user's most recent PRECEDING touch event — the marketing /
+    * funnel-credit staple (and the per-row generalization of st5,
+    * which only reports the canonical step chain). "Preceding" is
+    * strict in the (ts, event_id) arrival order, so a touch at the
+    * conversion's own timestamp but a later id never claims credit,
+    * and ties between touches resolve to the latest (ts, id) — all
+    * deterministic on both engines. Unattributed conversions (no
+    * prior touch) survive with null credit: dropping them would
+    * silently overstate attribution coverage.
+    *
+    * Scale shape: ONE user_id shuffle; the carry-forward is a
+    * running `last(_, ignoreNulls)` over that partitioning — no
+    * self-join, no per-conversion scan-back (the textbook correlated
+    * "latest touch before t" subquery the window replaces).
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           conversionType: String = "purchase",
+                           touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch_event_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("touch_event_id"), col("touch_type"), col("touch_ts_us"),
+        col("touch_event_id").isNotNull.as("attributed"),
+        (col("ts_us") - col("touch_ts_us")).as("touch_age_us"))
+  }
+
+  /** Verified entry (st15). Sort is oracle-determinism only. */
+  def st15(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
 }

@@ -748,4 +748,43 @@ object Similarity {
     centroidDrift(emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 === 1)).orderBy(col("label"))
   }
+
+  /** kNN GRAPH (s15): every corpus vector's k nearest neighbors
+    * within its IVF cell — the construction step under graph
+    * clustering, label propagation, and kNN-based outlier scoring
+    * (s1-s14 answer "neighbors of these queries"; this materializes
+    * "neighbors of EVERYONE"). The within-cell restriction IS the
+    * scale contract (d9's blocking argument): the self-join is a
+    * cell-key equi-join, so pair work is per-cell-bounded instead of
+    * the corpus-squared all-pairs a naive kNN graph implies, and the
+    * cell assignment is the shared driver-trained quantizer pushed
+    * as a narrow literal-centroid map (no in-query training —
+    * s3's plan pin applies). Cell-edge neighbors can be missed, like
+    * any single-probe IVF; production raises numCells with corpus
+    * size (n/targetCellSize, d9's sizing) and k stays the per-row
+    * window cut. Rank decided on the unrounded cosine, ties by
+    * n_id (deterministic both engines); cosine rounded only for
+    * output.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+               cacheKey: Option[String] = None): DataFrame = {
+    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell_id", assignBest(col("embedding"), cents))
+    val nbrs = assigned
+      .select(col("cell_id"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
+    assigned.join(nbrs, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cos", cosine_sim(col("embedding"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Verified entry (s15). Sort is oracle-determinism only. */
+  def s15(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+      .orderBy(col("vec_id"), col("rank"))
 }

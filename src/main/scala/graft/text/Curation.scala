@@ -262,6 +262,65 @@ object Curation {
   def x16MixRebalance(spark: SparkSession, dir: String): DataFrame =
     mixRebalance(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Epoch repeat plan (x18): x16 decides how to DOWN-sample rich
+    * sources; this is the other half of the data-constrained recipe —
+    * how many times to REPEAT a small high-quality source to fill
+    * its allocation (up to a repeat ceiling, past which repetition
+    * stops helping and the shortfall is reported, not silently
+    * absorbed). Per source: n_epochs = full passes (≤ maxEpochs),
+    * last_epoch_rate = the x11-style sampling rate of the final
+    * partial pass, planned_tokens = what the plan actually delivers,
+    * deficit = allocation the ceiling leaves unfilled. Everything
+    * derives from integer token sums, so the doubles replay on any
+    * engine.
+    *
+    * Scale shape: identical to x16 — ONE corpus scan into the tiny
+    * source agg, 1-row total broadcast, plan math on the
+    * |sources|-row frame.
+    */
+  def epochPlan(docs: DataFrame, budgetTokens: Option[Long] = None,
+                targetShares: Map[String, Double] = Map.empty,
+                maxEpochs: Int = 4, textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .withColumn("__n", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("__tot"),
+      count(lit(1)).as("__n_sources"))
+    val budget = budgetTokens.map(lit(_).cast("long"))
+      .getOrElse(col("__tot").cast("long"))
+    val target = if (targetShares.isEmpty)
+      lit(1.0) / col("__n_sources")
+    else {
+      val m = map(targetShares.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, col("source")), lit(0.0))
+    }
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("__alloc", target * budget)
+      .withColumn("__full", least(
+        floor(col("__alloc") / col("n_tokens")).cast("long"), lit(maxEpochs.toLong)))
+      .withColumn("__frac",
+        when(col("__full") < maxEpochs,
+          (col("__alloc") - col("__full") * col("n_tokens")) / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("planned_tokens",
+        round((col("__full") + col("__frac")) * col("n_tokens"), 4))
+      .select(col("source"), col("n_tokens"),
+        round(col("__alloc"), 4).as("alloc_tokens"),
+        (col("__full") + when(col("__frac") > 0, 1L).otherwise(0L)).as("n_epochs"),
+        round(col("__frac"), 6).as("last_epoch_rate"),
+        col("planned_tokens"),
+        round(greatest(col("__alloc") - col("planned_tokens"), lit(0.0)), 4).as("deficit"))
+  }
+
+  /** Verified entry (x18): uniform target over the FULL corpus
+    * budget (default), so below-average sources genuinely repeat and
+    * above-average ones downsample in the same plan. Sort is
+    * oracle-determinism only.
+    */
+  def x18EpochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlan(Tables.documents(spark, dir)).orderBy(col("source"))
+
   /** Source-interleaved training order (x15): deterministic position
     * for every doc such that reading in position order round-robins
     * the sources — pos = within_source_rank · S + source_index. The
@@ -307,6 +366,52 @@ object Curation {
   def x15Interleave(spark: SparkSession, dir: String): DataFrame =
     interleaveBySource(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  /** Length curriculum (x17): deterministic short-to-long training
+    * order — curriculum_pos ranks the corpus by (n_tokens ASC,
+    * mix64(id), id), the standard sequence-length curriculum
+    * (shorter docs first stabilizes early training; the mix64
+    * tiebreak shuffles WITHIN a length so equal-length docs don't
+    * arrive in ingest order). Token count is t2's whitespace
+    * definition, so the curriculum agrees with every other
+    * token-denominated operator.
+    *
+    * Scale shape: x10's banded two-phase prefix-sum generalized to a
+    * composite band — (n_tokens, top byte of the shuffle key) — so
+    * the corpus shuffles ONCE on a bounded key and a corpus of one
+    * dominant length (everything truncated to the same max) still
+    * splits across 256 sub-bands instead of serializing one task.
+    * Band counts → exclusive prefix offsets is the only
+    * single-partition step, and it is (distinct lengths × 256) rows
+    * — bounded by max doc length, constant in corpus size. No
+    * rangepartitioning anywhere; the oracle replays the GLOBAL
+    * window spelling, proving the banded decomposition admits the
+    * identical total order (x9b's proof pattern).
+    */
+  def lengthCurriculum(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("shuffle_key",
+        graft.functions.GraftFunctions.mix64(col(idCol).cast("long")))
+      .withColumn("__b", shiftright(col("shuffle_key"), 56) + lit(128L))
+      .select(col(idCol), col("n_tokens"), col("shuffle_key"), col("__b"))
+    val offsets = keyed.groupBy(col("n_tokens"), col("__b")).count()
+      .withColumn("__offset", coalesce(
+        sum(col("count")).over(Window.orderBy(col("n_tokens"), col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens"), col("__b"), col("__offset"))
+    val wIn = Window.partitionBy(col("n_tokens"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("n_tokens", "__b"))
+      .withColumn("curriculum_pos",
+        (col("__offset") + row_number().over(wIn)).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("curriculum_pos"))
+  }
+
+  /** Verified entry (x17). Sort is oracle-determinism only. */
+  def x17LengthCurriculum(spark: SparkSession, dir: String): DataFrame =
+    lengthCurriculum(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** Token-budgeted source mixing: fill each source's token budget
     * BEST-FIRST — rank a source's docs by quality, admit them in

@@ -505,6 +505,43 @@ object TextAnalysis {
   }
 
   /** Verified entry (t13). Sort is oracle-determinism only. */
+  /** Vocabulary coverage curve (t14): the share of total token mass
+    * the top-k types hold, for a ladder of k — the
+    * tokenizer-vocabulary planning stat ("how big must the vocab be
+    * to cover 95% of the stream") and the compressibility companion
+    * to t13's Zipf fit. One token-count shuffle (t5's pass), one
+    * rank window over the VOCABULARY-sized count frame (never the
+    * corpus), then the whole ladder folds in a single-row
+    * conditional agg that stacks back to long form — no join of the
+    * ranked frame against the k list (a theta join would plan a
+    * nested loop). Ranks tie (count DESC, token ASC), so every cut
+    * is deterministic on both engines.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    val counts = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    val masses = ranked.agg(sum(col("n")).as("total_tokens"),
+      (Seq(count(lit(1)).as("vocab_size")) ++
+        ks.map(k => sum(when(col("rk") <= k, col("n"))).as(s"m_$k"))): _*)
+    val stackExpr = s"stack(${ks.length}, " +
+      ks.map(k => s"CAST($k AS BIGINT), m_$k").mkString(", ") + ") AS (k, topk_mass)"
+    masses
+      .selectExpr(stackExpr, "total_tokens", "vocab_size")
+      .select(col("k"),
+        least(col("k"), col("vocab_size")).as("n_types"),
+        col("topk_mass"), col("total_tokens"),
+        round(col("topk_mass").cast("double") / col("total_tokens"), 6).as("coverage"))
+  }
+
+  /** Verified entry (t14). Sort is oracle-determinism only. */
+  def t14VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir)).orderBy(col("k"))
+
   def t13ZipfAlpha(spark: SparkSession, dir: String): DataFrame =
     zipfAlpha(Tables.documents(spark, dir)).orderBy(col("source"))
 }

@@ -346,4 +346,40 @@ class CurationSpec extends GraftSpecBase {
       .map(x => x.getString(0) -> x.getDouble(4)).toMap
     assert(rb("a") == 0.0 && rb("b") == 0.5, s"got $rb")
   }
+
+  test("x18 epoch plan: small source repeats, rich source downsamples, ceiling leaves a deficit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(80)("t").mkString(" "), "a"),
+      (2L, Seq.fill(20)("t").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    // uniform target, budget = corpus (100) → alloc 50 each:
+    // a (80 tok): 0 full passes + 0.625 partial → 1 epoch, no deficit
+    // b (20 tok): 2 full + 0.5 partial → 3 epochs, no deficit
+    val r = text.Curation.epochPlan(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(3), x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r("a") == ((1L, 0.625, 50.0, 0.0)), s"got ${r("a")}")
+    assert(r("b") == ((3L, 0.5, 50.0, 0.0)), s"got ${r("b")}")
+    // ceiling at 2 epochs: b caps at 40 planned tokens, deficit 10
+    val rc = text.Curation.epochPlan(docs, maxEpochs = 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(3), x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(rc("b") == ((2L, 0.0, 40.0, 10.0)), s"got ${rc("b")}")
+  }
+
+  test("x17 length curriculum: dense permutation, short-to-long, shuffled within a length") {
+    val r = text.Curation.lengthCurriculum(
+      Tables.documents(spark, sf).select("doc_id", "text")).collect()
+    val n = r.length
+    assert(r.map(_.getLong(2)).sorted.toSeq == (1L to n.toLong).toSeq,
+      "positions must be a dense 1..n permutation")
+    val byPos = r.sortBy(_.getLong(2))
+    assert(byPos.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "token counts must be non-decreasing along the curriculum")
+    // within an equal-length run the mix64 tiebreak must shuffle ids
+    // (the corpus has 10+-doc runs of equal length — ingest order
+    // surviving would mean the tiebreak is broken)
+    val inverted = byPos.sliding(2).exists(p =>
+      p(0).getLong(1) == p(1).getLong(1) && p(0).getLong(0) > p(1).getLong(0))
+    assert(inverted, "equal-length docs must not stay in id order")
+  }
 }

@@ -355,4 +355,65 @@ class DedupSpec extends GraftSpecBase {
     assert(full.map(_.getLong(2)).sum == nPairs,
       "matrix must partition the pair set")
   }
+
+  test("d16 degree histogram: planted triple-dup family, degree-0 population kept") {
+    import spark.implicits._
+    // docs 1-3 identical (3 pairs, degree 2 each); 4-5 unique (degree 0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "totally different words here now"),
+      (5L, "unrelated content entirely fresh stuff"))
+      .toDF("doc_id", "text")
+    val hist = dedup.Dedup.dupDegreeHistogram(
+        dedup.Dedup.exactJaccardPairs(docs), docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 2L, 2L -> 3L), s"got $hist")
+    // real corpus: histogram partitions the corpus, degree mass = 2|pairs|
+    val full = dedup.Dedup.d16(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(full.map(_._2).sum == Tables.documents(spark, sf).count(),
+      "histogram must cover every doc")
+    assert(full.map { case (d, n) => d * n }.sum ==
+      2 * dedup.Dedup.cachedJaccardPairs(spark, sf).count(),
+      "total degree must equal twice the pair count")
+  }
+
+  test("d17 survivorship: the higher-quality copy wins, not the lower id") {
+    import spark.implicits._
+    // 1 and 2 are near-dups; 2 has the richer text (more tokens →
+    // higher t1 score), so 2 must be the representative despite 1's
+    // smaller id. 3 is unrelated (singleton, excluded).
+    val rich = (1 to 60).map(i => s"the word$i and of to in").mkString(" ")
+    val poor = (1 to 60).map(i => s"the word$i and of to in").take(55).mkString(" ") + " !!!! ???? ;;;; ::::"
+    val docs = Seq((1L, poor), (2L, rich), (3L, "something else entirely unrelated here"))
+      .toDF("doc_id", "text")
+    val r = dedup.Clusters.bestRepDedup(docs, dedup.Dedup.exactJaccardPairs(docs))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r.keySet == Set(1L, 2L), s"singleton must be excluded: $r")
+    assert(r(1L) == ((2L, false)) && r(2L) == ((2L, true)),
+      s"quality argmax must pick doc 2: $r")
+    // real corpus: exactly one keeper per cluster, keeper has max score
+    val full = dedup.Clusters.d17(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3), x.getBoolean(4)))
+    full.groupBy(_._2).values.foreach { cl =>
+      val keepers = cl.filter(_._5)
+      assert(keepers.length == 1, s"exactly one keeper per cluster: $cl")
+      assert(keepers.head._3 == cl.map(_._3).max, "keeper must have the max quality")
+      assert(cl.forall(_._4 == keepers.head._1), "rep_id must be the keeper")
+    }
+  }
+
+  test("d18 cluster report: spreads bracket the members; clusters match d6's non-singletons") {
+    val rep = dedup.Clusters.d18(spark, sf).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    rep.values.foreach { case (size, lo, hi, avg) =>
+      assert(size > 1 && lo <= avg && avg <= hi, s"spread must bracket: ${(size, lo, hi, avg)}")
+    }
+    val d6Sizes = dedup.Clusters.d6(spark, sf).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(rep.view.mapValues(_._1).toMap == d6Sizes,
+      "d18 must report exactly d6's clusters with the same sizes")
+  }
 }

@@ -229,6 +229,57 @@ class OperatorsSpec extends GraftSpecBase {
     assert(sums.forall(p => math.abs(p - 1.0) < 1e-4), sums.mkString(","))
   }
 
+  test("st14 trending: per-hour top-k, count-desc item-asc ties, k caps the cut") {
+    val df = Seq(
+      // hour 0: item 1 ×3, item 2 ×2, items 3,4 ×1 → top-3 = 1,2,3
+      (0L, 1), (1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 3), (6L, 4),
+      // hour 1: tie between 7 and 8 → item asc picks 7 first
+      (7L, 7), (8L, 8))
+      .map { case (i, item) =>
+        (i, new java.sql.Timestamp(3600L * 1000 * (if (i >= 7) 1 else 0) + i), s"""{"k":$item}""") }
+      .toDF("event_id", "ts", "props")
+    val r = operators.Activity.trendingTopK(df, k = 3).collect()
+      .map(x => (x.getTimestamp(0).getTime / 3600000, x.getInt(1), x.getLong(2), x.getLong(3)))
+    val h0 = r.filter(_._1 == 0).sortBy(_._4)
+    assert(h0.map(t => (t._2, t._3)).toSeq == Seq((1, 3L), (2, 2L), (3, 1L)), s"got ${h0.mkString(",")}")
+    val h1 = r.filter(_._1 == 1).sortBy(_._4)
+    assert(h1.map(_._2).toSeq == Seq(7, 8), s"tie must break item-asc: ${h1.mkString(",")}")
+  }
+
+  test("a28 spend deciles: equal-population cut, monotone spend bands, full coverage") {
+    val r = analytics.Queries.a28(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.map(_._1).toSeq == (1L to 10L), s"all 10 deciles: ${r.map(_._1).mkString(",")}")
+    val pops = r.map(_._2)
+    assert(pops.max - pops.min <= 1, s"ntile populations within 1: ${pops.mkString(",")}")
+    // decile 1 is the richest band; bands must not overlap
+    r.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._3 >= lo._4, s"decile ${hi._1} min ${hi._3} must be >= decile ${lo._1} max ${lo._4}")
+    }
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(pops.sum == nCust, "every ordering customer lands in a decile")
+  }
+
+  test("st15 attribution: latest strict-preceding touch wins; early conversions stay unattributed") {
+    val df = Seq(
+      // u1: view@100 → click@200 → purchase@300: credit the click
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"), (3L, 1L, 300L, "purchase"),
+      // u1: purchase@50 before any touch: unattributed
+      (0L, 1L, 50L, "purchase"),
+      // u2: click and view both at ts=100 — later id (view, 6) wins;
+      // the purchase shares ts=100 but has a later id, so both
+      // same-ts touches still strictly precede it
+      (5L, 2L, 100L, "click"), (6L, 2L, 100L, "view"), (7L, 2L, 100L, "purchase"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val r = operators.Activity.lastTouchAttribution(df).collect()
+      .map(x => x.getLong(0) -> ((Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.getAs[String]("touch_type")), x.getBoolean(6)))).toMap
+    assert(r(0L) == ((None, None, false)), s"got ${r(0L)}")
+    assert(r(3L) == ((Some(2L), Some("click"), true)), s"got ${r(3L)}")
+    assert(r(7L) == ((Some(6L), Some("view"), true)), s"got ${r(7L)}")
+  }
+
   test("st10 disorder: lateness measured against the running max in arrival order") {
     // arrival order = event_id; ts regresses at event 2 (10→5) and
     // event 5 (30→7): two late events, worst regression 30-7=23

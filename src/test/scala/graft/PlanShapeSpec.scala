@@ -298,6 +298,49 @@ class PlanShapeSpec extends GraftSpecBase {
       s"band offsets / source index must broadcast back:\n$plan")
   }
 
+  test("x17: length curriculum never rangepartitions the corpus — composite-banded prefix-sum") {
+    val plan = finalPlan(text.Curation.lengthCurriculum(
+      Tables.documents(spark, sf).select("doc_id", "text")))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort exchange over corpus rows:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"only the bounded offsets branch may single-partition:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"band offsets must broadcast back:\n$plan")
+  }
+
+  test("s15: kNN graph — cell equi-join, no in-query training, no pairwise corpus product") {
+    val plan = finalPlan(similarity.Similarity.knnGraph(
+      Tables.embeddings(spark, sf), cacheKey = Some(sf)))
+    assert(!plan.contains("posexplode"),
+      s"centroid training must never run inside the query:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must come from the cell equi-join:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"rank is a per-vector window, never a global sort:\n$plan")
+  }
+
+  test("d16: degree decoration — corpus streams through a broadcast left join, never shuffles") {
+    val plan = finalPlan(dedup.Dedup.dupDegreeHistogram(
+      dedup.Dedup.exactJaccardPairs(Tables.documents(spark, sf), threshold = 0.55),
+      Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"degree frame must broadcast into an outer join the corpus streams through:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the degree decoration:\n$plan")
+  }
+
+  test("d17: survivorship pays the cluster shuffle once — size, argmax and verdict share it") {
+    val plan = finalPlan(dedup.Clusters.bestRepDedup(
+      Tables.documents(spark, sf),
+      dedup.Dedup.exactJaccardPairs(Tables.documents(spark, sf), threshold = 0.58)))
+    val clusterEx = "hashpartitioning\\(cluster_id".r.findAllIn(plan).length
+    assert(clusterEx == 1,
+      s"both windows + the size filter must ride ONE cluster_id exchange, got $clusterEx:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort inside the library operator:\n$plan")
+  }
+
   test("s13: cluster report — corpus never in a pairwise product, centroids broadcast back") {
     val emb = Tables.embeddings(spark, sf)
     val plan = finalPlan(similarity.Similarity.clusterCohesion(emb))

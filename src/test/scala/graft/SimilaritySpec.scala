@@ -273,4 +273,27 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r(1) == ((2L, 2L, 0.0, 1.0)), s"got ${r(1)}")
     assert(r(2) == ((2L, 2L, 1.0, 2.0)), s"got ${r(2)}")
   }
+
+  test("s15 knn graph: identical vectors are mutual rank-1; per-vector fan-out capped at k") {
+    import spark.implicits._
+    val vs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val g = similarity.Similarity.knnGraph(vs, k = 2, numCells = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // identical vectors pick each other first, both directions
+    assert(g.contains((0L, 1L, 1L)) && g.contains((1L, 0L, 1L)), s"got ${g.mkString(",")}")
+    assert(g.groupBy(_._1).values.forall(_.length <= 2), "fan-out must be ≤ k")
+    // real corpus: ranks contiguous from 1, fan-out ≤ k
+    val full = similarity.Similarity.s15(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(2)))
+    full.groupBy(_._1).values.foreach { rs =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length.toLong).toSeq, s"ranks not contiguous: $ranks")
+      assert(ranks.length <= 5)
+    }
+  }
 }

@@ -300,4 +300,42 @@ class StreamingSpec extends GraftSpecBase {
         s"user $u: stream ${s} != batch ${(n, late, maxLate)}")
     }
   }
+
+  test("streaming hourly item counts equal st14's frame; trending cut over final state matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("ts_us"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .as[(Long, Int)].collect()
+    val cut = evs.map(_._1).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_._1 < cut)
+    val mem = MemoryStream[(Long, Int)]
+    val counts = mem.toDF().toDF("ts_us", "item")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("item"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_ts"), col("item"), col("n_events"))
+    val q = counts.writeStream.format("memory").queryName("trend_twin")
+      .outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits; last row per (hour, item) is final
+    val fin = scala.collection.mutable.LinkedHashMap[(java.sql.Timestamp, Int), Long]()
+    spark.table("trend_twin").collect()
+      .foreach(r => fin((r.getTimestamp(0), r.getInt(1))) = r.getLong(2))
+    // trending cut over the stream's final state == batch st14
+    val streamedTop = fin.toSeq.groupBy(_._1._1).flatMap { case (h, rows) =>
+      rows.sortBy { case ((_, item), n) => (-n, item) }.take(3).zipWithIndex
+        .map { case (((_, item), n), i) => (h, item, n, (i + 1).toLong) }
+    }.toSet
+    val batchTop = operators.Activity.st14(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamedTop == batchTop,
+      s"stream-only: ${(streamedTop -- batchTop).take(3)}; batch-only: ${(batchTop -- streamedTop).take(3)}")
+  }
 }

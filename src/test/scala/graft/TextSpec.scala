@@ -200,4 +200,20 @@ class TextSpec extends GraftSpecBase {
       .map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(base == again, "novel counts must be partitioning-invariant")
   }
+
+  test("t14 vocab coverage: hand-checked ladder, k past the vocab saturates at 1") {
+    import spark.implicits._
+    // counts: a×3, b×2, c×1 → top-1 = 3/6, top-2 = 5/6, top-10 = 6/6
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = text.TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 10)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((1L, 3L, 6L, 0.5)), s"got ${r(1L)}")
+    assert(r(2L) == ((2L, 5L, 6L, 0.833333)), s"got ${r(2L)}")
+    assert(r(10L) == ((3L, 6L, 6L, 1.0)), s"got ${r(10L)}")
+    // real corpus: coverage is monotone in k and ends ≤ 1
+    val real = text.TextAnalysis.t14VocabCoverage(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getDouble(4))).sortBy(_._1)
+    assert(real.sliding(2).forall(p => p(0)._2 <= p(1)._2), "coverage must be monotone")
+    assert(real.last._2 <= 1.0)
+  }
 }
