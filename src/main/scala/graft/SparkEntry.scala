@@ -144,6 +144,8 @@ object SparkEntry {
     "a28_spend_deciles" -> ((s, d) => analytics.Queries.a28(s, d)),
     "t14_vocab_coverage" -> ((s, d) => text.TextAnalysis.t14VocabCoverage(s, d)),
     "d18_cluster_report" -> ((s, d) => dedup.Clusters.d18(s, d)),
+    "s16_cosine_hist" -> ((s, d) => similarity.Similarity.s16(s, d)),
+    "s17_ivf_recall" -> ((s, d) => similarity.Similarity.s17(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1844,6 +1846,72 @@ object SparkEntry {
         | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
         |SELECT vec_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+    // s17: s3's IVF replay ∩ brute-force replay, membership by id
+    // equi-join (never a cosine re-compare)
+    "s17_ivf_recall" -> ("WITH " + ivfCorpusCtes + """,
+        |probes AS (
+        | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |cand AS (
+        | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
+        | FROM (SELECT * FROM probes WHERE pr <= 12) p
+        | JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+        |scored AS (
+        | SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
+        | FROM cand),
+        |approx AS (SELECT q_id, n_id FROM scored WHERE rank <= 10),
+        |bf AS (
+        | SELECT q_id, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        | WHERE rank <= 10)
+        |SELECT a.q_id, count(*) AS n_hits,
+        | round(CAST(count(*) AS DOUBLE) / 10, 4) AS recall_at_k
+        |FROM approx a JOIN bf ON a.q_id = bf.q_id AND a.n_id = bf.n_id
+        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin),
+    // s16: mix64-bucketed deterministic pairing replay; bin from the
+    // unrounded cosine, pmod sign law spelled out
+    "s16_cosine_hist" ->
+      """WITH m0 AS (
+        | SELECT vec_id, (CAST(vec_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM embeddings),
+        |m1 AS (SELECT vec_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT vec_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT vec_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT vec_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT vec_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT vec_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+        | FROM m5),
+        |r AS (
+        | SELECT vec_id, ((h % 64) + 64) % 64 AS b, h,
+        |  row_number() OVER (PARTITION BY ((h % 64) + 64) % 64 ORDER BY h, vec_id) AS rn
+        | FROM sgn),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pr AS (
+        | SELECT a.vec_id AS a_id, bb.vec_id AS b_id
+        | FROM (SELECT vec_id, b, (rn + 1) // 2 AS p FROM r WHERE rn % 2 = 1) a
+        | JOIN (SELECT vec_id, b, rn // 2 AS p FROM r WHERE rn % 2 = 0) bb
+        |   ON a.b = bb.b AND a.p = bb.p),
+        |c AS (
+        | SELECT list_cosine_similarity(ea.emb, eb.emb) AS cos
+        | FROM pr JOIN e ea ON ea.vec_id = pr.a_id JOIN e eb ON eb.vec_id = pr.b_id),
+        |binned AS (
+        | SELECT least(CAST(floor((cos + 1.0) * 20 / 2.0) AS BIGINT), 19) AS bin, cos FROM c)
+        |SELECT bin,
+        | round(-1.0 + bin * 2.0 / 20, 6) AS bin_lo,
+        | round(-1.0 + (bin + 1) * 2.0 / 20, 6) AS bin_hi,
+        | count(*) AS n_pairs,
+        | round(min(cos), 6) AS min_cos, round(max(cos), 6) AS max_cos
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     // p9: latest version per key; total order (ts desc, id desc)
     "p9_cdc_latest" ->
       """SELECT user_id, last_event_id, last_ts_us, last_value, n_versions FROM (

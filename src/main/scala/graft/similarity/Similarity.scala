@@ -787,4 +787,79 @@ object Similarity {
   def s15(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables.embeddings(spark, dir), cacheKey = Some(dir))
       .orderBy(col("vec_id"), col("rank"))
+
+  /** Background-similarity histogram (s16): the cosine distribution
+    * over a deterministic pseudo-random pairing of the corpus — the
+    * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far
+    * the near-dup tail sits from the background mass). The pairing
+    * must be deterministic, engine-replayable, and scale-clean:
+    * vectors bucket by mix64(vec_id) mod B (bounded key, replayable
+    * sign law via pmod), rank within a bucket by the full hash, and
+    * rank 2i-1 pairs with rank 2i — every vector lands in ≤1 pair,
+    * the pairing is hash-scrambled, and the corpus shuffles ONCE on
+    * the bounded bucket key (no global sort, no all-pairs). Bins
+    * cover [-1, 1]; the bin index comes from the UNROUNDED cosine
+    * (identical doubles on both engines — the s3 fold discipline),
+    * clamped so cos = 1.0 lands in the top bin.
+    */
+  def cosineHistogram(emb: DataFrame, bins: Int = 20,
+                      buckets: Int = 64): DataFrame = {
+    val keyed = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__h", graft.functions.GraftFunctions.mix64(col("vec_id").cast("long")))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col("vec_id"))
+    val ranked = keyed.withColumn("__r", row_number().over(w))
+    val lhs = ranked.filter(col("__r") % 2 === 1)
+      .select(col("__b"), expr("(__r + 1) div 2").as("__p"),
+        col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val rhs = ranked.filter(col("__r") % 2 === 0)
+      .select(col("__b"), expr("__r div 2").as("__p"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    lhs.join(rhs, Seq("__b", "__p"))
+      .withColumn("__cos", cosine_sim(col("a_emb"), col("b_emb")))
+      .withColumn("bin", least(
+        floor((col("__cos") + lit(1.0)) * bins / lit(2.0)).cast("long"),
+        lit(bins.toLong - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("__cos")), 6).as("min_cos"),
+        round(max(col("__cos")), 6).as("max_cos"))
+      .withColumn("bin_lo", round(lit(-1.0) + col("bin") * lit(2.0) / bins, 6))
+      .withColumn("bin_hi", round(lit(-1.0) + (col("bin") + 1) * lit(2.0) / bins, 6))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        col("n_pairs"), col("min_cos"), col("max_cos"))
+  }
+
+  /** Verified entry (s16). Sort is oracle-determinism only. */
+  def s16(spark: SparkSession, dir: String): DataFrame =
+    cosineHistogram(Tables.embeddings(spark, dir)).orderBy(col("bin"))
+
+  /** IVF recall report (s17): per query, how many of the exact
+    * top-k the IVF path recovered — the recall/latency trade
+    * measured as DATA, not just a spec gate (production ANN ships
+    * this as a continuous monitor: re-measure on every index build,
+    * alert when a corpus drift pushes recall under contract).
+    * Composes two existing library operators; the hit count is a
+    * left-semi join of the approximate list against the exact list
+    * on (q_id, n_id) — never a cosine re-compare, so fp noise can't
+    * blur membership. The exact side is the expensive one at scale;
+    * in production it runs on a held-out query sample, exactly the
+    * querySet shape this entry uses.
+    */
+  def ivfRecallReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = bruteForceKnn(querySet(emb), emb, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfKnn(querySet(emb), emb, k, nprobe = 12, cacheKey = Some(dir))
+      .select(col("q_id"), col("n_id"))
+    approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 4).as("recall_at_k"))
+  }
+
+  /** Verified entry (s17). Sort is oracle-determinism only. */
+  def s17(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallReport(spark, dir).orderBy(col("q_id"))
 }

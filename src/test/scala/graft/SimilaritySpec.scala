@@ -296,4 +296,37 @@ class SimilaritySpec extends GraftSpecBase {
       assert(ranks.length <= 5)
     }
   }
+
+  test("s16 cosine histogram: near-perfect pairing coverage, bins partition, layout-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val hist = similarity.Similarity.cosineHistogram(emb).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getLong(3)))
+    // every vector is in ≤1 pair; at most one unpaired straggler per
+    // bucket, so coverage is ≥ n/2 - buckets pairs
+    val pairs = hist.map(_._4).sum
+    assert(pairs <= n / 2 && pairs >= n / 2 - 64,
+      s"pairing must cover almost everything once: $pairs of ${n / 2}")
+    // bin edges tile [-1, 1] without overlap
+    hist.sortBy(_._1).foreach { case (bin, lo, hi, _) =>
+      assert(math.abs(lo - (-1.0 + bin * 0.1)) < 1e-9 &&
+        math.abs(hi - (-1.0 + (bin + 1) * 0.1)) < 1e-9, s"bad edges: ${(bin, lo, hi)}")
+    }
+    // the pairing (and so the histogram) is physical-layout invariant
+    val again = similarity.Similarity.cosineHistogram(emb.repartition(7)).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(again == hist.map(x => x._1 -> x._4).toMap,
+      "histogram must not depend on partitioning")
+  }
+
+  test("s17 recall report: every query measured, mean recall clears the s3 gate") {
+    val r = similarity.Similarity.s17(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val nQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(r.length == nQueries, s"${r.length} of $nQueries queries measured")
+    assert(r.forall(x => x._2 >= 1 && x._2 <= 10), "hits within [1, k]")
+    val mean = r.map(_._3).sum / r.length
+    assert(mean >= 0.9, s"mean recall $mean under the 0.9 gate")
+  }
 }
