@@ -146,6 +146,7 @@ object SparkEntry {
     "d18_cluster_report" -> ((s, d) => dedup.Clusters.d18(s, d)),
     "s16_cosine_hist" -> ((s, d) => similarity.Similarity.s16(s, d)),
     "s17_ivf_recall" -> ((s, d) => similarity.Similarity.s17(s, d)),
+    "st16_session_funnel" -> ((s, d) => operators.Funnel.st16(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1846,6 +1847,32 @@ object SparkEntry {
         | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
         |SELECT vec_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+    // st16: st1's session replay + st5's k-join funnel spelling per
+    // (user, session) — proves the single-fold == the 3-join form
+    "st16_session_funnel" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM x)),
+        |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y),
+        |ev AS (SELECT user_id, session_seq, event_id, ts_us, event_type FROM z
+        |       WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id, session_seq FROM ev),
+        |s1 AS (SELECT user_id, session_seq, min(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id, session_seq),
+        |s2 AS (SELECT e.user_id, e.session_seq, min(e.ts_us) AS t2 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.session_seq = s1.session_seq AND e.ts_us > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id, e.session_seq),
+        |s3 AS (SELECT e.user_id, e.session_seq, min(e.ts_us) AS t3 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.session_seq = s2.session_seq AND e.ts_us > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id, e.session_seq)
+        |SELECT u.user_id, u.session_seq,
+        | s1.t1 AS step1_ts_us, s2.t2 AS step2_ts_us, s3.t3 AS step3_ts_us,
+        | CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |      WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+        |FROM u LEFT JOIN s1 USING (user_id, session_seq)
+        | LEFT JOIN s2 USING (user_id, session_seq)
+        | LEFT JOIN s3 USING (user_id, session_seq)
+        |ORDER BY u.user_id, u.session_seq""".stripMargin,
     // s17: s3's IVF replay ∩ brute-force replay, membership by id
     // equi-join (never a cosine re-compare)
     "s17_ivf_recall" -> ("WITH " + ivfCorpusCtes + """,

@@ -38,11 +38,19 @@ object Funnel {
     */
   def funnel3(events: DataFrame, userCol: String, tsCol: String,
               idCol: String, typeCol: String,
-              steps: (String, String, String)): DataFrame = {
+              steps: (String, String, String)): DataFrame =
+    funnel3Keyed(events, Seq(userCol), tsCol, idCol, typeCol, steps)
+
+  /** The same fold grouped by a COMPOSITE key (e.g. user + session) —
+    * the funnel-within-session shape st16 verifies.
+    */
+  def funnel3Keyed(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                   idCol: String, typeCol: String,
+                   steps: (String, String, String)): DataFrame = {
     val (s1, s2, s3) = steps
     val filtered = events
       .filter(col(typeCol).isin(s1, s2, s3))
-      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .select((keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(typeCol))): _*)
     val nullTs = lit(null).cast("long")
     val init = struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3"))
     def step(st: Column, ev: Column): Column = {
@@ -59,15 +67,14 @@ object Funnel {
           .otherwise(st.getField("t3")).as("t3"))
     }
     filtered
-      .groupBy(col(userCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
         .as("__evs"))
       .withColumn("__st", aggregate(col("__evs"), init, step))
-      .select(
-        col(userCol),
+      .select((keyCols.map(col) ++ Seq(
         col("__st").getField("t1").as("step1_ts"),
         col("__st").getField("t2").as("step2_ts"),
-        col("__st").getField("t3").as("step3_ts"))
+        col("__st").getField("t3").as("step3_ts"))): _*)
       .withColumn("reached",
         when(col("step3_ts").isNotNull, 3)
           .when(col("step2_ts").isNotNull, 2)
@@ -136,4 +143,41 @@ object Funnel {
       userCol = "user_id", tsCol = "ts_us", idCol = "event_id",
       typeCol = "event_type", steps = ("view", "click", "purchase")))
       .orderBy(col("transition"))
+
+  /** Session-scoped funnel (st16): st5's step machine per (user,
+    * SESSION) — "did the view→click→purchase happen within one
+    * visit", the form conversion analysis actually ships (a purchase
+    * three weeks after the view is a return, not a conversion).
+    * Session boundaries are st1's gap law computed over ALL events
+    * (a non-step event keeps a session alive — filtering first would
+    * move boundaries), then the step fold groups on the composite
+    * (user, session) key. Both stages ride the SAME user_id-prefixed
+    * shuffle; sessions with step events but no step-1 view surface
+    * with reached = 0, sessions with no step events at all are
+    * absent (they never enter the funnel shuffle).
+    */
+  def st16(spark: SparkSession, dir: String,
+           gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("__prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("ts_us") - col("__prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__new")).over(byUser
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("long"))
+      .drop("__prev", "__new")
+    funnel3Keyed(sess, Seq("user_id", "session_seq"),
+      tsCol = "ts_us", idCol = "event_id", typeCol = "event_type",
+      steps = ("view", "click", "purchase"))
+      .select(col("user_id"), col("session_seq"),
+        col("step1_ts").as("step1_ts_us"), col("step2_ts").as("step2_ts_us"),
+        col("step3_ts").as("step3_ts_us"), col("reached"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
 }

@@ -246,6 +246,31 @@ class OperatorsSpec extends GraftSpecBase {
     assert(h1.map(_._2).toSeq == Seq(7, 8), s"tie must break item-asc: ${h1.mkString(",")}")
   }
 
+  test("st16 session funnel: steps only convert within a session; cross-session purchase is a 0") {
+    // u1: view@0, click@10min (one session), then purchase 2h later —
+    // a NEW session: session 1 reaches 2, session 2 reaches 0
+    val us = 60L * 1000000L
+    val df = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 10 * us, "click"), (3L, 1L, 130 * us, "purchase"),
+      // u2 converts fully inside one session
+      (4L, 2L, 0L, "view"), (5L, 2L, us, "click"), (6L, 2L, 2 * us, "purchase"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val path = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    df.write.mode("overwrite").parquet(s"$path/events.parquet")
+    val r = operators.Funnel.st16(spark, path).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(5)).toMap
+    assert(r == Map((1L, 1L) -> 2, (1L, 2L) -> 0, (2L, 1L) -> 3), s"got $r")
+    // real corpus: a session-scoped full conversion implies the
+    // user's global funnel also fully converts
+    val sessFull = operators.Funnel.st16(spark, sf).collect()
+      .filter(_.getInt(5) == 3).map(_.getLong(0)).toSet
+    val globalFull = operators.Funnel.st5(spark, sf).collect()
+      .filter(_.getInt(4) == 3).map(_.getLong(0)).toSet
+    assert(sessFull.subsetOf(globalFull),
+      s"session conversions must imply global: ${(sessFull -- globalFull).take(3)}")
+  }
+
   test("a28 spend deciles: equal-population cut, monotone spend bands, full coverage") {
     val r = analytics.Queries.a28(spark, sf).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
