@@ -147,6 +147,8 @@ object SparkEntry {
     "s16_cosine_hist" -> ((s, d) => similarity.Similarity.s16(s, d)),
     "s17_ivf_recall" -> ((s, d) => similarity.Similarity.s17(s, d)),
     "st16_session_funnel" -> ((s, d) => operators.Funnel.st16(s, d)),
+    "a29_late_shipments" -> ((s, d) => analytics.Queries.a29(s, d)),
+    "t15_lang_confusion" -> ((s, d) => text.TextAnalysis.t15LangConfusion(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1847,6 +1849,44 @@ object SparkEntry {
         | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
         |SELECT vec_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+    // a29: correlated EXISTS spelled directly; Spark side
+    // decorrelates to a per-order max reduction
+    "a29_late_shipments" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late_orders,
+        | count(*) AS n_orders,
+        | round(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_share
+        |FROM (
+        | SELECT o_orderpriority,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |          WHERE l_orderkey = o_orderkey
+        |           AND l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        | FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // t15: t4's prediction replay joined to the declared label,
+    // share via window over the tiny confusion frame
+    "t15_lang_confusion" ->
+      """WITH pred AS (
+        | SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        | FROM (
+        |  SELECT doc_id,
+        |   len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS h_en,
+        |   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS h_de,
+        |   len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'que', 'es'))) AS h_es,
+        |   len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS h_fr
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))),
+        |j AS (SELECT d.lang AS declared, p.lang_pred
+        |      FROM documents d JOIN pred p USING (doc_id))
+        |SELECT declared, lang_pred, count(*) AS n_docs,
+        | round(CAST(count(*) AS DOUBLE)
+        |   / sum(count(*)) OVER (PARTITION BY declared), 6) AS declared_share
+        |FROM j GROUP BY declared, lang_pred
+        |ORDER BY declared, lang_pred""".stripMargin,
     // st16: st1's session replay + st5's k-join funnel spelling per
     // (user, session) — proves the single-fold == the 3-join form
     "st16_session_funnel" ->

@@ -803,4 +803,34 @@ object Queries {
   /** Verified entry (a28). Sort is oracle-determinism only. */
   def a28(spark: SparkSession, dir: String): DataFrame =
     spendDeciles(spark, dir).orderBy(col("decile"))
+
+  /** Late-shipment aging by priority (a29, TPC-H Q4 spirit): share
+    * of orders per priority with at least one line item shipping
+    * more than `days` after the order date. The correlated EXISTS
+    * decorrelates to ONE per-order lineitem reduction: EXISTS(ship >
+    * cutoff) ⟺ max(ship) > cutoff, so lineitem shuffles once on
+    * l_orderkey into a max — never a fact×fact inequality join (the
+    * semi-join-with-residual spelling moves the whole fact for a
+    * per-row comparison the agg answers for free). Orders joins the
+    * orders-cardinality max frame on the key, late flag is scalar
+    * math, and the final agg groups the tiny priority key.
+    */
+  def lateShipments(spark: SparkSession, dir: String, days: Int = 90): DataFrame = {
+    val maxShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("__max_ship"))
+    Tables.orders(spark, dir)
+      .join(maxShip, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("__late", col("__max_ship").isNotNull &&
+        col("__max_ship") > col("o_orderdate") + expr(s"INTERVAL $days DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late_orders"),
+        count(lit(1)).as("n_orders"),
+        round(sum(when(col("__late"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("late_share"))
+  }
+
+  /** Verified entry (a29). Sort is oracle-determinism only. */
+  def a29(spark: SparkSession, dir: String): DataFrame =
+    lateShipments(spark, dir).orderBy(col("o_orderpriority"))
 }

@@ -542,6 +542,32 @@ object TextAnalysis {
   def t14VocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir)).orderBy(col("k"))
 
+  /** Language confusion matrix (t15): t4's predicted language
+    * against the DECLARED lang column — the label-noise audit run
+    * before trusting `lang` for stratified sampling (x5), per-lang
+    * budgets (x9) or lang-keyed dedup blocking. Off-diagonal mass =
+    * either classifier blind spots (zh has no profile → 'und' row)
+    * or genuinely mislabeled upstream data; `declared_share`
+    * normalizes per declared language so a small language's noise
+    * isn't drowned by the big ones. One narrow t4 map, one tiny
+    * (declared, predicted) agg, share via a window over the
+    * ≤(langs²)-row confusion frame.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("declared"))
+    langId(docs)
+      .select(col("lang").as("declared"), col("lang_pred"))
+      .groupBy(col("declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+  }
+
+  /** Verified entry (t15). Sort is oracle-determinism only. */
+  def t15LangConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusion(Tables.documents(spark, dir))
+      .orderBy(col("declared"), col("lang_pred"))
+
   def t13ZipfAlpha(spark: SparkSession, dir: String): DataFrame =
     zipfAlpha(Tables.documents(spark, dir)).orderBy(col("source"))
 }

@@ -271,6 +271,25 @@ class OperatorsSpec extends GraftSpecBase {
       s"session conversions must imply global: ${(sessFull -- globalFull).take(3)}")
   }
 
+  test("a29 late shipments: max-reduction flag equals the EXISTS semantics on planted orders") {
+    val day = 86400L * 1000000L
+    val orders = Seq(
+      (1L, "1-URGENT", 0L), (2L, "1-URGENT", 0L), (3L, "2-HIGH", 0L))
+      .toDF("o_orderkey", "o_orderpriority", "ts_us")
+      .withColumn("o_orderdate", timestamp_micros(col("ts_us"))).drop("ts_us")
+    // order 1: ships at day 100 (late); order 2: day 10 (on time);
+    // order 3: no lineitems at all (not late)
+    val li = Seq((1L, 100L * day), (1L, 5L * day), (2L, 10L * day))
+      .toDF("l_orderkey", "ship_us")
+      .withColumn("l_shipdate", timestamp_micros(col("ship_us"))).drop("ship_us")
+    val path = java.nio.file.Files.createTempDirectory("graft_a29").toString
+    orders.write.parquet(s"$path/orders.parquet")
+    li.write.parquet(s"$path/lineitem.parquet")
+    val r = analytics.Queries.lateShipments(spark, path).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("1-URGENT" -> ((1L, 2L)), "2-HIGH" -> ((0L, 1L))), s"got $r")
+  }
+
   test("a28 spend deciles: equal-population cut, monotone spend bands, full coverage") {
     val r = analytics.Queries.a28(spark, sf).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))

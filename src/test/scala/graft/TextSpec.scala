@@ -216,4 +216,25 @@ class TextSpec extends GraftSpecBase {
     assert(real.sliding(2).forall(p => p(0)._2 <= p(1)._2), "coverage must be monotone")
     assert(real.last._2 <= 1.0)
   }
+
+  test("t15 confusion matrix: mislabeled doc lands off-diagonal, shares sum to 1 per declared") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog is of to", "en"),   // correct label
+      (2L, "the king and the queen of all", "zh"),  // English text declared zh
+      (3L, "der hund und die katze ist", "de"))     // correct label
+      .toDF("doc_id", "text", "lang")
+    val r = text.TextAnalysis.langConfusion(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      ("en", "en") -> ((1L, 1.0)),
+      ("zh", "en") -> ((1L, 1.0)),
+      ("de", "de") -> ((1L, 1.0))), s"got $r")
+    // real corpus: per-declared shares form a distribution
+    val shares = text.TextAnalysis.t15LangConfusion(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getDouble(3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    shares.foreach { case (d, s) =>
+      assert(math.abs(s - 1.0) < 1e-4, s"declared $d shares sum to $s") }
+  }
 }
