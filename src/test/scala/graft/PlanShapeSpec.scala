@@ -239,7 +239,12 @@ class PlanShapeSpec extends GraftSpecBase {
       // a22 cross-joins the single-row decorrelated scalar AVG
       "a22_dormant_customers",
       // x16 cross-joins its single-row corpus total (x14's pattern)
-      "x16_mix_rebalance")
+      "x16_mix_rebalance",
+      // s17 wraps s1's brute-force exact side (broadcast query subset
+      // into the non-equi scan — the same bounded BNLJ as s1/s5)
+      "s17_ivf_recall",
+      // x18 cross-joins its single-row corpus total (x16's pattern)
+      "x18_epoch_plan")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
