@@ -1212,7 +1212,7 @@ object SparkEntry {
         |SELECT l.cluster_id, count(*) AS cluster_size,
         | round(min(q.quality_score), 6) AS min_quality,
         | round(max(q.quality_score), 6) AS max_quality,
-        | round(avg(q.quality_score), 6) AS avg_quality,
+        | CAST(sum(CAST(round(q.quality_score * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_quality_e6,
         | CAST(min(q.n_tokens) AS BIGINT) AS min_tokens,
         | CAST(max(q.n_tokens) AS BIGINT) AS max_tokens
         |FROM labels l JOIN q USING (doc_id)

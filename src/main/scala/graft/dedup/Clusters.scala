@@ -189,7 +189,13 @@ object Clusters {
       .agg(count(lit(1)).as("cluster_size"),
         round(min(col("quality_score")), 6).as("min_quality"),
         round(max(col("quality_score")), 6).as("max_quality"),
-        round(avg(col("quality_score")), 6).as("avg_quality"),
+        // the mean is exported as an INTEGER micro-unit sum: an
+        // avg-of-6dp-values can land exactly on a rounding half
+        // (0.5188065 → the two engines' half-rules split), while
+        // per-element e6 integers sum exactly on any engine —
+        // consumers divide by cluster_size
+        sum(round(col("quality_score") * lit(1000000.0)).cast("long"))
+          .as("sum_quality_e6"),
         min(col("n_tokens")).cast("long").as("min_tokens"),
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .filter(col("cluster_size") > 1)

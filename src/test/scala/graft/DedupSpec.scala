@@ -407,9 +407,11 @@ class DedupSpec extends GraftSpecBase {
 
   test("d18 cluster report: spreads bracket the members; clusters match d6's non-singletons") {
     val rep = dedup.Clusters.d18(spark, sf).collect()
-      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
-    rep.values.foreach { case (size, lo, hi, avg) =>
-      assert(size > 1 && lo <= avg && avg <= hi, s"spread must bracket: ${(size, lo, hi, avg)}")
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))).toMap
+    rep.values.foreach { case (size, lo, hi, sumE6) =>
+      val mean = sumE6.toDouble / 1e6 / size
+      assert(size > 1 && lo <= mean + 1e-6 && mean <= hi + 1e-6,
+        s"spread must bracket the mean: ${(size, lo, hi, mean)}")
     }
     val d6Sizes = dedup.Clusters.d6(spark, sf).collect()
       .map(x => x.getLong(1) -> x.getLong(2)).toMap
