@@ -149,6 +149,8 @@ object SparkEntry {
     "st16_session_funnel" -> ((s, d) => operators.Funnel.st16(s, d)),
     "a29_late_shipments" -> ((s, d) => analytics.Queries.a29(s, d)),
     "t15_lang_confusion" -> ((s, d) => text.TextAnalysis.t15LangConfusion(s, d)),
+    "a30_yearly_growth" -> ((s, d) => analytics.Queries.a30(s, d)),
+    "m6_format_mix" -> ((s, d) => multimodal.Multimodal.m6(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1849,6 +1851,28 @@ object SparkEntry {
         | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
         |SELECT vec_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+    // a30: yearly agg + lag window over the tiny year frame; growth
+    // computed on the rounded revenue both sides
+    "a30_yearly_growth" ->
+      """WITH y AS (
+        | SELECT year(l_shipdate) AS ship_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        | FROM lineitem GROUP BY ship_year)
+        |SELECT ship_year, revenue,
+        | lag(revenue) OVER (ORDER BY ship_year) AS prev_revenue,
+        | round(revenue / lag(revenue) OVER (ORDER BY ship_year) - 1, 6) AS yoy_growth
+        |FROM y ORDER BY ship_year""".stripMargin,
+    // m6: m1's meta replay grouped on the magic prefix
+    "m6_format_mix" ->
+      """SELECT magic_hex, count(*) AS n_media,
+        | CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        | count(DISTINCT content_md5) AS n_distinct
+        |FROM (
+        | SELECT octet_length(encode(text)) AS byte_len,
+        |  upper(substr(hex(encode(text)), 1, 4)) AS magic_hex,
+        |  md5(text) AS content_md5
+        | FROM documents)
+        |GROUP BY magic_hex ORDER BY magic_hex""".stripMargin,
     // a29: correlated EXISTS spelled directly; Spark side
     // decorrelates to a per-order max reduction
     "a29_late_shipments" ->

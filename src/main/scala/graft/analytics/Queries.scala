@@ -833,4 +833,28 @@ object Queries {
   /** Verified entry (a29). Sort is oracle-determinism only. */
   def a29(spark: SparkSession, dir: String): DataFrame =
     lateShipments(spark, dir).orderBy(col("o_orderpriority"))
+
+  /** Year-over-year revenue growth (a30): the trend report — one
+    * pushed-down lineitem scan into a years-cardinality agg, then
+    * lag + growth math as a window over the TINY aggregated frame
+    * (single partition of ~7 rows, not a corpus sort). Growth is
+    * computed on the ROUNDED yearly revenue on both engines so the
+    * division replays exactly; the first year's growth is null, not
+    * zero (no fake baseline).
+    */
+  def yearlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+    val w = Window.orderBy(col("ship_year"))
+    byYear
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy_growth",
+        round(col("revenue") / col("prev_revenue") - 1, 6))
+  }
+
+  /** Verified entry (a30). Sort is oracle-determinism only. */
+  def a30(spark: SparkSession, dir: String): DataFrame =
+    yearlyGrowth(spark, dir).orderBy(col("ship_year"))
 }

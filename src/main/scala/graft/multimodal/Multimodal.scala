@@ -381,6 +381,23 @@ object Multimodal {
 
   // ---- Verified entry points ----
 
+  /** Format mix report (m6): the corpus-composition table for a
+    * multimodal lake — per sniffed magic prefix, media count, total
+    * bytes, and distinct payload count (embedded exact-dup rate per
+    * format). Groups m1's zero-shuffle meta frame on the tiny magic
+    * key; the only exchange is the final map-side-combined agg.
+    */
+  def formatMix(docs: DataFrame): DataFrame =
+    binaryMeta(docs)
+      .groupBy(col("magic_hex"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        countDistinct(col("content_md5")).as("n_distinct"))
+
+  /** Verified entry (m6). Sort is oracle-determinism only. */
+  def m6(spark: SparkSession, dir: String): DataFrame =
+    formatMix(graft.Tables.documents(spark, dir)).orderBy(col("magic_hex"))
+
   def m1(spark: SparkSession, dir: String): DataFrame =
     binaryMeta(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
