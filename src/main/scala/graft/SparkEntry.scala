@@ -151,6 +151,9 @@ object SparkEntry {
     "t15_lang_confusion" -> ((s, d) => text.TextAnalysis.t15LangConfusion(s, d)),
     "a30_yearly_growth" -> ((s, d) => analytics.Queries.a30(s, d)),
     "m6_format_mix" -> ((s, d) => multimodal.Multimodal.m6(s, d)),
+    "a31_shipping_priority" -> ((s, d) => analytics.Queries.a31(s, d)),
+    "a32_local_volume" -> ((s, d) => analytics.Queries.a32(s, d)),
+    "a33_revenue_forecast" -> ((s, d) => analytics.Queries.a33(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2512,5 +2515,44 @@ object SparkEntry {
         |FROM li
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    // a31: Q3-shape top-k; the ORDER BY + LIMIT is part of the
+    // contract (revenue rounded before ranking on both engines,
+    // l_orderkey in the key so ties can't split)
+    "a31_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-06-15'
+        | AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // a32: Q5-shape local-supplier volume — the flat 6-table spelling
+    "a32_local_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        | AND o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    // a33: Q6-shape single-scan what-if aggregate
+    "a33_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS forecast_revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.02 AND 0.04
+        | AND l_quantity < 24""".stripMargin,
   )
 }

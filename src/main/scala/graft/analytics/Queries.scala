@@ -857,4 +857,120 @@ object Queries {
   /** Verified entry (a30). Sort is oracle-determinism only. */
   def a30(spark: SparkSession, dir: String): DataFrame =
     yearlyGrowth(spark, dir).orderBy(col("ship_year"))
+
+  /** Shipping-priority queue (TPC-H Q3 shape): top unshipped orders
+    * by revenue for one market segment as of a cutoff date.
+    *
+    * Scale shape: the segment filter collapses customer to ~1/5
+    * BEFORE orders moves — orders meets the filtered customer (size
+    * estimate broadcasts it while it fits; no hard hint, customer is
+    * SF-scaling — a2's contract) and the date predicates push into
+    * BOTH fact scans, so the one orderkey exchange carries only
+    * still-qualifying rows. Top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition heap + driver
+    * merge of k rows) — never a global sort of the revenue frame.
+    * Ties can't split nondeterministically: the sort key includes
+    * l_orderkey and revenue is rounded before ranking on both
+    * engines.
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-06-15",
+                       k: Int = 10): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Verified entry (a31). The top-k ordering IS the contract. */
+  def a31(spark: SparkSession, dir: String): DataFrame =
+    shippingPriority(spark, dir)
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue by nation for
+    * one region and order-year, counting only lineitems whose
+    * supplier sits in the customer's own nation.
+    *
+    * Scale shape: region⋈nation is a fixed-cardinality broadcast
+    * (≤25 rows — the one place a hard hint is honest); customer and
+    * supplier each meet that broadcast BEFORE any fact moves, so
+    * both SF-scaling dims shrink to the region's ~1/5 share on their
+    * own scans. Orders (year-pruned at the scan) pre-reduces against
+    * the filtered customer, lineitem decorates with the filtered
+    * supplier map, and the single orderkey exchange joins the two
+    * pre-shrunk sides. The same-nation predicate compares the two
+    * carried nation keys — never a second join. Final agg groups a
+    * nation-cardinality frame.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+                          region: String = "ASIA",
+                          year0: Int = 1997): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year0-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year0 + 1}-01-01").cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    Tables.lineitem(spark, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Verified entry (a32). Sort is oracle-determinism only. */
+  def a32(spark: SparkSession, dir: String): DataFrame =
+    localSupplierVolume(spark, dir).orderBy(col("n_name"))
+
+  /** Revenue-change forecast (TPC-H Q6 shape): the what-if scan —
+    * revenue delta from eliminating discounts in a band, one year.
+    *
+    * Scale shape: this is the pure pushdown showcase. All three
+    * predicates (shipdate range — spelled as bounds, not year(), so
+    * the range reaches the parquet scan as min/max filters —
+    * discount band, quantity cap) push into the scan; the plan is
+    * scan → map-side partial agg → 1-row final agg. Zero joins, zero
+    * hash exchanges on any fact key, and row-group statistics skip
+    * whole chunks of a date-sorted lake at scale.
+    */
+  def revenueForecast(spark: SparkSession, dir: String,
+                      year0: Int = 1997,
+                      discLo: Double = 0.02, discHi: Double = 0.04,
+                      maxQty: Double = 24.0): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$year0-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year0 + 1}-01-01").cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("forecast_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Verified entry (a33): 1-row result, no sort needed. */
+  def a33(spark: SparkSession, dir: String): DataFrame =
+    revenueForecast(spark, dir)
 }

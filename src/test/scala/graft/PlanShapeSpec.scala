@@ -670,6 +670,49 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 1, s"one shuffle on the expanded keys, got $shuffles:\n$plan")
   }
 
+  test("a31: Q3 shape — top-k is a TakeOrdered, both date filters pushed, segment pre-shrinks orders") {
+    val plan = finalPlan(analytics.Queries.a31(spark, sf))
+    // top-k must be the per-partition-heap operator, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort for a k-row cut:\n$plan")
+    // all three selective predicates reach their scans
+    assert(plan.contains("PushedFilters: [EqualTo(c_mktsegment,BUILDING)]"),
+      s"segment filter must push to the customer scan:\n$plan")
+    assert(plan.contains("PushedFilters: [GreaterThan(l_shipdate"),
+      s"lineitem date filter must push to the scan:\n$plan")
+    assert(plan.contains("PushedFilters: [LessThan(o_orderdate"),
+      s"orders date filter must push to the scan:\n$plan")
+  }
+
+  test("a32: Q5 shape — dims shrink on broadcast nation filter before facts move, one agg on nation frame") {
+    val plan = finalPlan(analytics.Queries.localSupplierVolume(spark, sf))
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must push to the scan:\n$plan")
+    // orderkey join + final nation agg are the only hash exchanges a
+    // scaled plan should pay (dim joins all broadcast at tested SF)
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes <= 3, s"expected <= 3 hash exchanges, got $hashes:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library fn must not sort its result:\n$plan")
+  }
+
+  test("a33: Q6 shape — every predicate reaches the scan, zero joins, zero keyed shuffles") {
+    val plan = finalPlan(analytics.Queries.a33(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"shipdate bounds must push to the scan:\n$plan")
+    // the PushedFilters list is elided in toString past ~100 chars,
+    // so pin the band/cap on the post-scan Filter's literal spelling
+    assert(plan.contains(">= 0.02)") && plan.contains("<= 0.04)") &&
+      plan.contains("< 24.0)"),
+      s"discount band and quantity cap must survive to the filter:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 has no joins:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"1-row agg needs no keyed shuffle:\n$plan")
+  }
+
   test("r6 additions: library results unordered, shuffles bounded, facts never window-sorted") {
     val docs = Tables.documents(spark, sf)
     val events = Tables.events(spark, sf)
