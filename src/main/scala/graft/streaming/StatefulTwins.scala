@@ -173,4 +173,115 @@ object StatefulTwins {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // ------------------------------------------------------------ attribution
+
+  final case class AttribOut(event_id: Long, user_id: Long, ts_us: Long,
+                             touch_event_id: Option[Long], touch_type: Option[String],
+                             touch_ts_us: Option[Long], attributed: Boolean,
+                             touch_age_us: Option[Long])
+
+  /** Streaming twin of st15's last-touch attribution — the shape a
+    * live marketing pipeline actually runs: conversions must be
+    * credited as they arrive, not in a nightly window job. State per
+    * key is O(1) — the latest touch triple — and the fold is the
+    * batch window's exactly: a conversion credits the latest touch
+    * STRICTLY preceding it in (ts_us, event_id) order, so a same-
+    * batch touch→conversion pair still attributes and a conversion
+    * that lands before any touch emits unattributed with null credit
+    * (never dropped). Append mode: each conversion emits exactly
+    * once, in the batch it arrives.
+    */
+  def attributionStream(events: Dataset[FunnelEv],
+                        conversionType: String = "purchase",
+                        touchTypes: Set[String] = Set("click", "view")): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[FunnelEv],
+           state: GroupState[LastEv]): Iterator[AttribOut] = {
+      var touch = state.getOption
+      val out = scala.collection.mutable.ListBuffer.empty[AttribOut]
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == conversionType)
+          out += AttribOut(e.event_id, userId, e.ts_us,
+            touch.map(_.event_id), touch.map(_.event_type), touch.map(_.ts_us),
+            touch.nonEmpty, touch.map(t => e.ts_us - t.ts_us))
+        if (touchTypes(e.event_type)) touch = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+      }
+      touch.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .filter(e => e.event_type == conversionType || touchTypes(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  // --------------------------------------------------------- session funnel
+
+  final case class SessFunnelState(seq: Long, lastTs: Long, hasStep: Boolean,
+                                   t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  final case class SessFunnelOut(user_id: Long, session_seq: Long,
+                                 step1_ts_us: Option[Long], step2_ts_us: Option[Long],
+                                 step3_ts_us: Option[Long], reached: Int)
+
+  /** Streaming twin of st16's session-scoped funnel: st1's gap law
+    * and st5's step machine in ONE state fold. Sessions are cut on
+    * ALL event types (filtering first would move boundaries — the
+    * batch operator's rule), the step machine consumes only the
+    * three step types, and a gap CLOSES the current session's funnel
+    * row for good. State per key is O(1): the running session
+    * ordinal, the last event time, and the open session's three step
+    * timestamps — no history. Like the batch operator (whose funnel
+    * fold only ever sees step-type events), a session emits a row
+    * only if it contains at least one step-type event — gap-cutting
+    * still consumes every event. Emits, per batch, a final row for
+    * each session the batch closed plus the open session's current
+    * row
+    * (Update mode — downstream upserts by (user_id, session_seq),
+    * so closed rows freeze and the open row converges to the batch
+    * result).
+    */
+  def sessionFunnelStream(events: Dataset[FunnelEv],
+                          gapMinutes: Int = 30,
+                          steps: (String, String, String) = ("view", "click", "purchase")): Dataset[SessFunnelOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val (s1, s2, s3) = steps
+
+    def row(userId: Long, st: SessFunnelState): SessFunnelOut = {
+      val reached = if (st.t3.nonEmpty) 3 else if (st.t2.nonEmpty) 2
+                    else if (st.t1.nonEmpty) 1 else 0
+      SessFunnelOut(userId, st.seq, st.t1, st.t2, st.t3, reached)
+    }
+
+    def fn(userId: Long, evs: Iterator[FunnelEv],
+           state: GroupState[SessFunnelState]): Iterator[SessFunnelOut] = {
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ListBuffer.empty[SessFunnelOut]
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        st =
+          if (st == null) SessFunnelState(1L, e.ts_us, hasStep = false, None, None, None)
+          else if (e.ts_us - st.lastTs > gapUs) {
+            // gap: the old session's row is final (if it has steps)
+            if (st.hasStep) out += row(userId, st)
+            SessFunnelState(st.seq + 1, e.ts_us, hasStep = false, None, None, None)
+          } else st.copy(lastTs = e.ts_us)
+        val isStep = e.event_type == s1 || e.event_type == s2 || e.event_type == s3
+        st = st.copy(
+          hasStep = st.hasStep || isStep,
+          t1 = if (st.t1.isEmpty && e.event_type == s1) Some(e.ts_us) else st.t1,
+          t2 = if (st.t2.isEmpty && st.t1.nonEmpty && e.event_type == s2 &&
+            e.ts_us > st.t1.get) Some(e.ts_us) else st.t2,
+          t3 = if (st.t3.isEmpty && st.t2.nonEmpty && e.event_type == s3 &&
+            e.ts_us > st.t2.get) Some(e.ts_us) else st.t3)
+      }
+      if (st != null) { state.update(st); if (st.hasStep) out += row(userId, st) }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
+  }
 }

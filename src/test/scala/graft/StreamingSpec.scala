@@ -338,4 +338,78 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamedTop == batchTop,
       s"stream-only: ${(streamedTop -- batchTop).take(3)}; batch-only: ${(batchTop -- streamedTop).take(3)}")
   }
+
+  test("streaming attribution twin equals batch st15 on the real event log (cross-batch touch carry)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{FunnelEv, AttribOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEv].collect()
+    // split at the median ts (cross-batch ordering contract),
+    // scramble within each batch to prove the in-batch sort repairs it
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[FunnelEv]
+    val q = streaming.StatefulTwins.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attrib_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attrib_twin").as[AttribOut].collect()
+      .map(a => (a.event_id, a.user_id, a.ts_us, a.touch_event_id,
+        a.touch_type, a.touch_ts_us, a.attributed, a.touch_age_us)).toSet
+    val batch = operators.Activity.st15(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getBoolean(6),
+        Option(r.get(7)).map(_.asInstanceOf[Long]))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // a touch in batch 1 must be able to credit a conversion in batch 2
+    assert(streamed.exists { case (_, _, ts, _, _, touchTs, att, _) =>
+      att && touchTs.exists(_ < cut) && ts >= cut },
+      "the split must exercise at least one cross-batch attribution")
+  }
+
+  test("streaming session-funnel twin equals batch st16 (gap closes a session's row for good)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{FunnelEv, SessFunnelOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[FunnelEv]
+    val q = streaming.StatefulTwins.sessionFunnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("sessfunnel_twin").outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // upsert by (user, session): the last emission per key is final
+    val streamed = spark.table("sessfunnel_twin").as[SessFunnelOut].collect()
+      .zipWithIndex.groupBy(r => (r._1.user_id, r._1.session_seq))
+      .map { case (_, rows) => rows.maxBy(_._2)._1 }
+      .map(r => (r.user_id, r.session_seq, r.step1_ts_us, r.step2_ts_us,
+        r.step3_ts_us, r.reached)).toSet
+    val batch = operators.Funnel.st16(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // the median-ts split must actually cut through some session
+    // (a session open at the cut gets its provisional batch-1 row
+    // superseded by the batch-2 upsert)
+    val multiSession = batch.groupBy(_._1).count(_._2.size > 1)
+    assert(multiSession > 0, "fixture must contain multi-session users")
+  }
 }
