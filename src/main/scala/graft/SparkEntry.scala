@@ -154,6 +154,7 @@ object SparkEntry {
     "a31_shipping_priority" -> ((s, d) => analytics.Queries.a31(s, d)),
     "a32_local_volume" -> ((s, d) => analytics.Queries.a32(s, d)),
     "a33_revenue_forecast" -> ((s, d) => analytics.Queries.a33(s, d)),
+    "a34_order_backlog" -> ((s, d) => analytics.Queries.a34(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2554,5 +2555,25 @@ object SparkEntry {
         | AND l_shipdate < TIMESTAMP '1998-01-01'
         | AND l_discount BETWEEN 0.02 AND 0.04
         | AND l_quantity < 24""".stripMargin,
+    // a34: backlog curve — both facts reduce to day-cardinality
+    // counts before the FULL JOIN + running windows
+    "a34_order_backlog" ->
+      """WITH opened AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_opened
+        | FROM orders GROUP BY 1),
+        |maxship AS (
+        | SELECT l_orderkey, max(l_shipdate) AS ship_done
+        | FROM lineitem GROUP BY 1),
+        |closed AS (
+        | SELECT CAST(ship_done AS DATE) AS day, count(*) AS n_closed
+        | FROM maxship GROUP BY 1),
+        |days AS (
+        | SELECT day, coalesce(n_opened, 0) AS n_opened,
+        |  coalesce(n_closed, 0) AS n_closed
+        | FROM opened FULL JOIN closed USING (day))
+        |SELECT day, n_opened, n_closed,
+        | CAST(sum(n_opened) OVER (ORDER BY day)
+        |  - sum(n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
+        |FROM days ORDER BY day""".stripMargin,
   )
 }

@@ -973,4 +973,38 @@ object Queries {
   /** Verified entry (a33): 1-row result, no sort needed. */
   def a33(spark: SparkSession, dir: String): DataFrame =
     revenueForecast(spark, dir)
+
+  /** Order-backlog curve (a34): per day, orders opened, orders fully
+    * shipped (every lineitem out the door — the per-order max
+    * shipdate, a29's EXISTS⟺max reduction), and the running backlog.
+    *
+    * Scale shape: each fact reduces FIRST — orders to a
+    * day-cardinality opened count, lineitem through one orderkey agg
+    * to a day-cardinality closed count — so the full-outer day join
+    * and the two cumulative windows run on a ~calendar-sized frame
+    * (thousands of rows at any corpus size; the unpartitioned window
+    * is bounded by the calendar, not the data — a30's rule). Orders
+    * with no lineitems never close: they stay in the backlog, which
+    * is the honest report, not an artifact.
+    */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val opened = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("__done"))
+      .groupBy(to_date(col("__done")).as("day"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("day"), "full_outer")
+      .na.fill(0L, Seq("n_opened", "n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+  }
+
+  /** Verified entry (a34). Sort is oracle-determinism only. */
+  def a34(spark: SparkSession, dir: String): DataFrame =
+    orderBacklog(spark, dir).orderBy(col("day"))
 }

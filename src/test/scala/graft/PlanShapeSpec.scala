@@ -713,6 +713,16 @@ class PlanShapeSpec extends GraftSpecBase {
       s"1-row agg needs no keyed shuffle:\n$plan")
   }
 
+  test("a34: backlog — facts reduce to day counts before the join; windows never sort a fact") {
+    val plan = finalPlan(analytics.Queries.orderBacklog(spark, sf))
+    // one orderkey agg + up to three day-grain exchanges; the
+    // cumulative windows ride a SinglePartition of the calendar frame
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes <= 4, s"expected <= 4 hash exchanges, got $hashes:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library fn must not sort its result:\n$plan")
+  }
+
   test("r6 additions: library results unordered, shuffles bounded, facts never window-sorted") {
     val docs = Tables.documents(spark, sf)
     val events = Tables.events(spark, sf)
