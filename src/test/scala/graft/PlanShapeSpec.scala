@@ -741,7 +741,18 @@ class PlanShapeSpec extends GraftSpecBase {
       // (key,day) agg; both windows ride one series exchange
       ("st12 cusumChangepoint", operators.Activity.cusumChangepoint(events), 2),
       // one shuffle keyed on the 8-byte hash, never on payloads
-      ("m5 phashDupes", multimodal.Multimodal.phashDupes(docs), 1))
+      ("m5 phashDupes", multimodal.Multimodal.phashDupes(docs), 1),
+      // custkey pre-agg + customer join + tiny histogram agg
+      ("a24 orderCountHistogram", analytics.Queries.orderCountHistogram(spark, sf), 3),
+      // dims shrink on the 2-row nation broadcast before facts move:
+      // orderkey join + final (nation,nation,year) agg only
+      ("a26 nationTrade", analytics.Queries.nationTrade(spark, sf), 3),
+      // one day-grain agg; lag window rides SinglePartition of ~7 rows
+      ("a30 yearlyGrowth", analytics.Queries.yearlyGrowth(spark, sf), 1),
+      // narrow meta map; exact-distinct costs the standard two-phase
+      // pair of keyed exchanges ((magic,md5) partial then magic) —
+      // p14's Expand trade, approx_count_distinct drops it to 1
+      ("m6 formatMix", multimodal.Multimodal.formatMix(docs), 2))
     for ((name, df, maxHash) <- cases) {
       val plan = finalPlan(df)
       assert(!plan.contains("Exchange rangepartitioning"),
