@@ -47,7 +47,6 @@ object Contamination {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .withColumn("contaminated", col("shared_shingles") >= minShared)
-      .orderBy(col("doc_id"))
   }
 
   /** Verified entry (d7): src0 documents stand in for the benchmark
@@ -55,6 +54,7 @@ object Contamination {
     * sources plus any boilerplate overlap surface as contamination
     * hits. String-shingle matching so DuckDB can replicate the
     * computation exactly — see [[contaminated]] for the trade.
+    * Sort is oracle-determinism only (the library fn is unordered).
     */
   def d7(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -62,5 +62,6 @@ object Contamination {
       corpus = docs.filter(col("source") =!= "src0"),
       benchmark = docs.filter(col("source") === "src0"),
       hashShingles = false)
+      .orderBy(col("doc_id"))
   }
 }

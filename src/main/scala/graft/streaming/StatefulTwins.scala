@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming twins of the batch st5 funnel and st6 transition-matrix
-  * operators (graft.operators.Funnel / Transitions), following the
+/** Streaming twins of the batch per-key fold operators — st5 funnel,
+  * st6 transitions, d1 exact dedup, st10 disorder audit, st15
+  * last-touch attribution, st16 session funnel — following the
   * same pattern st1 already proves with Sessionize.sessionizeStream:
   * the batch spelling is a per-key fold over a totally-ordered event
   * history, so the streaming spelling is the SAME fold with the

@@ -526,7 +526,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "exactJaccardPairs" -> dedup.Dedup.exactJaccardPairs(docs, threshold = 0.65),
       "containmentPairs" -> dedup.Dedup.containmentPairs(docs, threshold = 0.85),
       "embeddingNearDupsBlocked" -> dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.45),
-      "semanticDedup" -> dedup.SemDedup.semanticDedup(emb, numCells = 16, cacheKey = Some(sf)))
+      "semanticDedup" -> dedup.SemDedup.semanticDedup(emb, numCells = 16, cacheKey = Some(sf)),
+      "contaminated" -> dedup.Contamination.contaminated(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0")))
     for ((name, df) <- libraryResults) {
       val plan = finalPlan(df)
       assert(!plan.contains("Exchange rangepartitioning"),
