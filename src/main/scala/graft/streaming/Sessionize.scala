@@ -37,7 +37,6 @@ object Sessionize {
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("total_value"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
 
   final case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
@@ -88,7 +87,12 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
-  /** Verified entry point (st1): batch sessionization over events. */
+  /** Verified entry point (st1): batch sessionization over events.
+    * Sort is oracle-determinism only (the library fn is unordered —
+    * a session frame is corpus-sized, and no production consumer
+    * needs it rangepartitioned).
+    */
   def st1(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_seq"))
 }

@@ -754,7 +754,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // narrow meta map; exact-distinct costs the standard two-phase
       // pair of keyed exchanges ((magic,md5) partial then magic) —
       // p14's Expand trade, approx_count_distinct drops it to 1
-      ("m6 formatMix", multimodal.Multimodal.formatMix(docs), 2))
+      ("m6 formatMix", multimodal.Multimodal.formatMix(docs), 2),
+      // the session windows and the session agg share ONE user
+      // shuffle; the library fn never sorts its session frame
+      ("st1 sessionizeBatch", streaming.Sessionize.sessionizeBatch(events), 1))
     for ((name, df, maxHash) <- cases) {
       val plan = finalPlan(df)
       assert(!plan.contains("Exchange rangepartitioning"),
