@@ -155,6 +155,7 @@ object SparkEntry {
     "a32_local_volume" -> ((s, d) => analytics.Queries.a32(s, d)),
     "a33_revenue_forecast" -> ((s, d) => analytics.Queries.a33(s, d)),
     "a34_order_backlog" -> ((s, d) => analytics.Queries.a34(s, d)),
+    "p16_incremental_gold" -> ((s, d) => pipeline.Medallion.p16IncrementalGold(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2575,5 +2576,17 @@ object SparkEntry {
         | CAST(sum(n_opened) OVER (ORDER BY day)
         |  - sum(n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
         |FROM days ORDER BY day""".stripMargin,
+    // p16: the oracle recomputes gold from the FULL event log — the
+    // hash match proves the Spark side's base+delta partial merge
+    // equals a from-scratch recompute bit-for-bit
+    "p16_incremental_gold" ->
+      """SELECT event_type,
+        | round(sum(value),2) / count(*) AS avg_value,
+        | count(*) AS n_events,
+        | time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end
+        |FROM events
+        |GROUP BY event_type, time_bucket(INTERVAL '15 minutes', ts)
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 }

@@ -149,6 +149,60 @@ object Medallion {
     goldSliding(silverEvents(Tables.events(spark, dir)), "ts", "user_id")
       .orderBy(col("window_start"), col("user_id"))
 
+  /** Gold in PARTIAL-AGGREGATE form: (window, key) → (count, exact
+    * decimal sum). This is the state you PERSIST for incremental
+    * maintenance — averages are derived at read time, so merging a
+    * delta batch is a sum-merge, never a recompute. (Stored
+    * averages are NOT mergeable; stored (sum, count) pairs are —
+    * the same partial/final split Spark's own two-phase aggregation
+    * uses, lifted to the table level.) round(sum, 2) per slice
+    * recovers the exact decimal sum of the 2-decimal source values
+    * (goldWindow's documented trick), which is what makes the merge
+    * bit-reproducible: exact decimals add associatively, raw fp sums
+    * don't.
+    */
+  def goldPartial(silver: DataFrame, tsCol: String, keyCol: String,
+                  windowLen: String = "15 minutes"): DataFrame =
+    silver
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Merge partial-gold frames (the base table + any number of delta
+    * batches): one sum-merge keyed on (window, key). Each input is
+    * already window-cardinality, so the merge shuffle moves
+    * aggregate rows, never events — at 100 TB the delta partial is
+    * computed from the new day's events alone and the base partial
+    * is read back from the lake; nothing recomputes.
+    */
+  def goldMerge(keyCol: String, partials: DataFrame*): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy(col("window_start"), col("window_end"), col(keyCol))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"))
+
+  /** Verified entry (p16): incremental gold maintenance proof. The
+    * event log splits 80/20 on a deterministic id rule (base lake vs
+    * newly-arrived delta), each side folds to partial gold
+    * independently, the merge is a sum-merge of aggregate rows — and
+    * the DuckDB oracle recomputes gold from the FULL log, so the
+    * hash match proves incremental == recompute, bit-for-bit. Sort
+    * is oracle-determinism only.
+    */
+  def p16IncrementalGold(spark: SparkSession, dir: String): DataFrame = {
+    val ev = silverEvents(Tables.events(spark, dir))
+    val base = goldPartial(ev.filter(pmod(col("event_id"), lit(5)) < 4), "ts", "event_type")
+    val delta = goldPartial(ev.filter(pmod(col("event_id"), lit(5)) === 4), "ts", "event_type")
+    goldMerge("event_type", base, delta)
+      .select(col("event_type"),
+        (col("sum_value") / col("n_events")).as("avg_value"),
+        col("n_events"), col("window_start"), col("window_end"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Batch backfill (reference: spark_batch_backfill.py) — the silver
     * transform re-run over the bronze lake, then aggregated per key:
     * proof that the pure-transform design backfills with zero code

@@ -757,7 +757,16 @@ class PlanShapeSpec extends GraftSpecBase {
       ("m6 formatMix", multimodal.Multimodal.formatMix(docs), 2),
       // the session windows and the session agg share ONE user
       // shuffle; the library fn never sorts its session frame
-      ("st1 sessionizeBatch", streaming.Sessionize.sessionizeBatch(events), 1))
+      ("st1 sessionizeBatch", streaming.Sessionize.sessionizeBatch(events), 1),
+      // each slice pays silver's key-dedup exchange + its partial
+      // window agg (2×2), the merge adds ONE exchange of AGGREGATE
+      // rows — the merge never sees an event row
+      ("p16 goldMerge", {
+        val silver = pipeline.Medallion.silverEvents(events)
+        pipeline.Medallion.goldMerge("event_type",
+          pipeline.Medallion.goldPartial(silver.filter(pmod(col("event_id"), lit(5)) < 4), "ts", "event_type"),
+          pipeline.Medallion.goldPartial(silver.filter(pmod(col("event_id"), lit(5)) === 4), "ts", "event_type"))
+      }, 5))
     for ((name, df, maxHash) <- cases) {
       val plan = finalPlan(df)
       assert(!plan.contains("Exchange rangepartitioning"),
