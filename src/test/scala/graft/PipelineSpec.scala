@@ -35,6 +35,28 @@ class PipelineSpec extends GraftSpecBase {
     assert(g(1).getAs[Long]("n_events") == 1 && g(1).getAs[Double]("avg_value") == 30.0)
   }
 
+  test("p16: merging ANY number of partial-gold slices equals the one-shot recompute") {
+    val silver = pipeline.Medallion.silverEvents(Tables.events(spark, sf))
+    // three unequal deterministic slices (7 ≡ base-heavy split)
+    val slices = Seq(
+      silver.filter(pmod(col("event_id"), lit(7)) < 5),
+      silver.filter(pmod(col("event_id"), lit(7)) === 5),
+      silver.filter(pmod(col("event_id"), lit(7)) === 6))
+      .map(s => pipeline.Medallion.goldPartial(s, "ts", "event_type"))
+    val merged = pipeline.Medallion.goldMerge("event_type", slices: _*)
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .select("event_type", "window_start", "window_end", "n_events", "avg_value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val oneShot = pipeline.Medallion.goldPartial(silver, "ts", "event_type")
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .select("event_type", "window_start", "window_end", "n_events", "avg_value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(merged == oneShot, "3-way partial merge must be bit-identical to recompute")
+    assert(oneShot.nonEmpty)
+  }
+
   test("streaming gold equals batch gold (stream/batch parity)") {
     val batch = pipeline.Medallion.p3GoldWindow(spark, sf).collect().toSeq
     val stream = streaming.Streams.p6StreamGold(spark, sf)
