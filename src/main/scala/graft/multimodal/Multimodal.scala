@@ -175,6 +175,54 @@ object Multimodal {
     None
   }
 
+  /** Real PCM sample statistics for 16-bit LE WAV payloads — the
+    * audio leg's analogue of the BMP pixel kernel (bmpPixels /
+    * dHashBmp): past the header into actual sample data. Walks the
+    * chunk list to `fmt ` and `data`, then folds the int16 samples
+    * into (n_samples, duration_ms, rms, peak) — the loudness gate a
+    * speech-data curation pipeline runs before transcription. The
+    * sum of squares accumulates in a Long (int16² ≤ 2³⁰, exact for
+    * any payload under ~2³³ samples), so rms is deterministic: one
+    * double op at the end, no fp summation-order drift. None for
+    * non-WAV, non-PCM, or non-16-bit payloads (codec formats route
+    * to the documented stub).
+    */
+  def wavPcmStats(b: Array[Byte]): Option[(Int, Long, Double, Int)] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmtCode = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (sampleRate == 0 || dataOff < 0)) {
+      val size = u32(b, off + 4).toInt
+      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && off + 8 + 16 <= b.length) {
+        fmtCode = u16(b, off + 8)
+        channels = u16(b, off + 10)
+        sampleRate = u32(b, off + 12).toInt
+        bits = u16(b, off + 22)
+      } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a') {
+        dataOff = off + 8
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 || sampleRate <= 0 || dataOff < 0)
+      return None
+    val n = dataLen / 2
+    var i = 0; var sumSq = 0L; var peak = 0
+    while (i < n) {
+      val s = ((b(dataOff + 2 * i + 1) << 8) | (b(dataOff + 2 * i) & 0xff)).toShort.toInt
+      sumSq += s.toLong * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
+    val frames = n / channels
+    val durationMs = frames.toLong * 1000L / sampleRate
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+    Some((n, durationMs, rms, peak))
+  }
+
   /** Deterministic stand-in for codec-requiring formats. */
   private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var h = 1125899906842597L // FNV-ish rolling hash over content

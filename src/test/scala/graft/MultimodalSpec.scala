@@ -61,6 +61,39 @@ class MultimodalSpec extends GraftSpecBase {
       s"got ${m.get}") // 1 + floor(8000/8000) seconds
   }
 
+  test("real WAV PCM stats: exact rms/peak/duration from actual 16-bit sample data") {
+    // 16-bit mono PCM square wave: 100 samples of +1000, 100 of -2000
+    // → n=200, sum_sq = 100·10⁶ + 100·4·10⁶ = 5·10⁸,
+    //   rms = sqrt(2.5e6) exactly, peak = 2000
+    val rate = 1000
+    val n = 200
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    buf.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(2 * n)
+    (0 until n).foreach(i => buf.putShort(if (i < 100) 1000 else -2000))
+    val st = multimodal.Multimodal.wavPcmStats(buf.array())
+    assert(st.isDefined, "16-bit PCM WAV must parse to sample stats")
+    val (nSamples, durMs, rms, peak) = st.get
+    assert(nSamples == 200 && durMs == 200L && peak == 2000, s"got $st")
+    assert(rms == math.sqrt(2.5e6), s"rms must be exact: $rms")
+    // negative full-scale is handled (no abs overflow), empty data is 0
+    val silent = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    silent.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    silent.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    silent.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    silent.put("data".getBytes).putInt(0)
+    assert(multimodal.Multimodal.wavPcmStats(silent.array()) == Some((0, 0L, 0.0, 0)))
+    // 8-bit payloads refuse (not the 16-bit kernel's contract)
+    val eight = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eight.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    eight.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    eight.putInt(rate).putInt(rate).putShort(1).putShort(8)
+    eight.put("data".getBytes).putInt(8)
+    assert(multimodal.Multimodal.wavPcmStats(eight.array()).isEmpty)
+  }
+
   test("real PNG decode: dimensions from actual javax.imageio encoder output") {
     // a REAL png produced by the JDK's encoder — signature, IHDR,
     // zlib-compressed IDAT and all
