@@ -156,6 +156,9 @@ object SparkEntry {
     "a33_revenue_forecast" -> ((s, d) => analytics.Queries.a33(s, d)),
     "a34_order_backlog" -> ((s, d) => analytics.Queries.a34(s, d)),
     "p16_incremental_gold" -> ((s, d) => pipeline.Medallion.p16IncrementalGold(s, d)),
+    "d2b_minhash_joinback" -> ((s, d) =>
+      dedup.Dedup.minhashLshPairsJoinback(graft.Tables.documents(s, d))
+        .orderBy("a_id", "b_id")),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1672,6 +1675,13 @@ object SparkEntry {
     // Spark side. ~17s in DuckDB at sf0.01 (lambda-only
     // formulation measured 46s).
     "d2_minhash_lsh" -> ("WITH " + minhashPairCtes("documents") +
+      """
+        |SELECT a_id, b_id, est_jaccard FROM scored
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+    // d2b: the joinback (signature-free band shuffle) spelling must
+    // reproduce d2's exact pair set — same oracle replay
+    "d2b_minhash_joinback" -> ("WITH " + minhashPairCtes("documents") +
       """
         |SELECT a_id, b_id, est_jaccard FROM scored
         |WHERE est_jaccard >= 0.5

@@ -93,6 +93,59 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** The 100 TB spelling of [[minhashLshPairs]]: identical pair set,
+    * ~bands× less shuffle weight. d2's one-shuffle form carries the
+    * FULL numPerms-long signature inside every exploded band row —
+    * `bands` copies of the signature cross the wire per document
+    * (16×128 longs ≈ 16 KB/doc), which is the dominant shuffle cost
+    * at corpus scale. Here the band shuffle carries only
+    * (doc_id, band, bucket = xxhash64(band, band_slice)) — one long
+    * per band row — candidate (a, b) pairs form in bucket space
+    * signature-free, and the SMALL candidate set broadcasts back
+    * onto the signature frame twice (build side = pairs, stream
+    * side = signatures), so signatures cross the wire ZERO times.
+    * The trade: the narrow signature map is computed twice (once for
+    * banding, once for scoring) — CPU for network, the right
+    * direction at scale (in production the signature frame is a
+    * persisted artifact and the recompute disappears). A 64-bit
+    * bucket collision can only ADD a candidate (scoring uses the
+    * full signatures, and the threshold filter is the same), never
+    * change a verdict. Spec-proven pair-identical to d2's form.
+    */
+  def minhashLshPairsJoinback(docs: DataFrame, threshold: Double = 0.5,
+                              numPerms: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    def sigs = withShingleHashes(docs)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash_signature(col("sh"), numPerms))
+      .select(col("doc_id"), col("sig"))
+    val banded = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .withColumn("bucket",
+        xxhash64(col("band"), expr(s"slice(sig, band * $rows + 1, $rows)")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+          |  transform(slice(members, i + 2, size(members)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    a.join(broadcast(candidates), Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .withColumn("est_jaccard",
+        round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / numPerms, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
   /** d3: SimHash(64) near-dup pairs. Pigeonhole blocking: a pair
     * within hamming distance 3 must agree on at least one of 4
     * 16-bit chunks, so we bucket on (chunk index, chunk value) — a

@@ -418,4 +418,15 @@ class DedupSpec extends GraftSpecBase {
     assert(rep.view.mapValues(_._1).toMap == d6Sizes,
       "d18 must report exactly d6's clusters with the same sizes")
   }
+
+  test("joinback LSH (narrow band shuffle, zero signature shuffles) is pair-identical to d2's form") {
+    val docs = Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShuffle = pairs(dedup.Dedup.minhashLshPairs(docs))
+    val joinback = pairs(dedup.Dedup.minhashLshPairsJoinback(docs))
+    assert(joinback == oneShuffle,
+      s"joinback-only: ${(joinback -- oneShuffle).take(3)}; one-shuffle-only: ${(oneShuffle -- joinback).take(3)}")
+    assert(oneShuffle.nonEmpty, "fixture must produce candidate pairs")
+  }
 }

@@ -536,6 +536,22 @@ class PlanShapeSpec extends GraftSpecBase {
     }
   }
 
+  test("joinback LSH: band shuffle is signature-free, signatures ride broadcast joins un-shuffled") {
+    val plan = finalPlan(dedup.Dedup.minhashLshPairsJoinback(Tables.documents(spark, sf)))
+    // only the (band,bucket) member agg and the pair dedup may hash-
+    // shuffle; both key on narrow longs, never on a signature array
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes <= 2, s"expected <= 2 hash exchanges, got $hashes:\n$plan")
+    assert(!plan.contains("hashpartitioning(sig") &&
+      !plan.contains("hashpartitioning(band_sig"),
+      s"no exchange may key on a signature:\n$plan")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bcasts >= 2,
+      s"both signature joins must broadcast the candidate side, got $bcasts:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library fn must not sort its result:\n$plan")
+  }
+
   test("s10: metadata gate pushes to the embeddings scan; plan otherwise s3-shaped") {
     val plan = finalPlan(similarity.Similarity.s10(spark, sf))
     assert(!plan.contains("posexplode"),
