@@ -101,9 +101,15 @@ object Dedup {
     * at corpus scale. Here the band shuffle carries only
     * (doc_id, band, bucket = xxhash64(band, band_slice)) — one long
     * per band row — candidate (a, b) pairs form in bucket space
-    * signature-free, and the SMALL candidate set broadcasts back
-    * onto the signature frame twice (build side = pairs, stream
-    * side = signatures), so signatures cross the wire ZERO times.
+    * signature-free, and the candidate set joins back onto the
+    * signature frame twice (build side = pairs, stream side =
+    * signatures), so signatures cross the wire ZERO times while the
+    * pair set fits the broadcast threshold. No hard hint — the pair
+    * set grows with the corpus dup rate, so the choice is left to
+    * the size estimate + AQE (a2's contract): a pathological corpus
+    * degrades to a shuffle join instead of a driver OOM, and the
+    * signature frame then pays the two keyed exchanges d2's form
+    * pays sixteen of.
     * The trade: the narrow signature map is computed twice (once for
     * banding, once for scoring) — CPU for network, the right
     * direction at scale (in production the signature frame is a
@@ -137,7 +143,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
     val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
     val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
-    a.join(broadcast(candidates), Seq("a_id"))
+    a.join(candidates, Seq("a_id"))
       .join(b, Seq("b_id"))
       .withColumn("est_jaccard",
         round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")

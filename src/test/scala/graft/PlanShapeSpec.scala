@@ -545,6 +545,9 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(!plan.contains("hashpartitioning(sig") &&
       !plan.contains("hashpartitioning(band_sig"),
       s"no exchange may key on a signature:\n$plan")
+    // no hard hint in the query — the planner must still CHOOSE
+    // broadcast for the pair side at test SF on size alone (AQE
+    // degrades to a shuffle join when the pair set outgrows it)
     val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(bcasts >= 2,
       s"both signature joins must broadcast the candidate side, got $bcasts:\n$plan")
