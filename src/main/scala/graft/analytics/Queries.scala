@@ -493,8 +493,10 @@ object Queries {
     * user — the 100 TB guard is the cap, not salting, because a
     * power-law user would otherwise square. Pair counting shuffles on
     * user_id (equi-join, never a cross product); the item marginals
-    * and user total are item-cardinality-sized and broadcast back
-    * onto the pair frame.
+    * join back onto the pair frame un-hinted — items scale with the
+    * catalog, not the corpus, but they DO scale, so the broadcast
+    * choice rides the size estimate + AQE (a2's contract); only the
+    * 1-row user total keeps its hint.
     */
   def itemCooccurrence(events: DataFrame, cap: Int = 20): DataFrame = {
     val it = events
@@ -513,8 +515,8 @@ object Queries {
       .groupBy(col("item").as("item_u"), col("item_v"))
       .agg(count(lit(1)).as("n_cooccur"))
     pairs
-      .join(broadcast(nu.select(col("item").as("item_u"), col("n_item").as("n_u"))), Seq("item_u"))
-      .join(broadcast(nu.select(col("item").as("item_v"), col("n_item").as("n_v"))), Seq("item_v"))
+      .join(nu.select(col("item").as("item_u"), col("n_item").as("n_u")), Seq("item_u"))
+      .join(nu.select(col("item").as("item_v"), col("n_item").as("n_v")), Seq("item_v"))
       .crossJoin(broadcast(nUsers))
       .select(col("item_u"), col("item_v"), col("n_cooccur"),
         round(log(col("n_cooccur").cast("double") * col("n_users") /

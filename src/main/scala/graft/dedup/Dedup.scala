@@ -405,17 +405,20 @@ object Dedup {
     *
     * Scale shape: rides the SHARED persisted d4 pair set (already
     * bounded = actual near-dups, orders of magnitude under the
-    * corpus), which BROADCASTS into the documents table twice for
-    * source decoration — the corpus streams, it is never shuffled;
-    * the final agg groups the tiny decorated pair frame on the
-    * source-pair key.
+    * corpus), which joins into the documents table twice for source
+    * decoration — no hard hint: the pair set grows with the corpus
+    * dup rate, so the broadcast choice is left to the size estimate
+    * + AQE (a2's contract; the planner still picks broadcast at
+    * every tested SF, plan-pinned, and a pathological corpus
+    * degrades to a shuffle join instead of a driver OOM). The final
+    * agg groups the decorated pair frame on the source-pair key.
     */
   def crossSourceDupes(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     val withA = src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "src_a")
-      .join(broadcast(pairs.select(col("a_id"), col("b_id"))), Seq("a_id"))
+      .join(pairs.select(col("a_id"), col("b_id")), Seq("a_id"))
     val decorated = src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "src_b")
-      .join(broadcast(withA), Seq("b_id"))
+      .join(withA, Seq("b_id"))
       .select(
         least(col("src_a"), col("src_b")).as("source_a"),
         greatest(col("src_a"), col("src_b")).as("source_b"),
@@ -478,17 +481,20 @@ object Dedup {
     *
     * Scale shape: degrees derive from the SHARED persisted d4 pair
     * set (bounded = actual near-dups), so the degree frame is at
-    * most 2|pairs| rows and BROADCASTS into a LEFT join the corpus
-    * streams through to keep the degree-0 population; the final
+    * most 2|pairs| rows and rides a LEFT join the corpus streams
+    * through to keep the degree-0 population — no hard hint, the
+    * degree frame scales with the dup rate (a2's contract: size
+    * estimate + AQE pick broadcast at every tested SF and degrade
+    * to a shuffle join on a pathological corpus); the final
     * histogram groups on a tiny integer key. The corpus is never
-    * shuffled and never in a pairwise product.
+    * in a pairwise product.
     */
   def dupDegreeHistogram(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val deg = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     docs.select(col("doc_id"))
-      .join(broadcast(deg), Seq("doc_id"), "left")
+      .join(deg, Seq("doc_id"), "left")
       .select(coalesce(col("degree"), lit(0L)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
   }
