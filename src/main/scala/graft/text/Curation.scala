@@ -730,16 +730,23 @@ object Curation {
           _ => scoreAndExactDedup(docs, minScore).persist())
       case None => scoreAndExactDedup(docs, minScore).localCheckpoint()
     }
-    val pairs = graft.dedup.Dedup.minhashLshPairs(deduped, threshold = 0.5)
+    // the joinback LSH spelling (d2b): the band shuffle is
+    // signature-free and the signature map re-reads the PERSISTED
+    // survivor blocks — ~bands× less shuffle weight than carrying
+    // signatures through every band row, pair-identical (spec-gated)
+    val pairs = graft.dedup.Dedup.minhashLshPairsJoinback(deduped, threshold = 0.5)
     val cc = graft.dedup.Clusters.connectedComponents(
       deduped.select(col("doc_id")), pairs.select("a_id", "b_id"))
     val kept = deduped.join(
       cc.filter(col("doc_id") === col("cluster_id")).select("doc_id"), "doc_id")
     capPerSource(kept, "source", col("quality_score"), col("doc_id"), cap)
       .select(col("doc_id"), col("source"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
+  /** Verified entry (x4b). Sort is oracle-determinism only (the
+    * library chain returns its curated set unordered — x10's rule).
+    */
   def x4bCuration(spark: SparkSession, dir: String): DataFrame =
     curateNearDup(Tables.documents(spark, dir), cacheKey = Some(dir))
+      .orderBy(col("doc_id"))
 }
