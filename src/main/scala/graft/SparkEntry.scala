@@ -159,6 +159,8 @@ object SparkEntry {
     "d2b_minhash_joinback" -> ((s, d) =>
       dedup.Dedup.minhashLshPairsJoinback(graft.Tables.documents(s, d))
         .orderBy("a_id", "b_id")),
+    "st17_interval_merge" -> ((s, d) => operators.Intervals.st17(s, d)),
+    "st18_dwell_time" -> ((s, d) => operators.Intervals.st18(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2598,5 +2600,48 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, time_bucket(INTERVAL '15 minutes', ts)
         |ORDER BY window_start, event_type""".stripMargin,
+    // st17: same exclusive-prior running max + island running sum over
+    // the µs-truncated (start, end, event_id) total order
+    "st17_interval_merge" ->
+      """WITH iv AS (
+        | SELECT user_id, epoch_us(ts) AS start_us,
+        |  epoch_us(ts) + 300000000 AS end_us, event_id
+        | FROM events),
+        |f AS (
+        | SELECT user_id, start_us, end_us, event_id,
+        |  max(end_us) OVER (PARTITION BY user_id
+        |   ORDER BY start_us, end_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_end
+        | FROM iv),
+        |g AS (
+        | SELECT user_id, start_us, end_us, event_id,
+        |  CASE WHEN prior_max_end IS NULL OR start_us > prior_max_end
+        |       THEN 1 ELSE 0 END AS new_island
+        | FROM f),
+        |h AS (
+        | SELECT user_id, start_us, end_us,
+        |  sum(new_island) OVER (PARTITION BY user_id
+        |   ORDER BY start_us, end_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_seq
+        | FROM g)
+        |SELECT user_id, CAST(island_seq AS BIGINT) AS island_seq,
+        | min(start_us) AS island_start, max(end_us) AS island_end,
+        | count(*) AS n_intervals,
+        | max(end_us) - min(start_us) AS covered_us
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // st18: exact µs long sums; the mean divides the exact totals in
+    // the same (sum / 1e6) / n association as the Spark side
+    "st18_dwell_time" ->
+      """WITH p AS (
+        | SELECT event_type,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dwell_us
+        | FROM events)
+        |SELECT event_type AS state, count(*) AS n,
+        | CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+        | round(CAST(sum(dwell_us) AS DOUBLE) / 1000000.0
+        |  / CAST(count(*) AS DOUBLE), 4) AS avg_dwell_s
+        |FROM p WHERE dwell_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

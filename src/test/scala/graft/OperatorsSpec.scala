@@ -414,4 +414,64 @@ class OperatorsSpec extends GraftSpecBase {
       .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getDouble(3))).toMap
     assert(again == base, "pair set must be invariant under repartitioning")
   }
+
+  test("interval merge: overlap/touch/disjoint islands, closed-interval law") {
+    // key 1: [0,10] [5,20] overlap -> island; [20,25] touches (s == prior
+    // max e) -> merges; [40,50] disjoint -> new island.
+    // key 2: out-of-order input, single chain via running max: [0,100]
+    // swallows [10,20] and [30,40] (prior MAX end, not prior row's end).
+    val iv = Seq(
+      (1L, 0L, 10L, 1L), (1L, 5L, 20L, 2L), (1L, 20L, 25L, 3L), (1L, 40L, 50L, 4L),
+      (2L, 30L, 40L, 5L), (2L, 0L, 100L, 6L), (2L, 10L, 20L, 7L))
+      .toDF("k", "s", "e", "id")
+    val r = operators.Intervals.mergeIntervals(iv, "k", "s", "e", "id")
+      .orderBy("k", "island_seq")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 0L, 25L, 3L), (1L, 2L, 40L, 50L, 1L),
+      (2L, 1L, 0L, 100L, 3L)), s"got ${r.toSeq}")
+    // covered = end - start
+    val cov = operators.Intervals.mergeIntervals(iv, "k", "s", "e", "id")
+      .select(sum(col("covered"))).collect()(0).getLong(0)
+    assert(cov == 25L + 10L + 100L)
+  }
+
+  test("dwell time: terminal events excluded, exact long sums, per-state means") {
+    // user 10: a@0 -> b@4s -> a@10s -> (end, censored). user 11: b@0 -> b@1s -> (end).
+    val ev = Seq(
+      (1L, 10L, 0L, "a"), (2L, 10L, 4000000L, "b"), (3L, 10L, 10000000L, "a"),
+      (4L, 11L, 0L, "b"), (5L, 11L, 1000000L, "b"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val r = operators.Intervals.dwellByState(ev, "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // a: dwell 4s (the 10s 'a' is terminal -> excluded); b: 6s + 1s
+    assert(r == Map("a" -> ((1L, 4000000L, 4.0)), "b" -> ((2L, 7000000L, 3.5))), s"got $r")
+  }
+
+  test("interval merge / dwell plans: one key shuffle, island agg rides it, no library sort") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("start_us", unix_micros(col("ts")))
+      .withColumn("end_us", col("start_us") + lit(300000000L))
+    val merged = operators.Intervals.mergeIntervals(ev, "user_id", "start_us", "end_us", "event_id")
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes == 1,
+      s"windows AND the (key, island)-prefixed agg must ride ONE user_id exchange, got $hashes:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library fn must not sort its result:\n$plan")
+    val dwell = operators.Intervals.dwellByState(
+      ev.withColumn("ts_us", unix_micros(col("ts"))), "user_id", "ts_us", "event_id", "event_type")
+    dwell.collect()
+    val dplan = dwell.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!dplan.contains("Exchange rangepartitioning"), s"no sort in library fn:\n$dplan")
+    val dh = "Exchange hashpartitioning".r.findAllIn(dplan).length
+    assert(dh <= 2, s"dwell: key shuffle + tiny state agg only, got $dh:\n$dplan")
+  }
 }
