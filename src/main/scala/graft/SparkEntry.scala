@@ -161,6 +161,7 @@ object SparkEntry {
         .orderBy("a_id", "b_id")),
     "st17_interval_merge" -> ((s, d) => operators.Intervals.st17(s, d)),
     "st18_dwell_time" -> ((s, d) => operators.Intervals.st18(s, d)),
+    "a35_rfm_segments" -> ((s, d) => analytics.Queries.a35(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2643,5 +2644,30 @@ object SparkEntry {
         |  / CAST(count(*) AS DOUBLE), 4) AS avg_dwell_s
         |FROM p WHERE dwell_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a35: spend as exact cent longs (d18's law), quintile tie order
+    // carries o_custkey — both engines' ntile follows the SQL-standard
+    // equal-bucket/earlier-buckets-get-extras fill
+    "a35_rfm_segments" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+        |c AS (
+        | SELECT o_custkey, count(*) AS freq, max(o_orderdate) AS last_o,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |s AS (
+        | SELECT o_custkey, cents, freq,
+        |  date_diff('day', CAST(last_o AS DATE),
+        |   CAST((SELECT r FROM ref) AS DATE)) AS recency_days
+        | FROM c),
+        |q AS (
+        | SELECT cents, freq, recency_days,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+        |  CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+        |  CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_q
+        | FROM s)
+        |SELECT r_q, f_q, m_q, count(*) AS n_custs,
+        | round(CAST(sum(recency_days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |  AS avg_recency_days,
+        | round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -1009,4 +1009,54 @@ object Queries {
   /** Verified entry (a34). Sort is oracle-determinism only. */
   def a34(spark: SparkSession, dir: String): DataFrame =
     orderBacklog(spark, dir).orderBy(col("day"))
+
+  /** RFM customer segmentation (a35) — the marketing/CRM
+    * segmentation staple: per customer Recency (days since last
+    * order vs the corpus max date), Frequency (order count) and
+    * Monetary (lifetime spend), each cut into quintiles (1 = best:
+    * most recent / most frequent / highest spend), reported per
+    * (r, f, m) cell.
+    *
+    * Scale shape: ONE o_custkey shuffle reduces orders to a
+    * customer-cardinality frame; the corpus max date is a 1-row
+    * broadcast (a22's scalar decorrelation). The three quintile
+    * windows run over the ALREADY-AGGREGATED frame (a28's rule —
+    * bounded by customer count, not fact rows; at extreme customer
+    * counts the x10 banded-rank idiom swaps in per dimension). The
+    * final agg groups ≤125 cells. Spend accumulates as exact cent
+    * longs (d18's integer micro-unit law) so no double-summation
+    * order can move a quintile boundary or a cell total; every
+    * ntile order carries o_custkey so ties are total on both
+    * engines.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val ref = orders.agg(max(col("o_orderdate")).as("__ref"))
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("__ref"), col("__last")).cast("long"))
+    val rQ = ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+    val fQ = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+    val mQ = ntile(5).over(Window.orderBy(col("__cents").desc, col("o_custkey")))
+    cust
+      .withColumn("r_q", rQ.cast("long"))
+      .withColumn("f_q", fQ.cast("long"))
+      .withColumn("m_q", mQ.cast("long"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        round(sum(col("recency_days")).cast("double") / count(lit(1)), 4)
+          .as("avg_recency_days"),
+        round(sum(col("__cents")).cast("double") / 100.0, 2).as("total_spend"))
+  }
+
+  /** Verified entry (a35). Sort is oracle-determinism only. */
+  def a35(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.orders(spark, dir))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
 }

@@ -415,6 +415,27 @@ class OperatorsSpec extends GraftSpecBase {
     assert(again == base, "pair set must be invariant under repartitioning")
   }
 
+  test("rfm segmentation: planted quintiles, cent-exact spend, right segment cells") {
+    // 5 customers, one order each except cust 1 (two orders). Dates
+    // spaced so recency order is custkey order; spend reversed.
+    val orders = Seq(
+      (1L, 1L, "2024-01-10", 100.10), (2L, 1L, "2024-01-09", 50.05),
+      (3L, 2L, "2024-01-08", 400.00), (4L, 3L, "2024-01-06", 300.00),
+      (5L, 4L, "2024-01-04", 200.00), (6L, 5L, "2024-01-02", 500.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val cells = analytics.Queries.rfmSegments(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // recency: cust1=0d(r1) cust2=2d(r2) cust3=4d(r3) cust4=6d(r4) cust5=8d(r5)
+    // freq: cust1=2(f1), others 1 -> f ranks by custkey tie: c2=f2 c3=f3 c4=f4 c5=f5
+    // monetary: c5=500(m1) c2=400(m2) c3=300(m3) c4=200(m4) c1=150.15(m5)
+    assert(cells.keySet == Set((1L,1L,5L), (2L,2L,2L), (3L,3L,3L), (4L,4L,4L), (5L,5L,1L)),
+      s"got ${cells.keySet}")
+    assert(cells((1L,1L,5L)) == ((1L, 0.0, 150.15)), s"got ${cells((1L,1L,5L))}")
+    assert(cells((5L,5L,1L)) == ((1L, 8.0, 500.0)))
+  }
+
   test("interval merge: overlap/touch/disjoint islands, closed-interval law") {
     // key 1: [0,10] [5,20] overlap -> island; [20,25] touches (s == prior
     // max e) -> merges; [40,50] disjoint -> new island.
