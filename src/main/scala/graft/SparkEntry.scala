@@ -162,6 +162,7 @@ object SparkEntry {
     "st17_interval_merge" -> ((s, d) => operators.Intervals.st17(s, d)),
     "st18_dwell_time" -> ((s, d) => operators.Intervals.st18(s, d)),
     "a35_rfm_segments" -> ((s, d) => analytics.Queries.a35(s, d)),
+    "t16_bigram_ppl" -> ((s, d) => text.TextAnalysis.t16BigramPpl(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2669,5 +2670,45 @@ object SparkEntry {
         |  AS avg_recency_days,
         | round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // t16: full bigram-LM replay — same top-2000 (count DESC, w1, w2)
+    // cut, c12/c1 conditional, stupid backoff, exp of the ROUNDED avg
+    "t16_bigram_ppl" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  t -> t <> '') AS toks
+        | FROM documents),
+        |uni AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |vocab AS (SELECT token, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM vocab),
+        |bi AS (
+        | SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+        |  FROM d)),
+        |lm0 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |lm AS (
+        | SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p12 FROM (
+        |  SELECT lm0.w1, lm0.w2, lm0.c12, v.c AS c1,
+        |   row_number() OVER (ORDER BY lm0.c12 DESC, lm0.w1, lm0.w2) AS rk
+        |  FROM lm0 JOIN vocab v ON v.token = lm0.w1)
+        | WHERE rk <= 2000),
+        |occ AS (
+        | SELECT doc_id, w1, w2 FROM bi
+        | UNION ALL
+        | SELECT doc_id, NULL AS w1, toks[1] AS w2 FROM d WHERE len(toks) >= 1),
+        |sc AS (
+        | SELECT o.doc_id,
+        |  CASE WHEN lm.p12 IS NOT NULL THEN lm.p12
+        |   ELSE (CASE WHEN o.w1 IS NULL THEN 1.0 ELSE 0.4 END)
+        |    * (CAST(v.c AS DOUBLE) + 1.0)
+        |    / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))
+        |  END AS p
+        | FROM occ o
+        | JOIN vocab v ON v.token = o.w2
+        | LEFT JOIN lm ON lm.w1 = o.w1 AND lm.w2 = o.w2
+        | CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_scored, round(avg(-ln(p)), 4) AS avg_nll,
+        | round(exp(round(avg(-ln(p)), 4)), 4) AS ppl
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

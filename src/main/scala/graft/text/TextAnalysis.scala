@@ -570,4 +570,79 @@ object TextAnalysis {
 
   def t13ZipfAlpha(spark: SparkSession, dir: String): DataFrame =
     zipfAlpha(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** t16: bigram-LM perplexity (the CCNet/KenLM-style quality
+    * filter, on a corpus-trained LM instead of a pretrained one):
+    * each doc scored by a bigram model with stupid-backoff — the
+    * canonical "does this read like the corpus" gate used to bucket
+    * pretraining data into head/middle/tail.
+    *
+    * Model law (engine-portable, fully replayable):
+    *  - LM = the top-`lmSize` bigrams by (count DESC, w1, w2) with
+    *    conditional prob p(w2|w1) = c12/c1 (exact-count division);
+    *  - a bigram occurrence outside the LM backs off to
+    *    0.4 · (c(w2)+1)/(T+V) (stupid backoff, add-1 unigram);
+    *  - each doc's FIRST token scores (c(w)+1)/(T+V);
+    *  - ppl = exp(avg nll), exp taken of the ROUNDED avg so both
+    *    engines exponentiate the same double.
+    *
+    * Scale shape: token/bigram streams are narrow array transforms
+    * (no posexplode self-joins); counts are two map-side-combined
+    * shuffles (vocab- and bigram-cardinality, not corpus). The LM
+    * cut is a top-M over the bigram-count frame — bounded by
+    * lmSize; at extreme vocab the x10 banded two-phase rank
+    * replaces the single-partition window (doc'd, same law). The
+    * trained LM is lmSize rows → BROADCAST into the scoring pass
+    * (the CCNet shape: model ships to the data); the one scoring
+    * shuffle is the occurrences⋈vocab join on the word key that the
+    * unigram backoff needs (t7's join), and the per-doc agg. The
+    * corpus text is scanned exactly twice (count pass + score pass).
+    */
+  def bigramPerplexity(docs: DataFrame, lmSize: Int = 2000): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
+    val based = docs.select(col("doc_id"), toksCol.as("__toks"))
+    // sequence(0, -1) would DESCEND; guard short docs to empty
+    val biList = when(size(col("__toks")) >= 2,
+      expr("transform(sequence(0, size(__toks)-2), i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))"))
+      .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))
+
+    val uniStream = based.select(col("doc_id"), explode(col("__toks")).as("token"))
+    val vocab = uniStream.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+
+    val biStream = based
+      .select(col("doc_id"), explode(biList).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val lm = biStream
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .join(vocab.select(col("token").as("w1"), col("c").as("c1")), Seq("w1"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("c12").desc, col("w1"), col("w2"))))
+      .filter(col("__rk") <= lmSize)
+      .select(col("w1"), col("w2"), (col("c12").cast("double") / col("c1")).as("p12"))
+
+    // unified scoring stream: first-token rows carry w1 = null
+    val firsts = based.filter(size(col("__toks")) >= 1)
+      .select(col("doc_id"), lit(null).cast("string").as("w1"),
+        col("__toks").getItem(0).as("w2"))
+    val occurrences = biStream.unionByName(firsts)
+    occurrences
+      .join(vocab.select(col("token").as("w2"), col("c").as("c2")), Seq("w2"))
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p",
+        when(col("p12").isNotNull, col("p12"))
+          .otherwise(
+            (when(col("w1").isNull, lit(1.0)).otherwise(lit(0.4))) *
+              (col("c2").cast("double") + 1.0) /
+              (col("t").cast("double") + col("v").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(-log(col("__p"))), 4).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
+  /** Verified entry (t16). Sort is oracle-determinism only. */
+  def t16BigramPpl(spark: SparkSession, dir: String): DataFrame =
+    bigramPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

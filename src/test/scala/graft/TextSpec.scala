@@ -237,4 +237,33 @@ class TextSpec extends GraftSpecBase {
     shares.foreach { case (d, s) =>
       assert(math.abs(s - 1.0) < 1e-4, s"declared $d shares sum to $s") }
   }
+
+  test("t16 bigram ppl: LM hit vs stupid backoff vs first-token unigram, exact law") {
+    import spark.implicits._
+    // corpus: "a b" x3 (the top bigram), "a c" once. lmSize=1 keeps
+    // ONLY (a,b): doc 4's (a,c) must back off.
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val r = text.TextAnalysis.bigramPerplexity(docs, lmSize = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // counts: a=4, b=3, c=1; T=8, V=3; LM: p(b|a) = 3/4
+    val pFirstA = (4.0 + 1) / (8 + 3)            // first-token unigram
+    val nllAB = -(math.log(pFirstA) + math.log(3.0 / 4)) / 2
+    val pBackC = 0.4 * (1.0 + 1) / (8 + 3)       // (a,c) backoff on c
+    val nllAC = -(math.log(pFirstA) + math.log(pBackC)) / 2
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L)._1 == 2L && r(1L)._2 == r4(nllAB), s"got ${r(1L)}")
+    assert(r(4L)._1 == 2L && r(4L)._2 == r4(nllAC), s"got ${r(4L)}")
+    assert(r(1L)._3 == r4(math.exp(r(1L)._2)), "ppl = exp of the rounded avg")
+    assert(r(4L)._2 > r(1L)._2, "backoff doc must be more surprising")
+    // plan: the trained LM must ride a broadcast into the scoring pass
+    val df = text.TextAnalysis.bigramPerplexity(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), s"LM must broadcast:\n$plan")
+  }
 }
