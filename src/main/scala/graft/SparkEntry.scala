@@ -163,6 +163,7 @@ object SparkEntry {
     "st18_dwell_time" -> ((s, d) => operators.Intervals.st18(s, d)),
     "a35_rfm_segments" -> ((s, d) => analytics.Queries.a35(s, d)),
     "t16_bigram_ppl" -> ((s, d) => text.TextAnalysis.t16BigramPpl(s, d)),
+    "p17_zorder_layout" -> ((s, d) => sources.Lake.p17ZorderLayout(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2710,5 +2711,23 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_scored, round(avg(-ln(p)), 4) AS avg_nll,
         | round(exp(round(avg(-ln(p)), 4)), 4) AS ppl
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p17: generated 24-term Morton interleave — bit-exact integer
+    // replay of Lake.zorderKey's disjoint-bit sum
+    "p17_zorder_layout" -> {
+      val zTerms = (0 until 12).map(i =>
+        s"(((source_bin >> $i) & 1) << ${2 * i + 1}) + (((len_bits >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH sb AS (
+         | SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS source_bin
+         | FROM (SELECT DISTINCT source FROM documents)),
+         |k AS (
+         | SELECT d.doc_id, sb.source_bin, least(d.n_chars, 4095) AS len_bits
+         | FROM documents d JOIN sb USING (source)),
+         |z AS (SELECT doc_id, source_bin, len_bits, ($zTerms) AS zkey FROM k)
+         |SELECT zkey >> 8 AS zbucket, count(*) AS n_docs,
+         | min(len_bits) AS min_len, max(len_bits) AS max_len,
+         | min(source_bin) AS min_src, max(source_bin) AS max_src
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

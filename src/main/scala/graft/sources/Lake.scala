@@ -165,4 +165,66 @@ object Lake {
         (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Morton/Z-order key over two non-negative integer dimensions
+    * (the OPTIMIZE ZORDER primitive): interleaves the low `bits`
+    * bits of each dim (a in odd positions, b in even), so sorting by
+    * the result clusters rows that are close in BOTH dims — the
+    * multi-dimensional file-skipping layout (a single-dim sort gives
+    * perfect min/max pruning on one predicate column and none on the
+    * second; z-order gives strong pruning on both). Built as a sum
+    * of 2·bits disjoint-bit terms — plain integer expressions,
+    * codegen-friendly, replayable in any SQL engine.
+    */
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i)
+    }.reduce(_ + _)
+
+  /** Z-order layout for a write: range-partition on the z-key into
+    * `numFiles` output tasks and sort within each — every output
+    * file then covers a contiguous z-range, i.e. a narrow min/max
+    * box on BOTH dimensions. The range boundaries come from Spark's
+    * reservoir sampling (the one sanctioned use of
+    * rangepartitioning: a LAYOUT operator whose entire point is the
+    * global order, x10's exemption).
+    */
+  def zorderLayout(df: DataFrame, zCol: org.apache.spark.sql.Column,
+                   numFiles: Int): DataFrame =
+    df.withColumn("__z", zCol)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+
+  /** Verified entry (SURVEY §2 p17): z-order `documents` on
+    * (source, clamped n_chars) and report per z-bucket locality.
+    * source maps to a contiguous bin via a broadcast alphabetical
+    * rank over the TINY distinct-source frame (never a corpus
+    * window); length clamps to 12 bits. Buckets are zkey >> 8 —
+    * fixing the 16 high interleaved bits fixes the high 8 bits of
+    * EACH dim, so every bucket's span on BOTH dims is provably ≤ 15
+    * (the spec asserts exactly that bound; it is what makes the
+    * layout skip files on either predicate column). The report
+    * aggregation groups the bucket key — corpus shuffles once.
+    */
+  def p17ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val srcBins = docs.select(col("source")).distinct()
+      .withColumn("source_bin",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))) - 1).cast("long"))
+    val keyed = docs
+      .join(broadcast(srcBins), Seq("source"))
+      .withColumn("len_bits", least(col("n_chars"), lit(4095L)))
+      .withColumn("zkey", zorderKey(col("source_bin"), col("len_bits"), 12))
+    keyed
+      .groupBy(shiftright(col("zkey"), 8).as("zbucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len_bits")).as("min_len"),
+        max(col("len_bits")).as("max_len"),
+        min(col("source_bin")).as("min_src"),
+        max(col("source_bin")).as("max_src"))
+      .orderBy(col("zbucket"))
+  }
 }

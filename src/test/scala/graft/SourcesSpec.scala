@@ -29,4 +29,43 @@ class SourcesSpec extends GraftSpecBase {
     val b = ev.agg(sum("value")).head().getDouble(0)
     assert(math.abs(a - b) / math.abs(b) < 1e-12, s"$a vs $b")
   }
+
+  test("zorder: bit-exact interleave, provable per-bucket span bound, contiguous layout files") {
+    import spark.implicits._
+    // a=0b101, b=0b011 -> z = a bits at odd positions, b at even:
+    // a2..a0=1,0,1 -> bits 5,3,1 = 1,0,1; b2..b0=0,1,1 -> bits 4,2,0 = 0,1,1
+    // z = 100111b = 39
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(sources.Lake.zorderKey(col("a"), col("b"), 3).as("z"))
+    assert(one.head().getLong(0) == 39L)
+
+    // mathematical locality bound: zbucket = z >> 8 fixes the high 8
+    // bits of each 12-bit dim -> per-bucket span <= 15 on BOTH dims
+    val rep = sources.Lake.p17ZorderLayout(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 15L, s"len span bound broken: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 15L, s"src span bound broken: $r")
+    }
+
+    // layout: range-partitioned files cover disjoint contiguous
+    // z-ranges -> every file is a narrow min/max box (the skipping
+    // property a reader's predicate pushdown uses)
+    val docs = Tables.documents(spark, sf)
+    val srcBin = docs.select(col("source")).distinct()
+      .withColumn("source_bin", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1).cast("long"))
+    val keyed = docs.join(broadcast(srcBin), Seq("source"))
+      .withColumn("len_bits", least(col("n_chars"), lit(4095L)))
+    val laid = sources.Lake.zorderLayout(
+      keyed, sources.Lake.zorderKey(col("source_bin"), col("len_bits"), 12), 8)
+    val ranges = laid
+      .select(col("__z"), spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(min("__z").as("lo"), max("__z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    }, s"files must cover disjoint z-ranges: ${ranges.toSeq}")
+  }
 }
