@@ -285,4 +285,82 @@ object StatefulTwins {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // -------------------------------------------------------- interval merge
+
+  final case class IvEv(user_id: Long, start_us: Long, end_us: Long, event_id: Long)
+  final case class IslState(seq: Long, start: Long, maxEnd: Long, n: Long)
+  final case class Island(user_id: Long, island_seq: Long, island_start: Long,
+                          island_end: Long, n_intervals: Long, covered_us: Long)
+
+  /** Streaming twin of st17's interval merge: per-key state is ONLY
+    * the currently-open island (start, running max end, count, seq).
+    * An arriving interval extends it (start <= maxEnd, the
+    * closed-interval law) or closes it — a closed island is final
+    * and emits append-mode (a later interval can never reopen it,
+    * because arrival order is the same (start, end, id) order the
+    * batch fold uses). The open island stays in state unemitted —
+    * exactly st1's gap law: streaming can only close on gap
+    * evidence. O(1) state per key, no history.
+    */
+  def intervalMergeStream(ivs: Dataset[IvEv]): Dataset[Island] = {
+    import ivs.sparkSession.implicits._
+
+    def close(userId: Long, st: IslState): Island =
+      Island(userId, st.seq, st.start, st.maxEnd, st.n, st.maxEnd - st.start)
+
+    def fn(userId: Long, evs: Iterator[IvEv], state: GroupState[IslState]): Iterator[Island] = {
+      val sorted = evs.toSeq.sortBy(e => (e.start_us, e.end_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[Island]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        st =
+          if (st == null) IslState(1L, e.start_us, e.end_us, 1L)
+          else if (e.start_us > st.maxEnd) {
+            out += close(userId, st)
+            IslState(st.seq + 1, e.start_us, e.end_us, 1L)
+          } else IslState(st.seq, st.start, math.max(st.maxEnd, e.end_us), st.n + 1)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    ivs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  // ------------------------------------------------------------ dwell time
+
+  final case class DwellEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class DwellCredit(user_id: Long, state: String, dwell_us: Long)
+
+  /** Streaming twin of st18's dwell fold: state is the key's LAST
+    * (ts, id, type); each arriving event emits the dwell credit the
+    * PRIOR event just earned (its state, next.ts − its.ts) — append
+    * mode, credits are immutable facts. A key's terminal event sits
+    * in state unemitted, which is exactly the batch law (terminal
+    * dwell is right-censored, never zero). The per-state aggregation
+    * downstream is the same tiny-key agg the batch operator runs,
+    * over an identical credit multiset.
+    */
+  def dwellCreditsStream(events: Dataset[DwellEv]): Dataset[DwellCredit] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[DwellEv], state: GroupState[LastEv]): Iterator[DwellCredit] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[DwellCredit]
+      var last = state.getOption
+      sorted.foreach { e =>
+        last.foreach(l => out += DwellCredit(userId, l.event_type, e.ts_us - l.ts_us))
+        last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+      }
+      state.update(last.get)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
 }

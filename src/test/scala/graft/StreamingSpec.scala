@@ -412,4 +412,62 @@ class StreamingSpec extends GraftSpecBase {
     val multiSession = batch.groupBy(_._1).count(_._2.size > 1)
     assert(multiSession > 0, "fixture must contain multi-session users")
   }
+
+  test("streaming interval merge emits exactly the batch islands minus each user's open one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{IvEv, Island}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ivs = Tables.events(spark, sf)
+      .withColumn("start_us", unix_micros(col("ts")))
+      .withColumn("end_us", col("start_us") + lit(300000000L))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("event_id"))
+      .as[IvEv].collect()
+    val cut = ivs.map(_.start_us).sorted.apply(ivs.length / 2)
+    val (b1, b2) = ivs.partition(_.start_us < cut)
+    val mem = MemoryStream[IvEv]
+    val q = streaming.StatefulTwins.intervalMergeStream(mem.toDS())
+      .writeStream.format("memory").queryName("island_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("island_twin").as[Island].collect()
+      .map(i => (i.user_id, i.island_seq, i.island_start, i.island_end,
+        i.n_intervals, i.covered_us)).toSet
+    val batchAll = operators.Intervals.st17(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // each user's max-seq island is still OPEN in stream state (st1's
+    // gap law: no close without gap evidence); all others must match
+    val lastSeq = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batchAll.filterNot(t => t._2 == lastSeq(t._1)).toSet
+    assert(streamed == batchClosed,
+      s"stream-only: ${(streamed -- batchClosed).take(3)}; batch-only: ${(batchClosed -- streamed).take(3)}")
+    assert(batchClosed.nonEmpty, "fixture must close some islands")
+  }
+
+  test("streaming dwell credits aggregate to exactly the batch per-state dwell rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{DwellEv, DwellCredit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[DwellEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[DwellEv]
+    val q = streaming.StatefulTwins.dwellCreditsStream(mem.toDS())
+      .writeStream.format("memory").queryName("dwell_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dwell_twin").as[DwellCredit].collect()
+      .groupBy(_.state).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_.dwell_us).sum)).toMap
+    val batch = operators.Intervals.st18(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch, s"per-state (n, total) diverge: $streamed vs $batch")
+  }
 }
