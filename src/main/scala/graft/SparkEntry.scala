@@ -164,6 +164,7 @@ object SparkEntry {
     "a35_rfm_segments" -> ((s, d) => analytics.Queries.a35(s, d)),
     "t16_bigram_ppl" -> ((s, d) => text.TextAnalysis.t16BigramPpl(s, d)),
     "p17_zorder_layout" -> ((s, d) => sources.Lake.p17ZorderLayout(s, d)),
+    "a36_abc_classes" -> ((s, d) => analytics.Queries.a36(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2729,5 +2730,30 @@ object SparkEntry {
          | min(source_bin) AS min_src, max(source_bin) AS max_src
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // a36: integer class boundaries (cum·100 vs 80·total) — no FP
+    // share can flip a class; cent sums exact on both engines
+    "a36_abc_classes" ->
+      """WITH c AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS total FROM orders),
+        |k AS (
+        | SELECT cents,
+        |  CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM c),
+        |cl AS (
+        | SELECT cents,
+        |  CASE WHEN cum * 100 <= (SELECT total FROM t) * 80 THEN 'A'
+        |       WHEN cum * 100 <= (SELECT total FROM t) * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        | FROM k)
+        |SELECT abc_class, count(*) AS n_custs,
+        | round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend,
+        | round(CAST(sum(cents) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE), 6)
+        |  AS spend_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1059,4 +1059,45 @@ object Queries {
   def a35(spark: SparkSession, dir: String): DataFrame =
     rfmSegments(Tables.orders(spark, dir))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
+
+  /** Pareto / ABC revenue-concentration analysis (a36) — the
+    * whale-curve classification behind inventory and account
+    * tiering: customers sorted by spend, class A = the head that
+    * covers 80% of cumulative revenue, B = to 95%, C = the tail;
+    * reported per class.
+    *
+    * Scale shape: ONE o_custkey shuffle to cent-exact per-customer
+    * spend (d18's integer law); the cumulative window runs over the
+    * AGGREGATED customer-cardinality frame under the total
+    * (cents DESC, custkey) tie order (a28's rule). Class boundaries
+    * compare INTEGERS — cum·100 ≤ 80·total — so no floating-point
+    * share can flip a customer's class on either engine; shares are
+    * derived (one division each) only in the 3-row report.
+    */
+  def abcClasses(orders: DataFrame): DataFrame = {
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
+    val ord = Window.orderBy(col("__cents").desc, col("o_custkey"))
+    val cum = sum(col("__cents")).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = orders.agg(
+      sum(round(col("o_totalprice") * 100).cast("long")).as("__total"))
+    cust
+      .withColumn("__cum", cum)
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("__cum") * 100 <= col("__total") * 80, "A")
+          .when(col("__cum") * 100 <= col("__total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("__cents")).cast("double") / 100.0, 2).as("total_spend"),
+        round(sum(col("__cents")).cast("double") /
+          max(col("__total")).cast("double"), 6).as("spend_share"))
+  }
+
+  /** Verified entry (a36). Sort is oracle-determinism only. */
+  def a36(spark: SparkSession, dir: String): DataFrame =
+    abcClasses(Tables.orders(spark, dir)).orderBy(col("abc_class"))
 }

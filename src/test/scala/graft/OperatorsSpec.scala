@@ -436,6 +436,22 @@ class OperatorsSpec extends GraftSpecBase {
     assert(cells((5L,5L,1L)) == ((1L, 8.0, 500.0)))
   }
 
+  test("abc classes: planted 80/95 boundaries land exactly, integer boundary law") {
+    // spends 800, 150, 50 (total 1000): cum 800 (=80% -> A, boundary
+    // INCLUSIVE), 950 (=95% -> B, inclusive), 1000 -> C
+    val orders = Seq(
+      (1L, 1L, 800.00), (2L, 2L, 150.00), (3L, 3L, 50.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = analytics.Queries.abcClasses(orders).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      "A" -> ((1L, 800.0, 0.8)), "B" -> ((1L, 150.0, 0.15)), "C" -> ((1L, 50.0, 0.05))),
+      s"got $r")
+    // real table: classes partition all customers, shares sum to 1
+    val full = analytics.Queries.a36(spark, sf).collect()
+    assert(math.abs(full.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
   test("interval merge: overlap/touch/disjoint islands, closed-interval law") {
     // key 1: [0,10] [5,20] overlap -> island; [20,25] touches (s == prior
     // max e) -> merges; [40,50] disjoint -> new island.
