@@ -165,6 +165,10 @@ object SparkEntry {
     "t16_bigram_ppl" -> ((s, d) => text.TextAnalysis.t16BigramPpl(s, d)),
     "p17_zorder_layout" -> ((s, d) => sources.Lake.p17ZorderLayout(s, d)),
     "a36_abc_classes" -> ((s, d) => analytics.Queries.a36(s, d)),
+    "st19_streaks" -> ((s, d) => operators.Activity.st19(s, d)),
+    "a37_disjunct_revenue" -> ((s, d) => analytics.Queries.a37(s, d)),
+    "x19_quality_sweep" -> ((s, d) => text.Curation.x19QualitySweep(s, d)),
+    "t17_readability" -> ((s, d) => text.TextAnalysis.t17Readability(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2755,5 +2759,77 @@ object SparkEntry {
         | round(CAST(sum(cents) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE), 6)
         |  AS spend_share
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st19: the oracle replays the textbook gaps-and-islands window
+    // spelling (day − row_number island key), proving the one-shuffle
+    // sorted-day fold admits the identical result set (x9b's pattern)
+    "st19_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        | FROM events WHERE user_id IS NOT NULL),
+        |isl AS (
+        | SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |   AS INTEGER) AS island
+        | FROM days),
+        |runs AS (
+        | SELECT user_id, island, count(*) AS len
+        | FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        | CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // a37: the oracle replays the PLAIN disjunction with no scan
+    // hulls — proving the operator's hand-derived envelopes are
+    // semantics-free pushdown, not a result change
+    "a37_disjunct_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |  / 10000.0, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 15 AND 45
+        |       AND l_quantity BETWEEN 25 AND 45)""".stripMargin,
+    // x19: t1's quality-score replay, then a threshold×corpus
+    // group-by replay of the operator's one-pass conditional ladder
+    // (null scores survive no rung on either engine)
+    "x19_quality_sweep" ->
+      """WITH s AS (
+        | SELECT round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3
+        |         + (1.0 - punct_ratio) * 0.2, 6) AS q,
+        |  n_tokens AS tk
+        | FROM (
+        |  SELECT len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT text, regexp_split_to_array(text, '\s+') AS toks FROM documents))),
+        |tot AS (SELECT count(*) AS n, sum(tk) AS tot FROM s),
+        |th AS (SELECT unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT threshold,
+        | CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_surviving,
+        | round(CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / (SELECT n FROM tot), 6) AS doc_share,
+        | CAST(sum(CASE WHEN q >= threshold THEN tk ELSE 0 END) AS BIGINT) AS tokens_surviving,
+        | round(CAST(sum(CASE WHEN q >= threshold THEN tk ELSE 0 END) AS DOUBLE)
+        |  / (SELECT tot FROM tot), 6) AS token_share
+        |FROM th, s GROUP BY threshold ORDER BY threshold""".stripMargin,
+    // t17: per-row fixed double formulas — two divisions and one
+    // round, identical evaluation order on both engines
+    "t17_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        | round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+        | round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |  + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1100,4 +1100,54 @@ object Queries {
   /** Verified entry (a36). Sort is oracle-determinism only. */
   def a36(spark: SparkSession, dir: String): DataFrame =
     abcClasses(Tables.orders(spark, dir)).orderBy(col("abc_class"))
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape, a37): total
+    * discounted revenue over an OR of per-branch (brand, size band,
+    * quantity band) conjunctions — the "special promotions" audit
+    * whose predicate spans BOTH the fact and the dim inside each
+    * disjunct, so nothing pushes down as written.
+    *
+    * Scale shape: the Spark-first move is the hand-derived predicate
+    * HULL. Catalyst cannot infer single-table envelopes from a
+    * cross-table OR (no constraint propagation through a disjunction
+    * of conjunctions), so the operator derives them itself: the
+    * brand IN-list + covering size range push to the part scan, the
+    * covering quantity range pushes to the lineitem scan — each scan
+    * reads only rows that can satisfy SOME branch (row-group stats
+    * skip whole chunks of a size/quantity-clustered lake), and the
+    * exact disjunction re-applies post-join, so the hull is
+    * semantics-free (the oracle replays the plain OR with no hull,
+    * proving it). Filtered part is size-estimated into a broadcast
+    * join (SF-scaling dim — no hard hint, a2's contract); the only
+    * exchange after it is the 1-row aggregate. Revenue accumulates
+    * as exact 1e-4-dollar integers (price cents × (100 − discount
+    * cents), d18's law) so the double materializes once, identically
+    * on both engines.
+    */
+  def disjunctRevenue(spark: SparkSession, dir: String,
+                      branches: Seq[(String, Int, Int, Double, Double)] = Seq(
+                        ("Brand#12", 1, 10, 1.0, 15.0),
+                        ("Brand#23", 5, 25, 10.0, 30.0),
+                        ("Brand#4", 15, 45, 25.0, 45.0))): DataFrame = {
+    val pHull = col("p_brand").isin(branches.map(_._1): _*) &&
+      col("p_size").between(branches.map(_._2).min, branches.map(_._3).max)
+    val lHull =
+      col("l_quantity").between(branches.map(_._4).min, branches.map(_._5).max)
+    val orPred = branches.map { case (b, s1, s2, q1, q2) =>
+      col("p_brand") === b && col("p_size").between(s1, s2) &&
+        col("l_quantity").between(q1, q2)
+    }.reduce(_ || _)
+    val rev_e4 = round(col("l_extendedprice") * 100.0, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100.0, 0).cast("long"))
+    Tables.lineitem(spark, dir).filter(lHull)
+      .join(Tables.part(spark, dir).filter(pHull),
+        col("l_partkey") === col("p_partkey"))
+      .filter(orPred)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(rev_e4).cast("double") / 10000.0, 2).as("revenue"))
+  }
+
+  /** Verified entry (a37): 1-row result, no sort needed. */
+  def a37(spark: SparkSession, dir: String): DataFrame =
+    disjunctRevenue(spark, dir)
 }

@@ -355,4 +355,49 @@ object Activity {
   /** Verified entry (st15). Sort is oracle-determinism only. */
   def st15(spark: SparkSession, dir: String): DataFrame =
     lastTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  /** Daily-activity streaks per user (st19): total active days, number
+    * of maximal consecutive-day runs, and the longest run — the
+    * engagement-health report (habit formation, churn-risk scoring)
+    * every consumer analytics stack ships. The textbook spelling is
+    * gaps-and-islands: distinct days → row_number window → day − rank
+    * island key → two more aggregations, i.e. one dedupe exchange plus
+    * a second window exchange. This spelling folds instead: ONE
+    * user_id shuffle (`collect_set` dedupes repeat visits map-side,
+    * like st8's pair dedupe), then the sorted day array runs through a
+    * single linear `aggregate` fold — run boundaries are exactly the
+    * positions where day ≠ prev + 1. Per-user state is the distinct
+    * active-day set, bounded by the calendar span of the log (st5's
+    * per-key-bounded contract; a multi-decade log wants the two-
+    * exchange window spelling instead, which the oracle replays —
+    * proving the fold admits the identical result set, x9b's proof
+    * pattern).
+    */
+  def activityStreaks(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("user_id"),
+        unix_date(to_date(col(tsCol))).as("__d"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("__d"))).as("__days"))
+      .withColumn("__st", expr(
+        """aggregate(__days,
+          |  named_struct('prev', CAST(-100 AS INT),
+          |    'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
+          |    'runs', CAST(0 AS BIGINT)),
+          |  (s, d) -> named_struct(
+          |    'prev', d,
+          |    'cur', IF(d = s.prev + 1, s.cur + 1L, 1L),
+          |    'best', GREATEST(s.best, IF(d = s.prev + 1, s.cur + 1L, 1L)),
+          |    'runs', s.runs + IF(d = s.prev + 1, 0L, 1L)))""".stripMargin))
+      .select(col("user_id"),
+        size(col("__days")).cast("long").as("active_days"),
+        col("__st.runs").as("n_streaks"),
+        col("__st.best").as("longest_streak"))
+  }
+
+  /** Verified entry (st19). Sort is oracle-determinism only. */
+  def st19(spark: SparkSession, dir: String): DataFrame =
+    activityStreaks(Tables.events(spark, dir)).orderBy(col("user_id"))
 }

@@ -749,4 +749,51 @@ object Curation {
   def x4bCuration(spark: SparkSession, dir: String): DataFrame =
     curateNearDup(Tables.documents(spark, dir), cacheKey = Some(dir))
       .orderBy(col("doc_id"))
+
+  /** Quality-threshold survival sweep (x19): for a ladder of
+    * candidate quality cutoffs, how many documents and tokens
+    * survive `quality_score >= τ`, and the corpus share of each —
+    * the evidence table a curation gate's τ is actually set from
+    * (x4 hard-codes a threshold; this shows what every alternative
+    * would have kept, in docs AND in tokens, since a token-budgeted
+    * run cares about the latter — x9's lesson). The s16 idea
+    * (measure the distribution before committing to a cutoff)
+    * applied to the quality score.
+    *
+    * Scale shape: t1's narrow one-pass scoring map, then the ENTIRE
+    * ladder folds in a single 1-row conditional aggregate (p14's
+    * stack spelling — a |thresholds|-row fan-out via explode would
+    * re-shuffle the corpus per rung, and a threshold×corpus join
+    * would plan a nested loop). One scan, zero joins, zero keyed
+    * shuffles; null scores (empty docs) survive no rung, by the
+    * same null-rejects law as x4's gate. Doc/token shares divide
+    * the two exact integer sums once, at the 10-row report grain.
+    */
+  def qualitySweep(docs: DataFrame,
+                   thresholds: Seq[Double] = (0 to 9).map(_ / 10.0)): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("quality_score").as("__q"), col("n_tokens").cast("long").as("__tk"))
+    val aggs = thresholds.indices.flatMap { i =>
+      val t = thresholds(i)
+      Seq(sum(when(col("__q") >= t, 1L).otherwise(0L)).as(s"__d_$i"),
+        sum(when(col("__q") >= t, col("__tk")).otherwise(0L)).as(s"__t_$i"))
+    }
+    val folded = scored.agg(count(lit(1)).as("__n"),
+      (sum(col("__tk")).as("__tot") +: aggs): _*)
+    val stack = thresholds.indices.map { i =>
+      s"CAST(${thresholds(i)} AS DOUBLE), `__d_$i`, `__t_$i`"
+    }.mkString(", ")
+    folded.select(col("__n"), col("__tot"),
+        expr(s"stack(${thresholds.length}, $stack)")
+          .as(Seq("threshold", "docs_surviving", "tokens_surviving")))
+      .select(col("threshold"), col("docs_surviving"),
+        round(col("docs_surviving").cast("double") / col("__n"), 6).as("doc_share"),
+        col("tokens_surviving"),
+        round(col("tokens_surviving").cast("double") / col("__tot"), 6)
+          .as("token_share"))
+  }
+
+  /** Verified entry (x19). Sort is oracle-determinism only. */
+  def x19QualitySweep(spark: SparkSession, dir: String): DataFrame =
+    qualitySweep(Tables.documents(spark, dir)).orderBy(col("threshold"))
 }

@@ -645,4 +645,44 @@ object TextAnalysis {
   /** Verified entry (t16). Sort is oracle-determinism only. */
   def t16BigramPpl(spark: SparkSession, dir: String): DataFrame =
     bigramPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Readability scores (t17): Flesch reading ease + Flesch-Kincaid
+    * grade per document — the audience-level quality signal used to
+    * stratify pretraining mixes (children's text vs academic prose)
+    * and to gate instruction-data difficulty. Syllables use the
+    * standard cheap proxy — vowel-run count per word ([aeiouy]+
+    * groups over the lowercased text) — which is what production
+    * corpus pipelines ship (exact syllabification needs a dictionary;
+    * the proxy is monotone with it and fully engine-replayable).
+    * Sentences = [.!?]+ runs, floored at 1 so a fragment still
+    * scores. Both formulas are fixed per-row double expressions
+    * (two divisions, one round) — no aggregation, so no fp-order
+    * drift between engines.
+    *
+    * Scale shape: pure narrow map, zero shuffles — three regexp
+    * counts per row, all inside whole-stage codegen.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_words", size(tokens(t)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long"))
+      .withColumn("n_syllables",
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59), 4))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"), col("fk_grade"))
+  }
+
+  /** Verified entry (t17). Sort is oracle-determinism only. */
+  def t17Readability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -366,6 +366,23 @@ class CurationSpec extends GraftSpecBase {
     assert(rc("b") == ((2L, 0.0, 40.0, 10.0)), s"got ${rc("b")}")
   }
 
+  test("x19 quality sweep: survival monotone non-increasing, rung 0 keeps every scored doc") {
+    val docs = Tables.documents(spark, sf)
+    val r = text.Curation.qualitySweep(docs).collect().sortBy(_.getDouble(0))
+    assert(r.length == 10, s"one row per rung: ${r.length}")
+    val d = r.map(_.getLong(1)); val t = r.map(_.getLong(3))
+    assert(d.sliding(2).forall(p => p(0) >= p(1)),
+      "doc survival must be non-increasing in the threshold")
+    assert(t.sliding(2).forall(p => p(0) >= p(1)),
+      "token survival must be non-increasing in the threshold")
+    // rung 0.0 keeps exactly the docs with a non-null score (>= is
+    // never true for null — the same null-rejects law as x4's gate)
+    val scored = graft.text.TextAnalysis.qualityScore(docs)
+      .filter(col("quality_score").isNotNull).count()
+    assert(d(0) == scored, s"rung 0 keeps all scored docs: ${d(0)} vs $scored")
+    assert(math.abs(r(0).getDouble(2) - scored.toDouble / docs.count()) < 1e-9)
+  }
+
   test("x17 length curriculum: dense permutation, short-to-long, shuffled within a length") {
     val r = text.Curation.lengthCurriculum(
       Tables.documents(spark, sf).select("doc_id", "text")).collect()

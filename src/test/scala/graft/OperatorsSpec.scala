@@ -337,6 +337,25 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(200L) == ((1L, 0L, 0L)), s"got ${r(200L)}")
   }
 
+  test("st19 streaks: consecutive-day runs fold; repeat visits collapse; singletons count") {
+    // user 1: days {d, d+1, d+2, d+4} (day d visited twice) →
+    // 4 active days, runs {3, 1} → 2 streaks, longest 3.
+    // user 2: one day → 1/1/1. null users drop.
+    val day = 86400000000L // µs
+    val df = Seq(
+      (1L, 1L * day), (1L, 1L * day + 5L), (1L, 2L * day), (1L, 3L * day),
+      (1L, 5L * day), (2L, 9L * day))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .union(Seq((Option.empty[Long], 0L)).toDF("user_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    val r = operators.Activity.activityStreaks(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.size == 2, s"null user must drop: $r")
+    assert(r(1L) == ((4L, 2L, 3L)), s"got ${r(1L)}")
+    assert(r(2L) == ((1L, 1L, 1L)), s"got ${r(2L)}")
+  }
+
   test("st11 watermark sim: drops priced against batch-boundary watermark, first batch immune") {
     // batchSize=2 → batches {0:(e0,e1)} {1:(e2,e3)} {2:(e4,e5)}.
     // batch 0 has no watermark (nothing drops). watermark base for

@@ -244,7 +244,14 @@ class PlanShapeSpec extends GraftSpecBase {
       // into the non-equi scan — the same bounded BNLJ as s1/s5)
       "s17_ivf_recall",
       // x18 cross-joins its single-row corpus total (x16's pattern)
-      "x18_epoch_plan")
+      "x18_epoch_plan",
+      // a35 cross-joins the single-row corpus-max order date (a22's
+      // scalar decorrelation) into the customer-cardinality agg;
+      // a36 likewise its single-row grand-total spend
+      "a35_rfm_segments", "a36_abc_classes",
+      // t16 cross-joins the single-row LM normalizer (T, V) into the
+      // scoring pass (t7/t11's corpus-stat pattern)
+      "t16_bigram_ppl")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -734,6 +741,25 @@ class PlanShapeSpec extends GraftSpecBase {
       s"1-row agg needs no keyed shuffle:\n$plan")
   }
 
+  test("a37: Q19 shape — derived hulls reach both scans, broadcast join, no keyed shuffle") {
+    val plan = finalPlan(analytics.Queries.a37(spark, sf))
+    // lineitem scan: the covering quantity range (the OR's envelope)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,45.0)"),
+      s"quantity hull must push to the lineitem scan:\n$plan")
+    // part scan: brand IN-list + covering size range (the upper
+    // bound is elided from PushedFilters' toString past ~100 chars —
+    // a33's note — so pin it on the post-scan Filter spelling)
+    assert(plan.contains("In(p_brand") &&
+      plan.contains("GreaterThanOrEqual(p_size,1)") &&
+      "p_size#\\d+ <= 45".r.findFirstIn(plan).isDefined,
+      s"brand/size hull must push to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part must broadcast (size estimate, no hint):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"1-row agg needs no keyed shuffle:\n$plan")
+  }
+
   test("a34: backlog — facts reduce to day counts before the join; windows never sort a fact") {
     val plan = finalPlan(analytics.Queries.orderBacklog(spark, sf))
     // one orderkey agg + up to three day-grain exchanges; the
@@ -777,6 +803,16 @@ class PlanShapeSpec extends GraftSpecBase {
       // the session windows and the session agg share ONE user
       // shuffle; the library fn never sorts its session frame
       ("st1 sessionizeBatch", streaming.Sessionize.sessionizeBatch(events), 1),
+      // ONE user shuffle; the day dedupe is map-side collect_set and
+      // the streak math is a narrow sorted-array fold — no window,
+      // no second exchange
+      ("st19 activityStreaks", operators.Activity.activityStreaks(events), 1),
+      // narrow scoring map + the whole threshold ladder in ONE 1-row
+      // conditional agg (p14's stack spelling): no joins, no keyed
+      // shuffle, no per-rung fan-out
+      ("x19 qualitySweep", text.Curation.qualitySweep(docs), 0),
+      // pure narrow map — three regexp counts in codegen, no exchange
+      ("t17 readability", text.TextAnalysis.readability(docs), 0),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row

@@ -77,6 +77,21 @@ class TextSpec extends GraftSpecBase {
     assert(r(5L).getAs[Long]("n_tokens") == 0L && h(5L) == null)
   }
 
+  test("t17 readability: hand-computed Flesch/FK; fragments floor at one sentence") {
+    val df = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel runs
+      (2L, "no terminator here"))   // 3 words, sentences floor to 1
+    .toDF("doc_id", "text")
+    val r = text.TextAnalysis.readability(df).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 5L && r(1L).getLong(2) == 2L && r(1L).getLong(3) == 5L)
+    assert(math.abs(r(1L).getDouble(4) -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-9, s"flesch ${r(1L).getDouble(4)}")
+    assert(math.abs(r(1L).getDouble(5) -
+      (0.39 * 2.5 + 11.8 * 1.0 - 15.59)) < 1e-9, s"fk ${r(1L).getDouble(5)}")
+    assert(r(2L).getLong(2) == 1L, "sentence count must floor at 1")
+  }
+
   test("LM surprisal: hand-computed unigram negative log-likelihoods") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
