@@ -169,6 +169,8 @@ object SparkEntry {
     "a37_disjunct_revenue" -> ((s, d) => analytics.Queries.a37(s, d)),
     "x19_quality_sweep" -> ((s, d) => text.Curation.x19QualitySweep(s, d)),
     "t17_readability" -> ((s, d) => text.TextAnalysis.t17Readability(s, d)),
+    "m7_audio_stats" -> ((s, d) => multimodal.Multimodal.m7(s, d)),
+    "a38_supplier_diversity" -> ((s, d) => analytics.Queries.a38(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2831,5 +2833,37 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // m7: the corpus carries no real WAV payloads, so every row takes
+    // the stub path — the HUGEINT fold replay (m5's technique) with
+    // unsigned-shift/power-of-two-modulus field derivations (spelled
+    // as // 2^k divisions), which agree between the signed Scala long
+    // and the mod-2^64 view by construction
+    "m7_audio_stats" ->
+      """WITH h AS (
+        | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  1 + CAST((u // 8192) % 65536 AS BIGINT) AS n_samples,
+        |  CAST((u // 536870912) % 32768 AS BIGINT) AS peak,
+        |  CAST((u // CAST('17592186044416' AS HUGEINT)) % 4096 AS BIGINT) AS k
+        | FROM h)
+        |SELECT doc_id, FALSE AS is_pcm, n_samples,
+        | n_samples * 1000 // 16000 AS duration_ms,
+        | round(CAST(k * 8 AS DOUBLE), 4) AS rms, peak
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // a38: the oracle replays the correlated NOT-IN spelling the
+    // operator decorrelates into a LEFT ANTI join
+    "a38_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        | AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
   )
 }

@@ -1150,4 +1150,49 @@ object Queries {
   /** Verified entry (a37): 1-row result, no sort needed. */
   def a37(spark: SparkSession, dir: String): DataFrame =
     disjunctRevenue(spark, dir)
+
+  /** Supplier-diversity report (TPC-H Q16 shape, a38): distinct
+    * supplier count per surviving (brand, type, size) bucket, with a
+    * NOT-IN supplier exclusion (Q16's complaints list, stood in by
+    * negative-balance suppliers) — the sourcing-risk table ("how many
+    * independent suppliers back each part family").
+    *
+    * Scale shape: the part-supplier relation derives from lineitem
+    * (no partsupp table at this SF), and every reduction happens
+    * BEFORE the distinct-aggregate shuffle moves it: the part gate
+    * (brand/type/size — all pushed to the part scan) rides a
+    * size-estimated broadcast join so only qualifying lineitems
+    * survive, and the exclusion list is a LEFT ANTI against the tiny
+    * negative-balance supplier slice (decorrelated NOT IN — never a
+    * per-row subquery). The exact distinct count then pays the
+    * standard two-phase pair of keyed exchanges ((bucket, suppkey)
+    * partial dedupe — map-side combine collapses each task's repeat
+    * pairs — then bucket); approx_count_distinct drops it to one
+    * exchange at 100 TB (a5b's trade, p14's spelling).
+    */
+  def supplierDiversity(spark: SparkSession, dir: String,
+                        excludeBrand: String = "Brand#5",
+                        excludeType: String = "PROMO",
+                        sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Verified entry (a38). Ordering (count DESC then bucket) is part
+    * of the Q16 report contract.
+    */
+  def a38(spark: SparkSession, dir: String): DataFrame =
+    supplierDiversity(spark, dir)
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
 }

@@ -462,4 +462,55 @@ object Multimodal {
   /** Verified entry (m5). Sort is oracle-determinism only. */
   def m5(spark: SparkSession, dir: String): DataFrame =
     phashDupes(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  final case class AudioStats(doc_id: Long, is_pcm: Boolean, n_samples: Long,
+                              duration_ms: Long, rms: Double, peak: Long)
+
+  /** m7: per-payload audio sample statistics — the loudness/duration
+    * gate a speech-curation pipeline runs before paying for
+    * transcription (too-short, silent, or clipped clips drop here).
+    * REAL kernel for 16-bit PCM WAV payloads ([[wavPcmStats]]:
+    * chunk-walk + exact long-accumulated sum of squares, spec-covered
+    * on synthesized tones); the m2-contract deterministic content
+    * fold stands in for codec-requiring formats — its derived fields
+    * use only unsigned shifts and power-of-two moduli, so the signed
+    * 64-bit fold replays exactly as HUGEINT arithmetic (m5's oracle
+    * technique; a non-power-of-two modulus would diverge between the
+    * signed and mod-2⁶⁴ views). One narrow mapPartitions pass (codec
+    * init amortizes per batch), zero shuffles, O(docs) output; rms
+    * rounds once at the boundary (single double op — no summation
+    * drift, the kernel accumulates integers).
+    */
+  def audioStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          wavPcmStats(bytes) match {
+            case Some((n, durMs, rms, peak)) =>
+              AudioStats(id, is_pcm = true, n.toLong, durMs, rms, peak.toLong)
+            case None =>
+              var h = 1125899906842597L
+              var i = 0
+              while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+              val n = 1L + ((h >>> 13) % 65536L)
+              val peak = (h >>> 29) % 32768L
+              // k/4096·32768 = 8k — an integer-valued double, so the
+              // boundary round is exact on any engine
+              val rms = ((h >>> 44) % 4096L).toDouble * 8.0
+              AudioStats(id, is_pcm = false, n, n * 1000L / 16000L, rms, peak)
+          }
+        }
+      }
+      .toDF()
+      .withColumn("rms", round(col("rms"), 4))
+  }
+
+  /** Verified entry (m7). Sort is oracle-determinism only. */
+  def m7(spark: SparkSession, dir: String): DataFrame =
+    audioStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

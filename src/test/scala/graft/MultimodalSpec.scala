@@ -94,6 +94,24 @@ class MultimodalSpec extends GraftSpecBase {
     assert(multimodal.Multimodal.wavPcmStats(eight.array()).isEmpty)
   }
 
+  test("m7 audio stats: stub fields match the hand-computed content fold") {
+    // non-WAV payloads take the m2-contract stub; every derived field
+    // is an unsigned shift + power-of-two modulus of the 31·h+b fold
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abc")).toDF("doc_id", "text")
+    val rows = multimodal.Multimodal.audioStats(df).collect().sortBy(_.getLong(0))
+    var h = 1125899906842597L
+    "abc".getBytes("UTF-8").foreach(b => h = 31 * h + b)
+    val n = 1L + ((h >>> 13) % 65536L)
+    val r = rows(0)
+    assert(!r.getBoolean(1), "text payload must route to the stub")
+    assert(r.getLong(2) == n && r.getLong(3) == n * 1000L / 16000L, s"got $r")
+    assert(r.getDouble(4) == ((h >>> 44) % 4096L).toDouble * 8.0, s"got $r")
+    assert(r.getLong(5) == (h >>> 29) % 32768L, s"got $r")
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1),
+      "identical payloads must produce identical stats")
+  }
+
   test("real PNG decode: dimensions from actual javax.imageio encoder output") {
     // a REAL png produced by the JDK's encoder — signature, IHDR,
     // zlib-compressed IDAT and all

@@ -760,6 +760,25 @@ class PlanShapeSpec extends GraftSpecBase {
       s"1-row agg needs no keyed shuffle:\n$plan")
   }
 
+  test("a38: Q16 shape — part gate pushed, broadcast joins, only the two-phase distinct shuffles") {
+    val plan = finalPlan(analytics.Queries.supplierDiversity(spark, sf))
+    assert(plan.contains("In(p_size") &&
+      plan.contains("Not(EqualTo(p_brand,Brand#5))"),
+      s"brand/type/size gate must push to the part scan:\n$plan")
+    // part gate broadcasts; the anti exclusion either broadcasts or —
+    // when the negative-balance slice is empty at this SF — is
+    // eliminated outright by AQE's empty-relation rewrite. Either
+    // way no join may shuffle a fact.
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1,
+      s"part gate must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no join may shuffle the fact:\n$plan")
+    // the only keyed exchanges are the exact-distinct pair
+    // ((bucket, suppkey) partial dedupe, then bucket)
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes <= 2, s"expected <= 2 hash exchanges, got $hashes:\n$plan")
+  }
+
   test("a34: backlog — facts reduce to day counts before the join; windows never sort a fact") {
     val plan = finalPlan(analytics.Queries.orderBacklog(spark, sf))
     // one orderkey agg + up to three day-grain exchanges; the
@@ -813,6 +832,8 @@ class PlanShapeSpec extends GraftSpecBase {
       ("x19 qualitySweep", text.Curation.qualitySweep(docs), 0),
       // pure narrow map — three regexp counts in codegen, no exchange
       ("t17 readability", text.TextAnalysis.readability(docs), 0),
+      // one narrow mapPartitions pass, zero shuffles
+      ("m7 audioStats", multimodal.Multimodal.audioStats(docs), 0),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row
