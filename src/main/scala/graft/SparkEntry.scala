@@ -171,6 +171,7 @@ object SparkEntry {
     "t17_readability" -> ((s, d) => text.TextAnalysis.t17Readability(s, d)),
     "m7_audio_stats" -> ((s, d) => multimodal.Multimodal.m7(s, d)),
     "a38_supplier_diversity" -> ((s, d) => analytics.Queries.a38(s, d)),
+    "p18_schema_evolution" -> ((s, d) => sources.Lake.p18SchemaEvolution(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2865,5 +2866,15 @@ object SparkEntry {
         | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // p18: the oracle replays the two-generation split from the flat
+    // events table — v1 (even ids) predates the quality_flag column
+    // so its flags are ALL null after the merge read, v2 (odd ids)
+    // carries the real predicate
+    "p18_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch,
+        | count(*) AS n_rows,
+        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
+        | CAST(sum(CASE WHEN event_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_flag
+        |FROM events GROUP BY 1 ORDER BY batch""".stripMargin,
   )
 }

@@ -166,6 +166,60 @@ object Lake {
       .orderBy(col("event_type"))
   }
 
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One two-generation lake per source dir per JVM: the v1 slice
+    * (even event ids) carries the original bronze schema, the v2
+    * slice (odd ids) the EVOLVED one — a `quality_flag` column added
+    * mid-stream, the way real ingest schemas actually change between
+    * deploys. Both land under one root as `batch=v1` / `batch=v2`
+    * directories (so the generation survives as a partition column).
+    */
+  private[graft] def evolvedLake(spark: SparkSession, dir: String): String =
+    evoCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val path = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$path/batch=v1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("quality_flag", col("value") > 50.0)
+        .write.mode("overwrite").parquet(s"$path/batch=v2")
+      path
+    })
+
+  /** Schema-evolution merge read (p18): read a lake whose parquet
+    * files span schema generations with `mergeSchema` — the unioned
+    * schema comes back with the late-added column null-filled on
+    * pre-evolution files (never a read error, never a silent drop).
+    * This is the migration-read primitive a long-lived bronze lake
+    * needs the day its producer adds a field.
+    *
+    * Scale shape: schema merging costs one footer read per file AT
+    * PLANNING time — fine for a migration read or a bounded file
+    * count; a 100 TB steady-state lake declares the evolved schema
+    * explicitly (`.schema(...)`, null-fill is then free) or records
+    * it in a catalog, and the doc comment says so rather than
+    * pretending footer-merge is free. The verified entry aggregates
+    * per generation (count + null/true flag counts) over the merged
+    * frame — one map-side-combined agg on the 2-value partition key,
+    * proving both generations were read and v1 rows null-filled.
+    */
+  def mergeSchemaRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Verified entry (p18). Sort is oracle-determinism only. */
+  def p18SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val merged = mergeSchemaRead(spark, evolvedLake(spark, dir))
+    merged
+      .groupBy(col("batch").cast("string").as("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("quality_flag").isNull, 1L).otherwise(0L)).as("n_null_flag"),
+        sum(when(col("quality_flag") === true, 1L).otherwise(0L)).as("n_true_flag"))
+      .orderBy(col("batch"))
+  }
+
   /** Morton/Z-order key over two non-negative integer dimensions
     * (the OPTIMIZE ZORDER primitive): interleaves the low `bits`
     * bits of each dim (a in odd positions, b in even), so sorting by

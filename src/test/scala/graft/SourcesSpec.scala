@@ -68,4 +68,26 @@ class SourcesSpec extends GraftSpecBase {
       case _ => true
     }, s"files must cover disjoint z-ranges: ${ranges.toSeq}")
   }
+
+  test("p18 schema evolution: merged read unions schemas, null-fills the old generation") {
+    import org.apache.spark.sql.functions._
+    val path = sources.Lake.evolvedLake(spark, sf)
+    val merged = sources.Lake.mergeSchemaRead(spark, path)
+    assert(merged.columns.contains("quality_flag"),
+      "late-added column must appear in the merged schema")
+    val v1 = merged.filter(col("batch") === "v1")
+    assert(v1.filter(col("quality_flag").isNotNull).count() == 0,
+      "pre-evolution rows must come back null-filled, not dropped or errored")
+    val total = graft.Tables.events(spark, sf).count()
+    assert(merged.count() == total, "both generations must be read")
+    // the 100 TB path — a DECLARED evolved schema instead of a
+    // per-file footer merge — must return the identical frame
+    val declared = spark.read.schema(merged.schema.fields
+        .filterNot(_.name == "batch")
+        .foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+      .parquet(path)
+    assert(declared.count() == total &&
+      declared.filter(col("quality_flag").isNull).count() == v1.count(),
+      "declared-schema read must match the footer-merge read")
+  }
 }
