@@ -172,6 +172,7 @@ object SparkEntry {
     "m7_audio_stats" -> ((s, d) => multimodal.Multimodal.m7(s, d)),
     "a38_supplier_diversity" -> ((s, d) => analytics.Queries.a38(s, d)),
     "p18_schema_evolution" -> ((s, d) => sources.Lake.p18SchemaEvolution(s, d)),
+    "st20_returning_users" -> ((s, d) => operators.Activity.st20(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2876,5 +2877,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
         | CAST(sum(CASE WHEN event_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_flag
         |FROM events GROUP BY 1 ORDER BY batch""".stripMargin,
+    // st20: the oracle replays the textbook correlated-EXISTS
+    // spelling (was this user active in the 7 preceding days?) the
+    // operator's bounded fan-out replaces — proving the two agree
+    "st20_returning_users" ->
+      """WITH days AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        | FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        | SELECT d.day, d.u,
+        |  EXISTS(SELECT 1 FROM days p WHERE p.u = d.u
+        |         AND p.day < d.day AND p.day >= d.day - 7) AS prior
+        | FROM days d)
+        |SELECT day, count(*) AS dau,
+        | CAST(sum(CASE WHEN prior THEN 1 ELSE 0 END) AS BIGINT) AS returning,
+        | CAST(count(*) - sum(CASE WHEN prior THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        | round(CAST(sum(CASE WHEN prior THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |  AS returning_rate
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

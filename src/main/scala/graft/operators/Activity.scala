@@ -400,4 +400,47 @@ object Activity {
   /** Verified entry (st19). Sort is oracle-determinism only. */
   def st19(spark: SparkSession, dir: String): DataFrame =
     activityStreaks(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** Returning-user rate (st20): per active day, how many of that
+    * day's distinct users were ALSO active in the trailing
+    * `windowDays` window — the daily retention/churn split every
+    * growth dashboard pairs with st8's DAU/WAU ("how many came back"
+    * vs "how many showed up"). new_users = dau − returning.
+    *
+    * Scale shape: st8's bounded fan-out idiom, extended to carry
+    * WHICH side a pair contributes to: the deduped (day, user) pair
+    * explodes to its target day (as the "current" contribution) and
+    * the `windowDays` following days (as a "prior" contribution) —
+    * narrow ≤(w+1)× fan-out, never a self-join of the activity frame
+    * (the textbook spelling joins activity to itself on user +
+    * day-range, a per-user quadratic). One (target day, user) agg
+    * folds the flags, one day agg counts; a user is `returning` iff
+    * both flags land. Total: one dedupe shuffle, one flag shuffle,
+    * one tiny day agg, zero joins (plan-pinned).
+    */
+  def returningUsers(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    val pairs = events
+      .filter(col(userCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+    val flags = pairs
+      .withColumn("g_day",
+        explode(sequence(col("day"), date_add(col("day"), windowDays))))
+      .groupBy(col("g_day"), col("__u"))
+      .agg(max(col("day") === col("g_day")).as("__cur"),
+        max(col("day") < col("g_day")).as("__prior"))
+      .filter(col("__cur"))
+    flags
+      .groupBy(col("g_day").as("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("__prior"), 1L).otherwise(0L)).as("returning"))
+      .select(col("day"), col("dau"), col("returning"),
+        (col("dau") - col("returning")).as("new_users"),
+        round(col("returning").cast("double") / col("dau"), 6).as("returning_rate"))
+  }
+
+  /** Verified entry (st20). Sort is oracle-determinism only. */
+  def st20(spark: SparkSession, dir: String): DataFrame =
+    returningUsers(Tables.events(spark, dir)).orderBy(col("day"))
 }

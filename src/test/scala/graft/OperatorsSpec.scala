@@ -356,6 +356,22 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(2L) == ((1L, 1L, 1L)), s"got ${r(2L)}")
   }
 
+  test("st20 returning users: 7-day lookback, window edge excluded, new+returning=dau") {
+    val day = 86400000000L
+    // u1 active d1,d2 → returning on d2; u2 d1 only; u3 d1 and d9
+    // (8-day gap — outside the 7-day lookback, so NOT returning)
+    val df = Seq((1L, 1L * day), (1L, 2L * day), (2L, 1L * day),
+                 (3L, 1L * day), (3L, 9L * day))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val r = operators.Activity.returningUsers(df).collect()
+      .map(x => x.getDate(0).toLocalDate.getDayOfMonth ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(2) == ((3L, 0L, 3L)), s"day1 all new: ${r(2)}")     // 1970-01-02
+    assert(r(3) == ((1L, 1L, 0L)), s"day2 u1 returns: ${r(3)}")
+    assert(r(10) == ((1L, 0L, 1L)), s"day9 u3 outside window: ${r(10)}")
+  }
+
   test("st11 watermark sim: drops priced against batch-boundary watermark, first batch immune") {
     // batchSize=2 → batches {0:(e0,e1)} {1:(e2,e3)} {2:(e4,e5)}.
     // batch 0 has no watermark (nothing drops). watermark base for

@@ -834,6 +834,9 @@ class PlanShapeSpec extends GraftSpecBase {
       ("t17 readability", text.TextAnalysis.readability(docs), 0),
       // one narrow mapPartitions pass, zero shuffles
       ("m7 audioStats", multimodal.Multimodal.audioStats(docs), 0),
+      // dedupe + flag agg + day agg — three bounded-key exchanges,
+      // ZERO joins (the self-join spelling is what the oracle replays)
+      ("st20 returningUsers", operators.Activity.returningUsers(events), 3),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row
