@@ -173,6 +173,8 @@ object SparkEntry {
     "a38_supplier_diversity" -> ((s, d) => analytics.Queries.a38(s, d)),
     "p18_schema_evolution" -> ((s, d) => sources.Lake.p18SchemaEvolution(s, d)),
     "st20_returning_users" -> ((s, d) => operators.Activity.st20(s, d)),
+    "d19_threshold_sweep" -> ((s, d) => dedup.Dedup.d19(s, d)),
+    "s18_knn_classify" -> ((s, d) => similarity.Similarity.s18(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2895,5 +2897,56 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN prior THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
         |  AS returning_rate
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    // d19: d4's exact-jaccard pair replay (unrounded 0.5 floor, the
+    // frame's law) + a rung×pairs group-by on the ROUNDED jaccard;
+    // rungs with no surviving pairs emit no row on either engine
+    "d19_threshold_sweep" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |th AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold),
+        |f AS (SELECT th.threshold, p.a_id, p.b_id FROM th JOIN p ON p.j >= th.threshold),
+        |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM f GROUP BY threshold),
+        |nd AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |       FROM (SELECT threshold, unnest([a_id, b_id]) AS d FROM f)
+        |       GROUP BY threshold)
+        |SELECT threshold, n_pairs, n_docs,
+        | round(CAST(n_docs AS DOUBLE) / (SELECT count(*) FROM documents), 6)
+        |  AS affected_share
+        |FROM np JOIN nd USING (threshold) ORDER BY threshold""".stripMargin,
+    // s18: s15's within-cell kNN replay (shared IVF training CTEs) →
+    // neighbor-label votes → (votes DESC, label) argmax → per-label
+    // agreement report
+    "s18_knn_classify" -> ("WITH " + ivfCorpusCtes + """,
+        |scored AS (
+        | SELECT a.vec_id, b.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rank
+        | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |votes AS (
+        | SELECT s.vec_id, l.label AS n_label, count(*) AS votes
+        | FROM scored s JOIN embeddings l ON s.n_id = l.vec_id
+        | WHERE s.rank <= 5 GROUP BY 1, 2),
+        |pred AS (
+        | SELECT vec_id, n_label AS predicted FROM (
+        |  SELECT vec_id, n_label, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY votes DESC, n_label) AS rk FROM votes)
+        | WHERE rk = 1)
+        |SELECT e2.label, count(*) AS n_classified,
+        | CAST(sum(CASE WHEN pred.predicted = e2.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        | round(CAST(sum(CASE WHEN pred.predicted = e2.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS agree_rate
+        |FROM pred JOIN embeddings e2 ON pred.vec_id = e2.vec_id
+        |GROUP BY e2.label ORDER BY e2.label""".stripMargin),
   )
 }

@@ -390,6 +390,46 @@ object Dedup {
   def d4(spark: SparkSession, dir: String): DataFrame =
     cachedJaccardPairs(spark, dir).orderBy(col("a_id"), col("b_id"))
 
+  /** Dedup-threshold sweep (d19): for a ladder of jaccard cutoffs
+    * above the pair set's floor, how many near-dup pairs survive,
+    * how many distinct documents they touch, and the affected corpus
+    * share — x19's pick-the-cutoff evidence table applied to the
+    * dedup τ (a τ set blind either deletes unique prose or leaves
+    * boilerplate; this shows the trade per rung BEFORE a d6/d17 pass
+    * commits). A rung with zero surviving pairs emits no row.
+    *
+    * Scale shape: rides the SHARED persisted d4 pair set (computed
+    * once per corpus, LSH/df-bounded — never re-pairs the corpus);
+    * the rung fan-out is a narrow ≤|ladder|× explode of that bounded
+    * frame, pair and doc counts are two tiny-key aggs joined on the
+    * rung, and the corpus appears only as a 1-row count broadcast
+    * for the share. Rung compares use the ROUNDED jaccard (the
+    * frame's 6dp law) so borderline pairs land identically on both
+    * engines.
+    */
+  def thresholdSweep(pairs: DataFrame, docs: DataFrame,
+                     rungs: Seq[Double] = (10 to 19).map(_ / 20.0)): DataFrame = {
+    val rungArr = array(rungs.map(lit): _*)
+    val fan = pairs.withColumn("threshold",
+      explode(filter(rungArr, r => col("jaccard") >= r)))
+    val nPairs = fan.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = fan
+      .select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__total"))))
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__total"), 6)
+          .as("affected_share"))
+  }
+
+  /** Verified entry (d19). Sort is oracle-determinism only. */
+  def d19(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
+      .orderBy(col("threshold"))
+
   def d5(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsBlocked(Tables.embeddings(spark, dir)).orderBy(col("a_id"), col("b_id"))
 

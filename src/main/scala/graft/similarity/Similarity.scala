@@ -788,6 +788,56 @@ object Similarity {
     knnGraph(Tables.embeddings(spark, dir), cacheKey = Some(dir))
       .orderBy(col("vec_id"), col("rank"))
 
+  /** kNN label classification report (s18): every vector's label
+    * predicted by majority vote of its k nearest within-cell
+    * neighbors, reported per declared label as (n_classified,
+    * n_agree, agree_rate) — the label-propagation / weak-label-audit
+    * primitive (t15's confusion idea in embedding space: a label
+    * whose own neighborhoods vote against it is noisy or the
+    * clusters overlap). Vote ties break (votes DESC, label ASC);
+    * vectors with no within-cell neighbor (singleton cells) have no
+    * vote and are excluded from the report's denominator — silently
+    * scoring them as wrong would fake noise.
+    *
+    * Scale shape: rides s15's kNN graph (within-cell equi-join via
+    * the SHARED cached quantizer — never corpus² pairs); the k·n
+    * edge frame joins the (id, label) projection on the neighbor id
+    * (two id-keyed exchanges of bounded rows), votes aggregate on
+    * (vec, label), the argmax is a window over the per-vector vote
+    * frame (≤|labels| rows per vector, riding the vote agg's own
+    * exchange prefix), and the report aggregates on the tiny label
+    * key. The corpus itself is touched exactly as often as s15
+    * touches it.
+    */
+  def knnClassify(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val g = knnGraph(corpus, k, numCells, cacheKey)
+    val nbrLabels = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+    val votes = g.join(nbrLabels, Seq("n_id"))
+      .groupBy(col("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val predicted = votes
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("n_label").as("predicted"))
+    predicted
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_classified"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("label"), col("n_classified"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_classified"), 6)
+          .as("agree_rate"))
+  }
+
+  /** Verified entry (s18). Sort is oracle-determinism only. */
+  def s18(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+      .orderBy(col("label"))
+
   /** Background-similarity histogram (s16): the cosine distribution
     * over a deterministic pseudo-random pairing of the corpus — the
     * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far

@@ -356,6 +356,20 @@ class DedupSpec extends GraftSpecBase {
       "matrix must partition the pair set")
   }
 
+  test("d19 threshold sweep: hand-checked rung counts, empty rungs emit no row") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.85), (1L, 3L, 0.62), (4L, 5L, 0.55))
+      .toDF("a_id", "b_id", "jaccard")
+    val docs = (1L to 10L).toDF("doc_id")
+    val r = dedup.Dedup.thresholdSweep(pairs, docs).collect()
+      .map(x => math.round(x.getDouble(0) * 100) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size == 8, s"rungs 0.9/0.95 have no pairs and must be absent: $r")
+    assert(r(50) == ((3L, 5L, 0.5)) && r(55) == ((3L, 5L, 0.5)), s"got $r")
+    assert(r(60) == ((2L, 3L, 0.3)), s"got ${r(60)}")
+    assert(r(65) == ((1L, 2L, 0.2)) && r(85) == ((1L, 2L, 0.2)), s"got $r")
+  }
+
   test("d16 degree histogram: planted triple-dup family, degree-0 population kept") {
     import spark.implicits._
     // docs 1-3 identical (3 pairs, degree 2 each); 4-5 unique (degree 0)

@@ -251,7 +251,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "a35_rfm_segments", "a36_abc_classes",
       // t16 cross-joins the single-row LM normalizer (T, V) into the
       // scoring pass (t7/t11's corpus-stat pattern)
-      "t16_bigram_ppl")
+      "t16_bigram_ppl",
+      // d19 cross-joins the single-row corpus count for the share
+      "d19_threshold_sweep")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -297,6 +297,24 @@ class SimilaritySpec extends GraftSpecBase {
     }
   }
 
+  test("s18 knn classify: clean clusters agree, the planted mislabel votes against its label") {
+    import spark.implicits._
+    // two tight clusters; vec 8 sits in cluster B but is labeled "a"
+    val vs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), "a"), (2L, Seq(0.99f, 0.01f, 0f, 0f), "a"),
+      (3L, Seq(0.98f, 0.02f, 0f, 0f), "a"), (4L, Seq(0.97f, 0.03f, 0f, 0f), "a"),
+      (5L, Seq(0f, 1f, 0f, 0f), "b"), (6L, Seq(0.01f, 0.99f, 0f, 0f), "b"),
+      (7L, Seq(0.02f, 0.98f, 0f, 0f), "b"), (8L, Seq(0.03f, 0.97f, 0f, 0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = similarity.Similarity.knnClassify(vs, k = 3, numCells = 1)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // label a: vecs 1-4 classify a (neighbors all a); vec 8's 3
+    // nearest are 5/6/7 → predicted b, disagrees → 4/5 agree
+    assert(r("a") == ((5L, 4L)), s"got ${r("a")}")
+    assert(r("b") == ((3L, 3L)), s"got ${r("b")}")
+  }
+
   test("s16 cosine histogram: near-perfect pairing coverage, bins partition, layout-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()
