@@ -175,6 +175,8 @@ object SparkEntry {
     "st20_returning_users" -> ((s, d) => operators.Activity.st20(s, d)),
     "d19_threshold_sweep" -> ((s, d) => dedup.Dedup.d19(s, d)),
     "s18_knn_classify" -> ((s, d) => similarity.Similarity.s18(s, d)),
+    "d20_boilerplate_shingles" -> ((s, d) => dedup.Dedup.d20(s, d)),
+    "a39_decile_migration" -> ((s, d) => analytics.Queries.a39(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2948,5 +2950,44 @@ object SparkEntry {
         |  / count(*), 6) AS agree_rate
         |FROM pred JOIN embeddings e2 ON pred.vec_id = e2.vec_id
         |GROUP BY e2.label ORDER BY e2.label""".stripMargin),
+    // d20: d4's distinct word-3-gram shingle replay → df counts →
+    // (df DESC, shingle) top-K with rank
+    "d20_boilerplate_shingles" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |c AS (
+        | SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df
+        | FROM (SELECT unnest(sh) AS s FROM g) GROUP BY 1),
+        |r AS (
+        | SELECT shingle, df,
+        |  CAST(row_number() OVER (ORDER BY df DESC, shingle) AS BIGINT) AS rank
+        | FROM c WHERE df >= 2)
+        |SELECT rank, shingle, df,
+        | round(CAST(df AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS doc_share
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    // a39: identical midpoint/half/ntile replay; one-half customers
+    // survive the FULL JOIN with a null decile on the other side
+    "a39_decile_migration" ->
+      """WITH o AS (
+        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |m AS (SELECT min(d) + CAST(date_diff('day', min(d), max(d)) // 2 AS INTEGER) AS mid FROM o),
+        |sp AS (
+        | SELECT o_custkey,
+        |  CASE WHEN d < (SELECT mid FROM m) THEN 'h1' ELSE 'h2' END AS half,
+        |  CAST(sum(cents) AS BIGINT) AS spend
+        | FROM o GROUP BY 1, 2),
+        |h1 AS (SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS from_decile
+        |       FROM sp WHERE half = 'h1'),
+        |h2 AS (SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS to_decile
+        |       FROM sp WHERE half = 'h2')
+        |SELECT from_decile, to_decile, count(*) AS n_custs
+        |FROM h1 FULL JOIN h2 USING (o_custkey)
+        |GROUP BY 1, 2
+        |ORDER BY from_decile ASC NULLS FIRST, to_decile ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -1195,4 +1195,52 @@ object Queries {
     supplierDiversity(spark, dir)
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
+
+  /** Spend-decile migration matrix (a39): each customer's spend
+    * decile in the first half of the order log vs the second half,
+    * counted per (from, to) cell — the CRM movement report behind
+    * "are whales churning / are mid-tier customers upgrading".
+    * Customers active in only one half survive with a null decile on
+    * the other side (new vs churned — dropping them would hide
+    * exactly the movement the report exists to show). Deciles use
+    * a28's tie law (spend DESC, custkey) on cent-exact longs; the
+    * halves split at the midpoint date, derived once.
+    *
+    * Scale shape: ONE (custkey, half) aggregation shuffles the fact
+    * table to a ≤2×customers frame (the midpoint rides a 1-row
+    * broadcast, a22's scalar decorrelation); each half's ntile is a
+    * window over its ALREADY-AGGREGATED half (a28's rule — the sort
+    * is customer-cardinality, never the fact; x10's banded rank is
+    * the extreme-cardinality lever); the FULL OUTER join meets on
+    * custkey (two customer-cardinality exchanges) and the matrix agg
+    * groups ≤121 cells.
+    */
+  def decileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("__d"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("__cents"))
+    val mid = ord.agg(
+      date_add(min(col("__d")),
+        (datediff(max(col("__d")), min(col("__d"))) / 2).cast("int")).as("__mid"))
+    val spend = ord.crossJoin(broadcast(mid))
+      .groupBy(col("o_custkey"),
+        when(col("__d") < col("__mid"), "h1").otherwise("h2").as("__half"))
+      .agg(sum(col("__cents")).as("__spend"))
+    def deciles(half: String, as: String) = {
+      val w = Window.partitionBy(col("__half"))
+        .orderBy(col("__spend").desc, col("o_custkey"))
+      spend.filter(col("__half") === half)
+        .withColumn(as, ntile(10).over(w).cast("long"))
+        .select(col("o_custkey"), col(as))
+    }
+    deciles("h1", "from_decile")
+      .join(deciles("h2", "to_decile"), Seq("o_custkey"), "full_outer")
+      .groupBy(col("from_decile"), col("to_decile"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** Verified entry (a39). Sort is oracle-determinism only. */
+  def a39(spark: SparkSession, dir: String): DataFrame =
+    decileMigration(spark, dir)
+      .orderBy(col("from_decile").asc_nulls_first, col("to_decile").asc_nulls_first)
 }

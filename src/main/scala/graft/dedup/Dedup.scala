@@ -430,6 +430,42 @@ object Dedup {
     thresholdSweep(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
       .orderBy(col("threshold"))
 
+  /** Boilerplate-shingle report (d20): the top-K most widely shared
+    * word 3-grams with their document frequency and corpus coverage
+    * — the "what IS the boilerplate" table that feeds d12's span
+    * stripping and justifies d4's df cap (a handful of navigation /
+    * license / disclaimer shingles typically cover a large doc
+    * share; this names them instead of capping blind).
+    *
+    * Scale shape: one shingle-explode shuffle to (shingle, df)
+    * counts (distinct-per-doc shingles, so df = containing docs —
+    * d4's expression), the df ≥ 2 cut drops the unique-prose mass
+    * BEFORE any ranking, and the top-K cut is TakeOrderedAndProject
+    * (per-partition heaps — never a global sort of the vocabulary;
+    * a25/a31's rule). The rank column is a window over the K
+    * surviving rows; the corpus count rides a 1-row broadcast.
+    */
+  def boilerplateShingles(docs: DataFrame, topK: Int = 25): DataFrame = {
+    import graft.functions.GraftFunctions.word_shingles
+    val counts = docs
+      .select(explode(word_shingles(col("text"))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val top = counts.orderBy(col("df").desc, col("shingle")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("shingle"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__total"))))
+      .select(col("rank"), col("shingle"), col("df"),
+        round(col("df").cast("double") / col("__total"), 6).as("doc_share"))
+  }
+
+  /** Verified entry (d20). Sort is oracle-determinism only. */
+  def d20(spark: SparkSession, dir: String): DataFrame =
+    boilerplateShingles(Tables.documents(spark, dir)).orderBy(col("rank"))
+
   def d5(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsBlocked(Tables.embeddings(spark, dir)).orderBy(col("a_id"), col("b_id"))
 

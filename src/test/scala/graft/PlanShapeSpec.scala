@@ -252,8 +252,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // t16 cross-joins the single-row LM normalizer (T, V) into the
       // scoring pass (t7/t11's corpus-stat pattern)
       "t16_bigram_ppl",
-      // d19 cross-joins the single-row corpus count for the share
-      "d19_threshold_sweep")
+      // d19/d20 cross-join the single-row corpus count for the share
+      "d19_threshold_sweep", "d20_boilerplate_shingles",
+      // a39 cross-joins the single-row midpoint date (a22's pattern)
+      "a39_decile_migration")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
