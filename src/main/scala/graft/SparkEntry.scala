@@ -177,6 +177,9 @@ object SparkEntry {
     "s18_knn_classify" -> ((s, d) => similarity.Similarity.s18(s, d)),
     "d20_boilerplate_shingles" -> ((s, d) => dedup.Dedup.d20(s, d)),
     "a39_decile_migration" -> ((s, d) => analytics.Queries.a39(s, d)),
+    "s19_knn_outliers" -> ((s, d) => similarity.Similarity.s19(s, d)),
+    "t18_code_detect" -> ((s, d) => text.TextAnalysis.t18CodeDetect(s, d)),
+    "x20_length_histogram" -> ((s, d) => text.Curation.x20LengthHistogram(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2989,5 +2992,54 @@ object SparkEntry {
         |FROM h1 FULL JOIN h2 USING (o_custkey)
         |GROUP BY 1, 2
         |ORDER BY from_decile ASC NULLS FIRST, to_decile ASC NULLS FIRST""".stripMargin,
+    // s19: s15's within-cell replay → k-th-rank cosine (the frame's
+    // 6dp round) → bottom-N isolation cut with vec_id tiebreak
+    "s19_knn_outliers" -> ("WITH " + ivfCorpusCtes + """,
+        |scored AS (
+        | SELECT a.vec_id, b.vec_id AS n_id,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rank
+        | FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |kth AS (SELECT vec_id, cosine AS kth_cosine FROM scored WHERE rank = 5),
+        |top AS (
+        | SELECT vec_id, kth_cosine,
+        |  CAST(row_number() OVER (ORDER BY kth_cosine, vec_id) AS BIGINT)
+        |   AS isolation_rank
+        | FROM kth)
+        |SELECT isolation_rank, t.vec_id, e2.label, kth_cosine
+        |FROM top t JOIN embeddings e2 ON t.vec_id = e2.vec_id
+        |WHERE isolation_rank <= 25 ORDER BY isolation_rank""".stripMargin),
+    // t18: identical regexp counts and rounded ratios; (?m) multiline
+    // anchors are supported by both Java regex and RE2
+    "t18_code_detect" ->
+      """SELECT doc_id, n_lines, symbol_ratio, indent_ratio, camel_rate,
+        | coalesce(symbol_ratio > 0.03, FALSE) OR indent_ratio > 0.2 AS is_code
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\n')) + 1 AS BIGINT) AS n_lines,
+        |  round(CAST(len(regexp_extract_all(text, '[{};()=<>\[\]]')) AS DOUBLE)
+        |   / nullif(length(text), 0), 6) AS symbol_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '(?m)^(  |\t)')) AS DOUBLE)
+        |   / (len(regexp_extract_all(text, '\n')) + 1), 6) AS indent_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS DOUBLE)
+        |   / nullif(length(text), 0), 6) AS camel_rate
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // x20: bucket = bit length of the token count (integer-exact —
+    // never a floating log2), shares over the tiny bucket frame
+    "x20_length_histogram" ->
+      """WITH d AS (
+        | SELECT len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+        |b AS (SELECT CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END AS bucket, n FROM d),
+        |a AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM b GROUP BY 1)
+        |SELECT bucket,
+        | CASE WHEN bucket = 0 THEN 0 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS lo_tokens,
+        | CASE WHEN bucket = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi_tokens,
+        | n_docs, n_tokens,
+        | round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+        | round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+        |FROM a ORDER BY bucket""".stripMargin,
   )
 }

@@ -838,6 +838,41 @@ object Similarity {
     knnClassify(Tables.embeddings(spark, dir), cacheKey = Some(dir))
       .orderBy(col("label"))
 
+  /** kNN-distance outlier report (s19): each vector's similarity to
+    * its k-th nearest within-cell neighbor is its isolation score
+    * (the classic kNN-dist outlier law — a low k-th-neighbor cosine
+    * means nothing sits near it), reported as the top-N most
+    * isolated vectors with their labels — the "look at these before
+    * trusting the embedding space" audit (mis-encoded rows, wrong-
+    * modality payloads, genuine novelty all surface here first).
+    *
+    * Scale shape: rides s15's shared-quantizer graph; the k-th-rank
+    * cut is a filter on the bounded edge frame, the top-N cut is
+    * TakeOrderedAndProject on the ROUNDED cosine (the frame's 6dp
+    * law, vec_id tiebreak — deterministic on both engines), labels
+    * decorate the N survivors via an id equi-join. Vectors with
+    * fewer than k within-cell neighbors never reach rank k and are
+    * absent — they are cell-size artifacts, not outliers.
+    */
+  def knnOutliers(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+                  topN: Int = 25, cacheKey: Option[String] = None): DataFrame = {
+    val kth = knnGraph(corpus, k, numCells, cacheKey)
+      .filter(col("rank") === k)
+      .select(col("vec_id"), col("cosine").as("kth_cosine"))
+    val top = kth.orderBy(col("kth_cosine"), col("vec_id")).limit(topN)
+    val w = Window.orderBy(col("kth_cosine"), col("vec_id"))
+    top
+      .withColumn("isolation_rank", row_number().over(w).cast("long"))
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("isolation_rank"), col("vec_id"), col("label"),
+        col("kth_cosine"))
+  }
+
+  /** Verified entry (s19). Sort is oracle-determinism only. */
+  def s19(spark: SparkSession, dir: String): DataFrame =
+    knnOutliers(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+      .orderBy(col("isolation_rank"))
+
   /** Background-similarity histogram (s16): the cosine distribution
     * over a deterministic pseudo-random pairing of the corpus — the
     * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far

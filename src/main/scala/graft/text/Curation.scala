@@ -796,4 +796,44 @@ object Curation {
   /** Verified entry (x19). Sort is oracle-determinism only. */
   def x19QualitySweep(spark: SparkSession, dir: String): DataFrame =
     qualitySweep(Tables.documents(spark, dir)).orderBy(col("threshold"))
+
+  /** Doc-length histogram (x20): the corpus length distribution in
+    * power-of-two token buckets — the evidence table x6's context
+    * budget, x17's curriculum bands and truncation policy are set
+    * against (a corpus dominated by one truncation length or a long
+    * tail of 100k-token docs needs different packing than a uniform
+    * one). Bucket law is INTEGER-EXACT: bucket = bit length of the
+    * token count (length of its binary spelling — floor(log2)+1
+    * without ever computing a floating log, which lands on
+    * 2.9999999≈3 boundaries differently per engine); empty docs get
+    * bucket 0. Shares divide the tiny bucket frame by window totals
+    * (a30's bounded-frame rule), so the corpus is touched by ONE
+    * narrow token-count map + one map-side-combined bucket agg.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val bucketed = docs
+      .select(when(n <= 0, lit(0))
+        .otherwise(length(bin(n))).cast("int").as("bucket"), n.as("__tk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed
+      .withColumn("lo_tokens",
+        when(col("bucket") === 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
+      .withColumn("hi_tokens",
+        when(col("bucket") === 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(all), 6))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6))
+      .select(col("bucket"), col("lo_tokens"), col("hi_tokens"),
+        col("n_docs"), col("n_tokens"), col("doc_share"), col("token_share"))
+  }
+
+  /** Verified entry (x20). Sort is oracle-determinism only. */
+  def x20LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogram(Tables.documents(spark, dir)).orderBy(col("bucket"))
 }

@@ -685,4 +685,42 @@ object TextAnalysis {
   /** Verified entry (t17). Sort is oracle-determinism only. */
   def t17Readability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Code-likeness gate (t18): structural indicators that separate
+    * source code / markup from prose — code-fence and symbol density
+    * ([{};()=<>] per char), indented-line ratio, camelCase boundary
+    * rate — with per-rule measured values AND the folded verdict
+    * (t9's auditable-gate pattern). Pretraining mixes weight code
+    * and prose differently; this is the router. Thresholds compare
+    * ROUNDED ratios (round-before-compare, t9's law) so the verdict
+    * can never split between engines on fp dust.
+    *
+    * Scale shape: pure narrow map — three regexp counts and a line
+    * count per row, zero shuffles, all inside codegen.
+    */
+  def codeDetect(docs: DataFrame, textCol: String = "text",
+                 symbolThresh: Double = 0.03,
+                 indentThresh: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("len_chars", length(t).cast("long"))
+      .withColumn("n_lines", (regexp_count(t, lit("\n")) + 1).cast("long"))
+      .withColumn("symbol_ratio",
+        round(when(col("len_chars") > 0,
+          regexp_count(t, lit("[{};()=<>\\[\\]]")).cast("double") / col("len_chars")), 6))
+      .withColumn("indent_ratio",
+        round(regexp_count(t, lit("(?m)^(  |\t)")).cast("double") / col("n_lines"), 6))
+      .withColumn("camel_rate",
+        round(when(col("len_chars") > 0,
+          regexp_count(t, lit("[a-z][A-Z]")).cast("double") / col("len_chars")), 6))
+      .withColumn("is_code",
+        coalesce(col("symbol_ratio") > symbolThresh, lit(false)) ||
+          col("indent_ratio") > indentThresh)
+      .select(col("doc_id"), col("n_lines"), col("symbol_ratio"),
+        col("indent_ratio"), col("camel_rate"), col("is_code"))
+  }
+
+  /** Verified entry (t18). Sort is oracle-determinism only. */
+  def t18CodeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeDetect(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -383,6 +383,22 @@ class CurationSpec extends GraftSpecBase {
     assert(math.abs(r(0).getDouble(2) - scored.toDouble / docs.count()) < 1e-9)
   }
 
+  test("x20 length histogram: integer bit-length buckets, ranges exact, shares sum to 1") {
+    // 1 token → bucket 1 [1,1]; 2 and 3 → bucket 2 [2,3]; 7 → bucket
+    // 3 [4,7]; 8 → bucket 4 [8,15]
+    val df = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, Seq.fill(7)("w").mkString(" ")), (5L, Seq.fill(8)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = text.Curation.lengthHistogram(df).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1) == ((1L, 1L, 1L, 1L)), s"got ${r(1)}")
+    assert(r(2) == ((2L, 3L, 2L, 5L)), s"got ${r(2)}")
+    assert(r(3) == ((4L, 7L, 1L, 7L)), s"got ${r(3)}")
+    assert(r(4) == ((8L, 15L, 1L, 8L)), s"got ${r(4)}")
+    val shares = text.Curation.lengthHistogram(df).collect().map(_.getDouble(5)).sum
+    assert(math.abs(shares - 1.0) < 1e-6, s"doc shares must sum to 1: $shares")
+  }
+
   test("x17 length curriculum: dense permutation, short-to-long, shuffled within a length") {
     val r = text.Curation.lengthCurriculum(
       Tables.documents(spark, sf).select("doc_id", "text")).collect()

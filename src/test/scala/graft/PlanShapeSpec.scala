@@ -841,6 +841,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // dedupe + flag agg + day agg — three bounded-key exchanges,
       // ZERO joins (the self-join spelling is what the oracle replays)
       ("st20 returningUsers", operators.Activity.returningUsers(events), 3),
+      // narrow regexp map, zero exchanges
+      ("t18 codeDetect", text.TextAnalysis.codeDetect(docs), 0),
+      // one bucket agg; shares ride the tiny-frame window
+      ("x20 lengthHistogram", text.Curation.lengthHistogram(docs), 1),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row

@@ -315,6 +315,21 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r("b") == ((3L, 3L)), s"got ${r("b")}")
   }
 
+  test("s19 knn outliers: the planted far vector ranks most isolated") {
+    import spark.implicits._
+    val tight = (1L to 7L).map(i =>
+      (i, Seq(1f, (i * 0.001).toFloat, 0f, 0f), "a"))
+    val far = Seq((8L, Seq(0f, 0f, 0f, 1f), "b"))
+    val vs = (tight ++ far).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val r = similarity.Similarity.knnOutliers(vs, k = 3, numCells = 1, topN = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(r.head.getLong(1) == 8L && r.head.getString(2) == "b",
+      s"the orthogonal vector must be isolation rank 1: ${r.head}")
+    assert(r.head.getDouble(3) < r(1).getDouble(3),
+      "rank-1 must have the lowest k-th-neighbor cosine")
+  }
+
   test("s16 cosine histogram: near-perfect pairing coverage, bins partition, layout-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()

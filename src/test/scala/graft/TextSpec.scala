@@ -92,6 +92,18 @@ class TextSpec extends GraftSpecBase {
     assert(r(2L).getLong(2) == 1L, "sentence count must floor at 1")
   }
 
+  test("t18 code detect: code-shaped doc fires, prose doesn't, line count exact") {
+    val df = Seq(
+      (1L, "int main() { return 0; }\n\tx = y;\n\tz();"),
+      (2L, "just plain words of ordinary prose with no symbols at all"))
+      .toDF("doc_id", "text")
+    val r = text.TextAnalysis.codeDetect(df).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3L, s"3 lines: ${r(0)}")
+    assert(r(0).getBoolean(5), "brace/semicolon density must flag code")
+    assert(!r(1).getBoolean(5), "prose must pass")
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) == 0.0)
+  }
+
   test("LM surprisal: hand-computed unigram negative log-likelihoods") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5 → nll(a)=nll(b)=ln(2.5), nll(c)=ln(5)
