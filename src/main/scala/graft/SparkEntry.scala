@@ -180,6 +180,7 @@ object SparkEntry {
     "s19_knn_outliers" -> ((s, d) => similarity.Similarity.s19(s, d)),
     "t18_code_detect" -> ((s, d) => text.TextAnalysis.t18CodeDetect(s, d)),
     "x20_length_histogram" -> ((s, d) => text.Curation.x20LengthHistogram(s, d)),
+    "st21_gap_stats" -> ((s, d) => operators.Activity.st21(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3041,5 +3042,22 @@ object SparkEntry {
         | round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
         | round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
         |FROM a ORDER BY bucket""".stripMargin,
+    // st21: identical lead-diff gaps in the (ts_us, event_id) total
+    // order, attributed to the earlier event's type; quantile_cont
+    // interpolates the same exact µs integers (a8's parity law)
+    "st21_gap_stats" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+        |   AS gap_us
+        | FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events))
+        |SELECT event_type, count(*) AS n_gaps,
+        | round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_s,
+        | round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_s,
+        | round(quantile_cont(gap_us, 0.99) / 1000000.0, 4) AS p99_s,
+        | round(max(gap_us) / 1000000.0, 4) AS max_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

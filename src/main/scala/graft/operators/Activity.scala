@@ -443,4 +443,43 @@ object Activity {
   /** Verified entry (st20). Sort is oracle-determinism only. */
   def st20(spark: SparkSession, dir: String): DataFrame =
     returningUsers(Tables.events(spark, dir)).orderBy(col("day"))
+
+  /** Inter-event gap statistics (st21): per event type, the
+    * distribution of the SAME USER's consecutive-event gaps — count,
+    * exact p50/p90/p99 and max, in seconds. This is the measurement
+    * st1's session gap and a stream's `withWatermark` delay are set
+    * FROM (a session cut below the p90 gap shreds real sessions;
+    * st10/st11 price lateness, this prices idle time). Gaps are
+    * exact µs longs from a lead diff in the total (ts_us, event_id)
+    * order (st18's law); the gap is attributed to the EARLIER
+    * event's type (the state the user idled in).
+    *
+    * Scale shape: ONE user_id shuffle for the lead window (the same
+    * exchange st18 rides), then a map-side-combined per-type
+    * aggregation on the tiny type key; exact percentiles interpolate
+    * per a8's engine-parity law (approx_percentile is the 100 TB
+    * swap, a8b's trade) over the exact µs integers; the seconds
+    * conversion is ONE division + round after the interpolation, so
+    * both engines compute the same double once.
+    */
+  def gapStats(events: DataFrame, keyCol: String = "user_id",
+               tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts_us"), col("event_id"))
+    events
+      .select(col(keyCol), col("event_id"), col(typeCol),
+        unix_micros(col(tsCol)).as("__ts_us"))
+      .withColumn("__gap_us", lead(col("__ts_us"), 1).over(w) - col("__ts_us"))
+      .filter(col("__gap_us").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("__gap_us"), lit(0.5)) / 1000000.0, 4).as("p50_s"),
+        round(percentile(col("__gap_us"), lit(0.9)) / 1000000.0, 4).as("p90_s"),
+        round(percentile(col("__gap_us"), lit(0.99)) / 1000000.0, 4).as("p99_s"),
+        round(max(col("__gap_us")) / 1000000.0, 4).as("max_s"))
+  }
+
+  /** Verified entry (st21). Sort is oracle-determinism only. */
+  def st21(spark: SparkSession, dir: String): DataFrame =
+    gapStats(Tables.events(spark, dir)).orderBy(col("event_type"))
 }

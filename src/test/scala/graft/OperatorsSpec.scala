@@ -372,6 +372,19 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(10) == ((1L, 0L, 1L)), s"day9 u3 outside window: ${r(10)}")
   }
 
+  test("st21 gap stats: lead-diff gaps per user, attributed to the earlier event's type") {
+    // u1: a@0 → b@10s → a@40s: gaps a→10s, b→30s. u2: single event,
+    // no gap. Terminal events contribute nothing (right-censored).
+    val df = Seq((1L, 100L, 0L, "a"), (2L, 100L, 10000000L, "b"),
+                 (3L, 100L, 40000000L, "a"), (4L, 200L, 5L, "a"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val r = operators.Activity.gapStats(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(5)))).toMap
+    assert(r("a") == ((1L, 10.0, 10.0)), s"got ${r("a")}")
+    assert(r("b") == ((1L, 30.0, 30.0)), s"got ${r("b")}")
+  }
+
   test("st11 watermark sim: drops priced against batch-boundary watermark, first batch immune") {
     // batchSize=2 → batches {0:(e0,e1)} {1:(e2,e3)} {2:(e4,e5)}.
     // batch 0 has no watermark (nothing drops). watermark base for

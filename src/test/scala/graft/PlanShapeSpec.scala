@@ -845,6 +845,8 @@ class PlanShapeSpec extends GraftSpecBase {
       ("t18 codeDetect", text.TextAnalysis.codeDetect(docs), 0),
       // one bucket agg; shares ride the tiny-frame window
       ("x20 lengthHistogram", text.Curation.lengthHistogram(docs), 1),
+      // one user shuffle for the lead window + the tiny type agg
+      ("st21 gapStats", operators.Activity.gapStats(events), 2),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row
