@@ -181,6 +181,8 @@ object SparkEntry {
     "t18_code_detect" -> ((s, d) => text.TextAnalysis.t18CodeDetect(s, d)),
     "x20_length_histogram" -> ((s, d) => text.Curation.x20LengthHistogram(s, d)),
     "st21_gap_stats" -> ((s, d) => operators.Activity.st21(s, d)),
+    "x21_pack_efficiency" -> ((s, d) => text.Curation.x21PackEfficiency(s, d)),
+    "p19_retention_plan" -> ((s, d) => sources.Lake.p19RetentionPlan(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3059,5 +3061,42 @@ object SparkEntry {
         | round(max(gap_us) / 1000000.0, 4) AS max_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // x21: x6's recursive next-fit replay → per-bin sums → 1-row
+    // report (integer sums + one division)
+    "x21_pack_efficiency" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n,
+        |  doc_id // 64 AS chunk,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS INTEGER) AS rn
+        | FROM documents),
+        |state AS (
+        | SELECT chunk, rn, doc_id, n, 0 AS bin, n AS used FROM toks WHERE rn = 1
+        | UNION ALL
+        | SELECT t.chunk, t.rn, t.doc_id, t.n,
+        |  CASE WHEN s.used > 0 AND s.used + t.n > 512 THEN s.bin + 1 ELSE s.bin END,
+        |  CASE WHEN s.used > 0 AND s.used + t.n > 512 THEN t.n ELSE s.used + t.n END
+        | FROM toks t JOIN state s ON t.chunk = s.chunk AND t.rn = s.rn + 1),
+        |bins AS (
+        | SELECT chunk * 1048576 + bin AS bin_id, sum(n) AS bt, count(*) AS bd
+        | FROM state GROUP BY 1)
+        |SELECT count(*) AS n_bins, CAST(sum(bd) AS BIGINT) AS n_docs,
+        | CAST(sum(bt) AS BIGINT) AS total_tokens,
+        | round(CAST(sum(bt) AS DOUBLE) / (count(*) * 512), 6) AS mean_fill,
+        | CAST(sum(CASE WHEN bt > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        | CAST(sum(CASE WHEN bt * 2 < 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull
+        |FROM bins""".stripMargin,
+    // p19: day-grain replay — age behind the max day, ladder as
+    // conditional sums
+    "p19_retention_plan" ->
+      """WITH d AS (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |a AS (SELECT date_diff('day', day, (SELECT max(day) FROM d)) AS age, n FROM d),
+        |th AS (SELECT unnest([1, 3, 7, 14, 30]) AS retention_days)
+        |SELECT CAST(retention_days AS BIGINT) AS retention_days,
+        | CAST(sum(CASE WHEN age < retention_days THEN n ELSE 0 END) AS BIGINT) AS n_retained,
+        | CAST(sum(n) - sum(CASE WHEN age < retention_days THEN n ELSE 0 END) AS BIGINT) AS n_expired,
+        | round(CAST(sum(CASE WHEN age < retention_days THEN n ELSE 0 END) AS DOUBLE)
+        |  / sum(n), 6) AS retained_share
+        |FROM th, a GROUP BY th.retention_days ORDER BY retention_days""".stripMargin,
   )
 }

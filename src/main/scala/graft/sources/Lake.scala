@@ -220,6 +220,47 @@ object Lake {
       .orderBy(col("batch"))
   }
 
+  /** Retention-policy planner (p19): for a ladder of candidate
+    * retention windows, how many rows the lake would keep vs expire
+    * and the retained share — the sizing table behind
+    * [[expirePartitions]] (the reference's housekeeping cron expires
+    * blind; this prices each cutoff BEFORE the policy commits, st11's
+    * price-the-knob idea applied to storage). Age is measured in days
+    * behind the corpus max day, so the plan replays identically on
+    * any engine.
+    *
+    * Scale shape: ONE map-side-combined day aggregation (the fact
+    * collapses to a calendar-sized frame), the corpus max rides a
+    * 1-row broadcast onto that TINY frame (never onto the fact), and
+    * the whole ladder folds as conditional sums in one pass (p14's
+    * stack spelling — no |ladder|× fan-out). At 100 TB with a
+    * date-partitioned lake, the day agg prunes to partition listings.
+    */
+  def retentionPlan(events: DataFrame, ladder: Seq[Int] = Seq(1, 3, 7, 14, 30),
+                    tsCol: String = "ts"): DataFrame = {
+    val byDay = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mx = byDay.agg(max(col("day")).as("__max"))
+    val aged = byDay.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("__max"), col("day")))
+    val keeps = ladder.map(d =>
+      sum(when(col("age") < d, col("n")).otherwise(0L)).as(s"__keep_$d"))
+    val one = aged.agg(sum(col("n")).as("__n"), keeps: _*)
+    val stack = ladder.map(d => s"CAST($d AS BIGINT), `__keep_$d`").mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${ladder.length}, $stack)")
+          .as(Seq("retention_days", "n_retained")))
+      .select(col("retention_days"), col("n_retained"),
+        (col("__n") - col("n_retained")).as("n_expired"),
+        round(col("n_retained").cast("double") / col("__n"), 6)
+          .as("retained_share"))
+  }
+
+  /** Verified entry (p19). Sort is oracle-determinism only. */
+  def p19RetentionPlan(spark: SparkSession, dir: String): DataFrame =
+    retentionPlan(graft.Tables.events(spark, dir))
+      .orderBy(col("retention_days"))
+
   /** Morton/Z-order key over two non-negative integer dimensions
     * (the OPTIMIZE ZORDER primitive): interleaves the low `bits`
     * bits of each dim (a in odd positions, b in even), so sorting by

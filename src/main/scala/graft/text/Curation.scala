@@ -836,4 +836,40 @@ object Curation {
   /** Verified entry (x20). Sort is oracle-determinism only. */
   def x20LengthHistogram(spark: SparkSession, dir: String): DataFrame =
     lengthHistogram(Tables.documents(spark, dir)).orderBy(col("bucket"))
+
+  /** Packing-efficiency report (x21): the audit of an x6 packing run
+    * — bins produced, mean context fill, oversize bins (a single doc
+    * longer than the context — the truncation backlog) and underfull
+    * bins (< half full — wasted compute if padded, the signal to
+    * shrink the chunk size or sort by length first, x20's evidence).
+    * A packing that "works" at 60% fill silently burns 40% of every
+    * training step; this is the number that says so.
+    *
+    * Scale shape: one (bin_id) map-side-combined agg over the packed
+    * frame, then a 1-row fold — every statistic is an exact integer
+    * sum or an integer-threshold conditional (the ×2 underfull
+    * compare is integer, never 0.5-epsilon), and mean_fill is ONE
+    * division of exact sums at the end.
+    */
+  def packEfficiency(packed: DataFrame, maxTokens: Int): DataFrame = {
+    val bins = packed.groupBy(col("bin_id"))
+      .agg(sum(col("n_tokens")).as("__bt"), count(lit(1)).as("__bd"))
+    bins.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("__bd")).as("n_docs"),
+      sum(col("__bt")).cast("long").as("total_tokens"),
+      round(sum(col("__bt")).cast("double") /
+        (count(lit(1)) * maxTokens), 6).as("mean_fill"),
+      sum(when(col("__bt") > maxTokens, 1L).otherwise(0L)).as("n_oversize"),
+      sum(when(col("__bt") * 2 < maxTokens, 1L).otherwise(0L)).as("n_underfull"))
+  }
+
+  /** Verified entry (x21): 1-row result over x6's packing. */
+  def x21PackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiency(
+      packSequences(
+        TextAnalysis.tokenCounts(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("ws_tokens")),
+        idCol = "doc_id", tokenCol = "ws_tokens", maxTokens = 512, chunkSize = 64),
+      maxTokens = 512)
 }

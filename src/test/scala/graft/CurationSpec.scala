@@ -383,6 +383,19 @@ class CurationSpec extends GraftSpecBase {
     assert(math.abs(r(0).getDouble(2) - scored.toDouble / docs.count()) < 1e-9)
   }
 
+  test("x21 pack efficiency: planted bins — oversize singleton, underfull tail, exact mean fill") {
+    // chunk 0, cap 100: docs 10+80 fill bin0 (90), 150 overflows to
+    // bin1 alone (oversize), 20 lands in bin2 (underfull)
+    val packed = text.Curation.packSequences(
+      Seq((1L, 10), (2L, 80), (3L, 150), (4L, 20)).toDF("doc_id", "n"),
+      "doc_id", "n", maxTokens = 100, chunkSize = 1000)
+    val r = text.Curation.packEfficiency(packed, 100).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 260L, s"got $r")
+    assert(math.abs(r.getDouble(3) - 260.0 / 300.0) < 1e-6, s"mean fill: $r")
+    assert(r.getLong(4) == 1L, s"the 150-token singleton is oversize: $r")
+    assert(r.getLong(5) == 1L, s"the 20-token tail bin is underfull: $r")
+  }
+
   test("x20 length histogram: integer bit-length buckets, ranges exact, shares sum to 1") {
     // 1 token → bucket 1 [1,1]; 2 and 3 → bucket 2 [2,3]; 7 → bucket
     // 3 [4,7]; 8 → bucket 4 [8,15]

@@ -255,7 +255,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // d19/d20 cross-join the single-row corpus count for the share
       "d19_threshold_sweep", "d20_boilerplate_shingles",
       // a39 cross-joins the single-row midpoint date (a22's pattern)
-      "a39_decile_migration")
+      "a39_decile_migration",
+      // p19 cross-joins the single-row corpus-max day onto the TINY
+      // day-grain frame (st11's pattern)
+      "p19_retention_plan")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -847,6 +850,9 @@ class PlanShapeSpec extends GraftSpecBase {
       ("x20 lengthHistogram", text.Curation.lengthHistogram(docs), 1),
       // one user shuffle for the lead window + the tiny type agg
       ("st21 gapStats", operators.Activity.gapStats(events), 2),
+      // one fact day agg; the ladder folds in a 1-row pass over the
+      // tiny aged frame
+      ("p19 retentionPlan", sources.Lake.retentionPlan(events), 1),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row

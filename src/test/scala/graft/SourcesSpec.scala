@@ -69,6 +69,21 @@ class SourcesSpec extends GraftSpecBase {
     }, s"files must cover disjoint z-ranges: ${ranges.toSeq}")
   }
 
+  test("p19 retention plan: ladder counts against the corpus max day, shares exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000000L
+    // max day = d10; ages: d10→0, d9→1, d5→5, d1→9
+    val ev = Seq((10L, 3L), (9L, 2L), (5L, 4L), (1L, 1L)).flatMap {
+      case (d, n) => Seq.fill(n.toInt)(d * day)
+    }.toDF("ts_us").withColumn("ts", timestamp_micros(col("ts_us")))
+    val r = sources.Lake.retentionPlan(ev, ladder = Seq(1, 2, 7)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((3L, 7L)), s"keep only age 0: ${r(1L)}")
+    assert(r(2L) == ((5L, 5L)), s"keep ages 0-1: ${r(2L)}")
+    assert(r(7L) == ((9L, 1L)), s"keep ages 0-6: ${r(7L)}")
+  }
+
   test("p18 schema evolution: merged read unions schemas, null-fills the old generation") {
     import org.apache.spark.sql.functions._
     val path = sources.Lake.evolvedLake(spark, sf)
