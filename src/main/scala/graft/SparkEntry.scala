@@ -183,6 +183,7 @@ object SparkEntry {
     "st21_gap_stats" -> ((s, d) => operators.Activity.st21(s, d)),
     "x21_pack_efficiency" -> ((s, d) => text.Curation.x21PackEfficiency(s, d)),
     "p19_retention_plan" -> ((s, d) => sources.Lake.p19RetentionPlan(s, d)),
+    "p20_idempotent_backfill" -> ((s, d) => sources.Lake.p20IdempotentBackfill(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3098,5 +3099,13 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN age < retention_days THEN n ELSE 0 END) AS DOUBLE)
         |  / sum(n), 6) AS retained_share
         |FROM th, a GROUP BY th.retention_days ORDER BY retention_days""".stripMargin,
+    // p20: the oracle aggregates the FLAT source — the lake (written,
+    // corrupted, then repaired via dynamic partition overwrite) can
+    // only hash-match if the repair replaced in place: static
+    // overwrite loses every other day, append doubles the repaired one
+    "p20_idempotent_backfill" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
   )
 }

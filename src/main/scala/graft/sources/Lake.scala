@@ -220,6 +220,67 @@ object Lake {
       .orderBy(col("batch"))
   }
 
+  /** Idempotent partition backfill: re-write ONLY the partitions
+    * present in `df`, leaving every other partition untouched —
+    * Spark's dynamic `partitionOverwriteMode`. This is the semantic
+    * an hourly/daily backfill cron (the reference's Airflow DAG)
+    * actually needs: re-running yesterday's job must replace
+    * yesterday's files, not truncate the lake (static overwrite) and
+    * not append duplicates. The conf override is scoped to this
+    * write; the caller session is untouched.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          tsCol: String = "ts"): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val backfillCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p20 lake: full write, then a PLANTED corrupt re-write of the
+    * first day (values doubled), then the idempotent per-partition
+    * backfill of JUST that day with the correct data. If dynamic
+    * overwrite held, the lake equals the source exactly; if it
+    * truncated (static mode) the other days vanish, if it appended
+    * the day doubles — both of which the entry's oracle compare
+    * would catch as a hash mismatch.
+    */
+  private[graft] def backfilledLake(spark: SparkSession, dir: String): String =
+    backfillCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val path = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+      writeDatePartitioned(ev, path)
+      val day0 = ev.agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
+      val slice = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day0)
+      // corrupt the day, then repair it idempotently
+      overwritePartitions(slice.withColumn("value", col("value") * 2), path)
+      overwritePartitions(slice, path)
+      path
+    })
+
+  /** Verified entry (p20): per-day rows + exact cent sums over the
+    * backfilled lake — equal to the flat source iff the re-written
+    * partition replaced in place and every other partition survived.
+    */
+  def p20IdempotentBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val path = backfilledLake(spark, dir)
+    spark.read.parquet(path)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("p_date"))
+  }
+
   /** Retention-policy planner (p19): for a ladder of candidate
     * retention windows, how many rows the lake would keep vs expire
     * and the retained share — the sizing table behind

@@ -84,6 +84,31 @@ class SourcesSpec extends GraftSpecBase {
     assert(r(7L) == ((9L, 1L)), s"keep ages 0-6: ${r(7L)}")
   }
 
+  test("p20 dynamic overwrite: re-writing one day replaces it in place, other days survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000000L
+    val path = java.nio.file.Files.createTempDirectory("p20_spec").toString
+    def ev(rows: (Long, Long, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+    // two days, then re-write day 1 with different values
+    sources.Lake.writeDatePartitioned(
+      ev((1L, 1L * day, 1.0), (2L, 1L * day, 2.0), (3L, 2L * day, 3.0)), path)
+    sources.Lake.overwritePartitions(
+      ev((1L, 1L * day, 9.0), (2L, 1L * day, 9.0)), path)
+    val back = spark.read.parquet(path)
+      .groupBy(col("p_date").cast("string")).agg(sum(col("value")).as("v"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(back.size == 2, s"day 2 must survive the day-1 re-write: $back")
+    assert(back("1970-01-02") == ((18.0, 2L)), s"day 1 must be replaced: $back")
+    assert(back("1970-01-03") == ((3.0, 1L)), s"day 2 untouched: $back")
+    // the conf override must not leak into the caller session
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      .equalsIgnoreCase("static"))
+  }
+
   test("p18 schema evolution: merged read unions schemas, null-fills the old generation") {
     import org.apache.spark.sql.functions._
     val path = sources.Lake.evolvedLake(spark, sf)
