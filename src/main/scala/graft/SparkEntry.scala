@@ -184,6 +184,7 @@ object SparkEntry {
     "x21_pack_efficiency" -> ((s, d) => text.Curation.x21PackEfficiency(s, d)),
     "p19_retention_plan" -> ((s, d) => sources.Lake.p19RetentionPlan(s, d)),
     "p20_idempotent_backfill" -> ((s, d) => sources.Lake.p20IdempotentBackfill(s, d)),
+    "st22_session_stats" -> ((s, d) => streaming.Sessionize.st22(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3107,5 +3108,25 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
+    // st22: st1's session replay folded to the 1-row quality report;
+    // percentiles interpolate exact integers (a8's parity law)
+    "st22_session_stats" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM x)),
+        |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y),
+        |s AS (
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(ts_us) - min(ts_us) AS dur_us
+        | FROM z GROUP BY user_id, session_seq)
+        |SELECT count(*) AS n_sessions,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS bounce_rate,
+        | quantile_cont(n_events, 0.5) AS p50_events,
+        | quantile_cont(n_events, 0.9) AS p90_events,
+        | round(quantile_cont(dur_us, 0.5) / 1000000.0, 4) AS p50_dur_s,
+        | round(quantile_cont(dur_us, 0.9) / 1000000.0, 4) AS p90_dur_s
+        |FROM s""".stripMargin,
   )
 }

@@ -39,6 +39,38 @@ object Sessionize {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Session-quality report (st22): the distribution of session
+    * depth and duration — sessions counted, single-event (bounce)
+    * share, exact p50/p90 of events-per-session and of session
+    * duration in seconds — the health report read next to st21's gap
+    * evidence when the st1 gap parameter is tuned (a gap set too low
+    * shows up here as a bounce-rate spike and collapsing durations).
+    *
+    * Scale shape: rides [[sessionizeBatch]]'s ONE user-prefixed
+    * shuffle; the report is a single 1-row fold over the session
+    * frame (sessions ≪ events). Durations are exact µs longs
+    * (st18's law); percentiles interpolate the exact integers (a8's
+    * parity law, approx_percentile at 100 TB) and the seconds
+    * conversion is one division + round after.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionizeBatch(events, gapMinutes)
+      .withColumn("__dur_us", col("session_end_us") - col("session_start_us"))
+    s.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("bounce_rate"),
+      percentile(col("n_events"), lit(0.5)).as("p50_events"),
+      percentile(col("n_events"), lit(0.9)).as("p90_events"),
+      round(percentile(col("__dur_us"), lit(0.5)) / 1000000.0, 4).as("p50_dur_s"),
+      round(percentile(col("__dur_us"), lit(0.9)) / 1000000.0, 4).as("p90_dur_s"))
+  }
+
+  /** Verified entry (st22): 1-row report, no sort needed. */
+  def st22(spark: SparkSession, dir: String): DataFrame =
+    sessionStats(graft.Tables.events(spark, dir))
+
   final case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
   final case class SessionState(start_us: Long, end_us: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
