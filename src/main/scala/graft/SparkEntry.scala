@@ -185,6 +185,9 @@ object SparkEntry {
     "p19_retention_plan" -> ((s, d) => sources.Lake.p19RetentionPlan(s, d)),
     "p20_idempotent_backfill" -> ((s, d) => sources.Lake.p20IdempotentBackfill(s, d)),
     "st22_session_stats" -> ((s, d) => streaming.Sessionize.st22(s, d)),
+    "t19_ppl_partition" -> ((s, d) => text.TextAnalysis.t19PplPartition(s, d)),
+    "x22_source_quality" -> ((s, d) => text.Curation.x22SourceQuality(s, d)),
+    "m8_byte_entropy" -> ((s, d) => multimodal.Multimodal.m8(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -336,6 +339,50 @@ object SparkEntry {
       | UNION
       | SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Shared by t16 and t19: the full bigram-LM train + stupid-backoff
+    * scoring replay, ending in `pplframe(doc_id, n_scored, avg_nll,
+    * ppl)`.
+    */
+  private val bigramPplCtes: String =
+    """d AS (
+      | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |  t -> t <> '') AS toks
+      | FROM documents),
+      |uni AS (SELECT doc_id, unnest(toks) AS token FROM d),
+      |vocab AS (SELECT token, count(*) AS c FROM uni GROUP BY 1),
+      |tot AS (SELECT sum(c) AS t, count(*) AS v FROM vocab),
+      |bi AS (
+      | SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+      |  FROM d)),
+      |lm0 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |lm AS (
+      | SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p12 FROM (
+      |  SELECT lm0.w1, lm0.w2, lm0.c12, v.c AS c1,
+      |   row_number() OVER (ORDER BY lm0.c12 DESC, lm0.w1, lm0.w2) AS rk
+      |  FROM lm0 JOIN vocab v ON v.token = lm0.w1)
+      | WHERE rk <= 2000),
+      |occ AS (
+      | SELECT doc_id, w1, w2 FROM bi
+      | UNION ALL
+      | SELECT doc_id, NULL AS w1, toks[1] AS w2 FROM d WHERE len(toks) >= 1),
+      |sc AS (
+      | SELECT o.doc_id,
+      |  CASE WHEN lm.p12 IS NOT NULL THEN lm.p12
+      |   ELSE (CASE WHEN o.w1 IS NULL THEN 1.0 ELSE 0.4 END)
+      |    * (CAST(v.c AS DOUBLE) + 1.0)
+      |    / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))
+      |  END AS p
+      | FROM occ o
+      | JOIN vocab v ON v.token = o.w2
+      | LEFT JOIN lm ON lm.w1 = o.w1 AND lm.w2 = o.w2
+      | CROSS JOIN tot),
+      |pplframe AS (
+      | SELECT doc_id, count(*) AS n_scored, round(avg(-ln(p)), 4) AS avg_nll,
+      |  round(exp(round(avg(-ln(p)), 4)), 4) AS ppl
+      | FROM sc GROUP BY 1)""".stripMargin
 
   private val ivfCorpusCtes: String =
     """e AS (
@@ -2694,44 +2741,8 @@ object SparkEntry {
         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // t16: full bigram-LM replay — same top-2000 (count DESC, w1, w2)
     // cut, c12/c1 conditional, stupid backoff, exp of the ROUNDED avg
-    "t16_bigram_ppl" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |  t -> t <> '') AS toks
-        | FROM documents),
-        |uni AS (SELECT doc_id, unnest(toks) AS token FROM d),
-        |vocab AS (SELECT token, count(*) AS c FROM uni GROUP BY 1),
-        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM vocab),
-        |bi AS (
-        | SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
-        |  FROM d)),
-        |lm0 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-        |lm AS (
-        | SELECT w1, w2, CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p12 FROM (
-        |  SELECT lm0.w1, lm0.w2, lm0.c12, v.c AS c1,
-        |   row_number() OVER (ORDER BY lm0.c12 DESC, lm0.w1, lm0.w2) AS rk
-        |  FROM lm0 JOIN vocab v ON v.token = lm0.w1)
-        | WHERE rk <= 2000),
-        |occ AS (
-        | SELECT doc_id, w1, w2 FROM bi
-        | UNION ALL
-        | SELECT doc_id, NULL AS w1, toks[1] AS w2 FROM d WHERE len(toks) >= 1),
-        |sc AS (
-        | SELECT o.doc_id,
-        |  CASE WHEN lm.p12 IS NOT NULL THEN lm.p12
-        |   ELSE (CASE WHEN o.w1 IS NULL THEN 1.0 ELSE 0.4 END)
-        |    * (CAST(v.c AS DOUBLE) + 1.0)
-        |    / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))
-        |  END AS p
-        | FROM occ o
-        | JOIN vocab v ON v.token = o.w2
-        | LEFT JOIN lm ON lm.w1 = o.w1 AND lm.w2 = o.w2
-        | CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_scored, round(avg(-ln(p)), 4) AS avg_nll,
-        | round(exp(round(avg(-ln(p)), 4)), 4) AS ppl
-        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t16_bigram_ppl" -> ("WITH " + bigramPplCtes + """
+        |SELECT doc_id, n_scored, avg_nll, ppl FROM pplframe ORDER BY doc_id""".stripMargin),
     // p17: generated 24-term Morton interleave — bit-exact integer
     // replay of Lake.zorderKey's disjoint-bit sum
     "p17_zorder_layout" -> {
@@ -3128,5 +3139,64 @@ object SparkEntry {
         | round(quantile_cont(dur_us, 0.5) / 1000000.0, 4) AS p50_dur_s,
         | round(quantile_cont(dur_us, 0.9) / 1000000.0, 4) AS p90_dur_s
         |FROM s""".stripMargin,
+    // t19: t16's shared ppl replay + tercile thresholds (quantile_cont
+    // on the 4dp ppl — a8's parity law) + per-bucket integer-exact
+    // mean (d18's law)
+    "t19_ppl_partition" -> ("WITH " + bigramPplCtes + """,
+        |th AS (SELECT quantile_cont(ppl, CAST(1 AS DOUBLE) / 3) AS q33,
+        |              quantile_cont(ppl, CAST(2 AS DOUBLE) / 3) AS q67
+        |       FROM pplframe),
+        |b AS (
+        | SELECT CASE WHEN ppl <= (SELECT q33 FROM th) THEN 'head'
+        |             WHEN ppl <= (SELECT q67 FROM th) THEN 'middle'
+        |             ELSE 'tail' END AS bucket,
+        |  n_scored, ppl
+        | FROM pplframe)
+        |SELECT bucket, count(*) AS n_docs,
+        | CAST(sum(n_scored) AS BIGINT) AS n_scored_total,
+        | round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl,
+        | round(CAST(sum(CAST(round(ppl * 10000) AS BIGINT)) AS DOUBLE)
+        |  / 10000.0 / count(*), 4) AS mean_ppl
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // x22: t1's score replay per source; mean as exact 1e-6 integer
+    // units (d18's law), null scores reject (x4's law)
+    "x22_source_quality" ->
+      """WITH s AS (
+        | SELECT source,
+        |  round(least(1.0, n_tokens / 100.0) * 0.5 + stopword_ratio * 0.3
+        |         + (1.0 - punct_ratio) * 0.2, 6) AS q,
+        |  n_tokens AS tk
+        | FROM (
+        |  SELECT source, len(toks) AS n_tokens,
+        |   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |   round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM (SELECT source, text, regexp_split_to_array(text, '\s+') AS toks FROM documents)))
+        |SELECT source, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens,
+        | round(CASE WHEN count(q) > 0
+        |  THEN CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000.0 / count(q) END, 6) AS mean_quality,
+        | round(CAST(sum(CASE WHEN q >= 0.5 THEN 0 ELSE 1 END) AS DOUBLE)
+        |  / count(*), 6) AS reject_rate
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // m8: byte histogram over the ASCII payload (unicode(c) = byte,
+    // the m5/m6 equivalence), H = log2(n) − Σ c·log2 c / n; empty
+    // docs re-join with zero stats (the operator emits them directly)
+    "m8_byte_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+        | FROM documents),
+        |hist AS (
+        | SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |e AS (
+        | SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS byte_len,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(log2(CAST(sum(cnt) AS DOUBLE))
+        |   - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 4) AS entropy_bits
+        | FROM hist GROUP BY 1)
+        |SELECT d.doc_id, coalesce(e.byte_len, 0) AS byte_len,
+        | coalesce(e.n_distinct, 0) AS n_distinct,
+        | coalesce(e.entropy_bits, 0.0) AS entropy_bits
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -513,4 +513,59 @@ object Multimodal {
   /** Verified entry (m7). Sort is oracle-determinism only. */
   def m7(spark: SparkSession, dir: String): DataFrame =
     audioStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  final case class ByteEntropy(doc_id: Long, byte_len: Long, n_distinct: Long,
+                               entropy_bits: Double)
+
+  /** m8: per-payload byte entropy — the compressed/encrypted
+    * detector for a multimodal lake (a "JPEG" near 8 bits/byte is a
+    * real codec stream; a "WAV" at 2 bits/byte is silence or
+    * padding; an 8-bit-entropy payload in a TEXT column is
+    * exfiltrated binary). H = log2(n) − (Σ c·log2 c)/n over the
+    * 256-bin byte histogram — t10's sorted-fold entropy law applied
+    * to BYTES: counts accumulate as exact longs in one pass and the
+    * double fold walks the histogram in fixed bin order (0..255), so
+    * the result replays bit-for-bit. Narrow mapPartitions kernel,
+    * zero shuffles, O(docs) output.
+    */
+  def byteEntropy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+          val n = bytes.length.toDouble
+          var sum = 0.0
+          var distinct = 0L
+          var b = 0
+          while (b < 256) {
+            val c = counts(b)
+            if (c > 0) {
+              distinct += 1
+              sum += c * (math.log(c.toDouble) / math.log(2.0))
+            }
+            b += 1
+          }
+          val h =
+            if (bytes.length == 0) 0.0
+            else math.log(n) / math.log(2.0) - sum / n
+          ByteEntropy(id, bytes.length.toLong, distinct, h)
+        }
+      }
+      .toDF()
+      // 4dp round at the frame boundary (Spark's HALF_UP on the
+      // shortest-decimal repr — t10's law; it also absorbs the
+      // oracle's unordered-bin summation noise)
+      .withColumn("entropy_bits", round(col("entropy_bits"), 4))
+  }
+
+  /** Verified entry (m8). Sort is oracle-determinism only. */
+  def m8(spark: SparkSession, dir: String): DataFrame =
+    byteEntropy(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

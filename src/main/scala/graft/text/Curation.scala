@@ -864,6 +864,37 @@ object Curation {
       sum(when(col("__bt") * 2 < maxTokens, 1L).otherwise(0L)).as("n_underfull"))
   }
 
+  /** Per-source quality profile (x22): mean quality score, reject
+    * rate at the curation gate, and token mass per source — the
+    * evidence x2's caps and x9's budgets are weighted BY (a source
+    * whose mean quality is low and reject rate high earns a smaller
+    * budget; x14 measures composition, this measures worth). Mean
+    * quality folds as exact 1e-6 integer units (d18's law on the
+    * 6dp score) so no summation order can move a reported mean;
+    * reject rate counts `quality_score >= τ` failures with nulls
+    * rejecting (x4's law).
+    *
+    * Scale shape: t1's narrow scoring map, ONE map-side-combined
+    * agg on the tiny source key. Nothing else moves.
+    */
+  def sourceQuality(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("source"), col("quality_score").as("__q"),
+        col("n_tokens").cast("long").as("__tk"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tk")).as("n_tokens"),
+        round(when(count(col("__q")) > 0,
+          sum(round(col("__q") * 1000000.0, 0).cast("long")).cast("double")
+            / 1000000.0 / count(col("__q"))), 6).as("mean_quality"),
+        round(sum(when(col("__q") >= threshold, 0L).otherwise(1L)).cast("double")
+          / count(lit(1)), 6).as("reject_rate"))
+  }
+
+  /** Verified entry (x22). Sort is oracle-determinism only. */
+  def x22SourceQuality(spark: SparkSession, dir: String): DataFrame =
+    sourceQuality(Tables.documents(spark, dir)).orderBy(col("source"))
+
   /** Verified entry (x21): 1-row result over x6's packing. */
   def x21PackEfficiency(spark: SparkSession, dir: String): DataFrame =
     packEfficiency(

@@ -686,6 +686,46 @@ object TextAnalysis {
   def t17Readability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Perplexity partition (t19): the CCNet head/middle/tail split —
+    * every doc bucketed by its t16 bigram-LM perplexity against the
+    * corpus tercile thresholds, reported per bucket (docs, scored
+    * events, min/max/mean ppl). The canonical LM-quality mixing
+    * knob: head trains, middle is kept at reduced weight, tail is
+    * dropped or audited.
+    *
+    * Scale shape: the tercile CUT POINTS come from a 1-row
+    * percentile aggregate that broadcasts back — never an
+    * ntile/global rank of the corpus-sized ppl frame (the
+    * threshold-vs-rank trade: identical buckets, no corpus sort;
+    * x10's banded rank would be the spelling if exact per-doc ranks
+    * were the product). Bucket compares use the 4dp-rounded ppl
+    * against the interpolated threshold (a8's parity law), and the
+    * per-bucket mean folds as exact 1e-4 integer units (d18's law)
+    * so no summation-order drift can move a reported mean.
+    */
+  def pplPartition(docs: DataFrame, lmSize: Int = 2000): DataFrame = {
+    val ppl = bigramPerplexity(docs, lmSize)
+      .select(col("doc_id"), col("n_scored"), col("ppl"))
+    val th = ppl.agg(percentile(col("ppl"), lit(1.0 / 3)).as("__q33"),
+      percentile(col("ppl"), lit(2.0 / 3)).as("__q67"))
+    ppl.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("ppl") <= col("__q33"), "head")
+          .when(col("ppl") <= col("__q67"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("n_scored_total"),
+        round(min(col("ppl")), 4).as("min_ppl"),
+        round(max(col("ppl")), 4).as("max_ppl"),
+        round(sum(round(col("ppl") * 10000.0, 0).cast("long")).cast("double")
+          / 10000.0 / count(lit(1)), 4).as("mean_ppl"))
+  }
+
+  /** Verified entry (t19). Sort is oracle-determinism only. */
+  def t19PplPartition(spark: SparkSession, dir: String): DataFrame =
+    pplPartition(Tables.documents(spark, dir)).orderBy(col("bucket"))
+
   /** Code-likeness gate (t18): structural indicators that separate
     * source code / markup from prose — code-fence and symbol density
     * ([{};()=<>] per char), indented-line ratio, camelCase boundary

@@ -383,6 +383,19 @@ class CurationSpec extends GraftSpecBase {
     assert(math.abs(r(0).getDouble(2) - scored.toDouble / docs.count()) < 1e-9)
   }
 
+  test("x22 source quality: per-source means exact, reject rate counts the gate's failures") {
+    val docs = Tables.documents(spark, sf)
+    val r = text.Curation.sourceQuality(docs).collect()
+    assert(r.nonEmpty && r.forall(_.getLong(1) > 0))
+    // cross-check one source against a direct computation
+    val scored = graft.text.TextAnalysis.qualityScore(docs)
+      .filter(col("source") === r.head.getString(0))
+    val direct = scored.filter(col("quality_score") < 0.5 ||
+      col("quality_score").isNull).count().toDouble / scored.count()
+    assert(math.abs(r.head.getDouble(4) - direct) < 1e-6,
+      s"reject rate must match the gate: ${r.head.getDouble(4)} vs $direct")
+  }
+
   test("x21 pack efficiency: planted bins — oversize singleton, underfull tail, exact mean fill") {
     // chunk 0, cap 100: docs 10+80 fill bin0 (90), 150 overflows to
     // bin1 alone (oversize), 20 lands in bin2 (underfull)

@@ -112,6 +112,18 @@ class MultimodalSpec extends GraftSpecBase {
       "identical payloads must produce identical stats")
   }
 
+  test("m8 byte entropy: hand-computed H, empty docs zero, uniform bytes max out") {
+    import spark.implicits._
+    val df = Seq((1L, "aabb"), (2L, ""), (3L, "abcd"), (4L, "aaaa"))
+      .toDF("doc_id", "text")
+    val r = multimodal.Multimodal.byteEntropy(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 2L, 1.0)), s"two symbols at 50/50 = 1 bit: ${r(1L)}")
+    assert(r(2L) == ((0L, 0L, 0.0)), s"empty payload = zero stats: ${r(2L)}")
+    assert(r(3L) == ((4L, 4L, 2.0)), s"4 uniform symbols = 2 bits: ${r(3L)}")
+    assert(r(4L) == ((4L, 1L, 0.0)), s"constant payload = 0 bits: ${r(4L)}")
+  }
+
   test("real PNG decode: dimensions from actual javax.imageio encoder output") {
     // a REAL png produced by the JDK's encoder — signature, IHDR,
     // zlib-compressed IDAT and all

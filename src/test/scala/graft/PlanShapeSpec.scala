@@ -250,8 +250,9 @@ class PlanShapeSpec extends GraftSpecBase {
       // a36 likewise its single-row grand-total spend
       "a35_rfm_segments", "a36_abc_classes",
       // t16 cross-joins the single-row LM normalizer (T, V) into the
-      // scoring pass (t7/t11's corpus-stat pattern)
-      "t16_bigram_ppl",
+      // scoring pass (t7/t11's corpus-stat pattern); t19 wraps t16
+      // and adds its own single-row tercile-threshold cross join
+      "t16_bigram_ppl", "t19_ppl_partition",
       // d19/d20 cross-join the single-row corpus count for the share
       "d19_threshold_sweep", "d20_boilerplate_shingles",
       // a39 cross-joins the single-row midpoint date (a22's pattern)
@@ -853,6 +854,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // one fact day agg; the ladder folds in a 1-row pass over the
       // tiny aged frame
       ("p19 retentionPlan", sources.Lake.retentionPlan(events), 1),
+      // narrow scoring map + ONE source agg
+      ("x22 sourceQuality", text.Curation.sourceQuality(docs), 1),
+      // narrow mapPartitions kernel, zero shuffles
+      ("m8 byteEntropy", multimodal.Multimodal.byteEntropy(docs), 0),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row
