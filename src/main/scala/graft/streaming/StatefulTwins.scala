@@ -175,6 +175,45 @@ object StatefulTwins {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
   }
 
+  // ------------------------------------------------------------ streaks
+
+  final case class StreakEv(user_id: Long, day: Int)
+  final case class StreakOut(user_id: Long, active_days: Long, n_streaks: Long,
+                             longest_streak: Long)
+
+  /** Streaming twin of st19's activity streaks. State per key is the
+    * DISTINCT active-day set (as epoch days) — bounded by the
+    * calendar span of the stream, st19's own per-key contract, and
+    * insertion-order-free, so out-of-order and duplicate days within
+    * the watermark cannot corrupt a run the way an O(1) last-day
+    * counter would (a day arriving late simply lands in the set; the
+    * streak math re-derives from the sorted set). Emits each key's
+    * CURRENT streak row every batch (Update mode, keyed-upsert sink).
+    */
+  def streaksStream(events: Dataset[StreakEv]): Dataset[StreakOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[StreakEv],
+           state: GroupState[Seq[Int]]): StreakOut = {
+      val days = (state.getOption.getOrElse(Seq.empty[Int]) ++
+        evs.map(_.day)).distinct
+      state.update(days)
+      val sorted = days.toArray.sorted
+      var prev = Int.MinValue
+      var cur = 0L; var best = 0L; var runs = 0L
+      sorted.foreach { d =>
+        if (prev != Int.MinValue && d == prev + 1) cur += 1
+        else { cur = 1; runs += 1 }
+        if (cur > best) best = cur
+        prev = d
+      }
+      StreakOut(userId, sorted.length.toLong, runs, best)
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+  }
+
   // ------------------------------------------------------------ attribution
 
   final case class AttribOut(event_id: Long, user_id: Long, ts_us: Long,

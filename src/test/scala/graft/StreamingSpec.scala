@@ -301,6 +301,37 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("streaming streaks equal batch st19 across a scrambled two-batch ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{StreakEv, StreakOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+      .as[StreakEv].collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[StreakEv]
+    val q = streaming.StatefulTwins.streaksStream(mem.toDS())
+      .writeStream.format("memory").queryName("streak_twin")
+      .outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("streak_twin").as[StreakOut].collect()
+      .zipWithIndex.groupBy(_._1.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+    val batch = operators.Activity.activityStreaks(Tables.events(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (u, b) =>
+      val s = streamed(u)
+      assert((s.active_days, s.n_streaks, s.longest_streak) == b,
+        s"user $u: stream $s != batch $b")
+    }
+  }
+
   test("streaming hourly item counts equal st14's frame; trending cut over final state matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
