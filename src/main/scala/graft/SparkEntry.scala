@@ -188,6 +188,7 @@ object SparkEntry {
     "t19_ppl_partition" -> ((s, d) => text.TextAnalysis.t19PplPartition(s, d)),
     "x22_source_quality" -> ((s, d) => text.Curation.x22SourceQuality(s, d)),
     "m8_byte_entropy" -> ((s, d) => multimodal.Multimodal.m8(s, d)),
+    "s20_nprobe_curve" -> ((s, d) => similarity.Similarity.s20(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3198,5 +3199,46 @@ object SparkEntry {
         | coalesce(e.entropy_bits, 0.0) AS entropy_bits
         |FROM documents d LEFT JOIN e USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // s20: s17's IVF-probe replay GENERATED per ladder rung (pr <=
+    // nprobe); hit counts join on (q, n) membership, never a cosine
+    // re-compare; mean recall = Σhits / (k·|queries|), one exact
+    // integer division
+    "s20_nprobe_curve" -> {
+      val rungs = Seq(1, 2, 4, 8, 16)
+      val perRung = rungs.map { np =>
+        s"""cand_$np AS (
+           | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
+           | FROM (SELECT * FROM probes WHERE pr <= $np) p
+           | JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+           |approx_$np AS (
+           | SELECT q_id, n_id FROM (
+           |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
+           |  FROM cand_$np)
+           | WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val unions = rungs.map { np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, count(*) AS n_hits FROM approx_$np a JOIN bf ON a.q_id = bf.q_id AND a.n_id = bf.n_id"
+      }.mkString("\nUNION ALL\n")
+      "WITH " + ivfCorpusCtes + """,
+        |probes AS (
+        | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |bf AS (
+        | SELECT q_id, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0)
+        | WHERE rank <= 10),
+        |""".stripMargin + perRung + s"""
+        |SELECT nprobe, n_hits,
+        | round(CAST(n_hits AS DOUBLE)
+        |  / ((SELECT count(DISTINCT q_id) FROM bf) * 10), 6) AS mean_recall
+        |FROM ($unions) u ORDER BY nprobe""".stripMargin
+    },
   )
 }

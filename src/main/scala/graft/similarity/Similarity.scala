@@ -873,6 +873,47 @@ object Similarity {
     knnOutliers(Tables.embeddings(spark, dir), cacheKey = Some(dir))
       .orderBy(col("isolation_rank"))
 
+  /** IVF nprobe/recall curve (s20): mean recall@k of the IVF index
+    * at every rung of an nprobe ladder, against the exact baseline —
+    * s17 measures ONE operating point, this measures the whole knob
+    * (production re-runs it per index build and picks the cheapest
+    * nprobe above the recall SLO; scan cost is ∝ nprobe, so the
+    * curve IS the latency/recall trade).
+    *
+    * Scale shape: the exact side (bounded query subset, broadcast —
+    * s1's contract) is computed ONCE; each rung is the same narrow
+    * literal-centroid IVF probe with a different cell cut, and the
+    * rung recalls reduce as integer hit counts joined on (q, n)
+    * membership — never a cosine re-compare (s17's law), so mean
+    * recall = Σhits / (k·|queries|) is one exact-integer division.
+    */
+  def nprobeCurve(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                  ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 16,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val exact = bruteForceKnn(queries, corpus, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = ladder.map { np =>
+      ivfKnn(queries, corpus, k, numCells, np, cacheKey)
+        .select(col("q_id"), col("n_id"))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+    val nq = exact.agg(countDistinct(col("q_id")).as("__nq"))
+    approx.join(exact, Seq("q_id", "n_id"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_hits"),
+        round(col("n_hits").cast("double") / (col("__nq") * k), 6)
+          .as("mean_recall"))
+  }
+
+  /** Verified entry (s20). Sort is oracle-determinism only. */
+  def s20(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    nprobeCurve(emb.filter(col("vec_id") % 50 === 0), emb, cacheKey = Some(dir))
+      .orderBy(col("nprobe"))
+  }
+
   /** Background-similarity histogram (s16): the cosine distribution
     * over a deterministic pseudo-random pairing of the corpus — the
     * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far

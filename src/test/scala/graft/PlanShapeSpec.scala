@@ -241,8 +241,9 @@ class PlanShapeSpec extends GraftSpecBase {
       // x16 cross-joins its single-row corpus total (x14's pattern)
       "x16_mix_rebalance",
       // s17 wraps s1's brute-force exact side (broadcast query subset
-      // into the non-equi scan — the same bounded BNLJ as s1/s5)
-      "s17_ivf_recall",
+      // into the non-equi scan — the same bounded BNLJ as s1/s5);
+      // s20 likewise, plus its single-row query-count cross join
+      "s17_ivf_recall", "s20_nprobe_curve",
       // x18 cross-joins its single-row corpus total (x16's pattern)
       "x18_epoch_plan",
       // a35 cross-joins the single-row corpus-max order date (a22's

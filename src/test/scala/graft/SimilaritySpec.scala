@@ -315,6 +315,18 @@ class SimilaritySpec extends GraftSpecBase {
     assert(r("b") == ((3L, 3L)), s"got ${r("b")}")
   }
 
+  test("s20 nprobe curve: recall monotone in nprobe, all-cells rung is exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = similarity.Similarity.nprobeCurve(
+      emb.filter(col("vec_id") % 50 === 0), emb, numCells = 8,
+      ladder = Seq(1, 2, 8)).collect().sortBy(_.getLong(0))
+    val recalls = r.map(_.getDouble(2))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(recalls.last == 1.0,
+      s"probing every cell must recover the exact top-k: ${recalls.toSeq}")
+  }
+
   test("s19 knn outliers: the planted far vector ranks most isolated") {
     import spark.implicits._
     val tight = (1L to 7L).map(i =>
