@@ -189,6 +189,7 @@ object SparkEntry {
     "x22_source_quality" -> ((s, d) => text.Curation.x22SourceQuality(s, d)),
     "m8_byte_entropy" -> ((s, d) => multimodal.Multimodal.m8(s, d)),
     "s20_nprobe_curve" -> ((s, d) => similarity.Similarity.s20(s, d)),
+    "p21_dq_daily" -> ((s, d) => quality.Checks.p21DqDaily(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3240,5 +3241,18 @@ object SparkEntry {
         |  / ((SELECT count(DISTINCT q_id) FROM bf) * 10), 6) AS mean_recall
         |FROM ($unions) u ORDER BY nprobe""".stripMargin
     },
+    // p21: identical day-grain counts; avg from the exactly-recovered
+    // rounded sum (p8's law); verdict folds the same integers
+    "p21_dq_daily" ->
+      """SELECT day, n_rows, n_null_user, n_dup_event_id, avg_value,
+        | (n_null_user = 0 AND n_dup_event_id = 0
+        |  AND avg_value BETWEEN 0.0 AND 1000.0) AS ok
+        |FROM (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+        |  CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS n_dup_event_id,
+        |  round(sum(value), 2) / count(*) AS avg_value
+        | FROM events GROUP BY 1)
+        |ORDER BY day""".stripMargin,
   )
 }

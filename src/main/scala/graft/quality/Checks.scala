@@ -232,6 +232,38 @@ object Checks {
       AvgBetween("value", 0.0, 1000.0),
       MinAtLeast("value", 0.0)))
 
+  /** Daily DQ trend (p21): p5's table-level suite evaluated at DAY
+    * grain — the dashboard table a data-platform team actually
+    * watches (a single whole-table verdict hides WHEN quality broke;
+    * the day series shows the regression land and DQ gates alert on
+    * the newest row). Per day: row count, missing keys, duplicate
+    * ids, the exact-sum-derived mean value, and the folded `ok`
+    * verdict — every component an integer count or the one rounded
+    * division (p8's exact-sum law), so the verdict can never split
+    * between engines.
+    *
+    * Scale shape: ONE map-side-combined day aggregation; duplicate
+    * counting pays the exact-distinct second exchange (p14's trade —
+    * approx_count_distinct drops it to one at 100 TB).
+    */
+  def dqDaily(events: DataFrame, avgLo: Double = 0.0,
+              avgHi: Double = 1000.0): DataFrame = {
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+        (count(col("event_id")) - countDistinct(col("event_id")))
+          .as("n_dup_event_id"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
+      .withColumn("ok",
+        col("n_null_user") === 0 && col("n_dup_event_id") === 0 &&
+          col("avg_value").between(avgLo, avgHi))
+  }
+
+  /** Verified entry (p21). Sort is oracle-determinism only. */
+  def p21DqDaily(spark: SparkSession, dir: String): DataFrame =
+    dqDaily(Tables.events(spark, dir)).orderBy(col("day"))
+
   /** Row-level quarantine routing — p5's table-level suite tells you
     * THAT the batch is bad; this is the dead-letter half of a real
     * ingest: each row is tested against the rule set and the failing
