@@ -190,6 +190,8 @@ object SparkEntry {
     "m8_byte_entropy" -> ((s, d) => multimodal.Multimodal.m8(s, d)),
     "s20_nprobe_curve" -> ((s, d) => similarity.Similarity.s20(s, d)),
     "p21_dq_daily" -> ((s, d) => quality.Checks.p21DqDaily(s, d)),
+    "x23_split_leakage" -> ((s, d) => text.Curation.x23SplitLeakage(s, d)),
+    "st23_first_touch" -> ((s, d) => operators.Activity.st23(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3254,5 +3256,65 @@ object SparkEntry {
         |  round(sum(value), 2) / count(*) AS avg_value
         | FROM events GROUP BY 1)
         |ORDER BY day""".stripMargin,
+    // x23: x8's mix64 split replay on each pair member + d4's pair
+    // replay; cells fold unordered via least/greatest (d14's law)
+    "x23_split_leakage" ->
+      """WITH m0 AS (
+        | SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
+        | FROM documents),
+        |m1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m0),
+        |m2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
+        |m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+        |m4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m3),
+        |m5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM m4),
+        |sgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+        | FROM m5),
+        |sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN ((h % 100) + 100) % 100 < 80 THEN 'train'
+        |       WHEN ((h % 100) + 100) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM sgn),
+        |g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |cells AS (
+        | SELECT least(sa.split, sb.split) AS split_lo,
+        |  greatest(sa.split, sb.split) AS split_hi, count(*) AS n_pairs
+        | FROM p JOIN sp sa ON p.a_id = sa.doc_id
+        |        JOIN sp sb ON p.b_id = sb.doc_id
+        | GROUP BY 1, 2)
+        |SELECT split_lo, split_hi, n_pairs,
+        | round(CAST(n_pairs AS DOUBLE) / (SELECT sum(n_pairs) FROM cells), 6)
+        |  AS pair_share,
+        | split_lo <> split_hi AS is_leak
+        |FROM cells ORDER BY split_lo, split_hi""".stripMargin,
+    // st23: both carries over st15's frame; first_value/last_value
+    // IGNORE NULLS over the identical strict-precedence window
+    "st23_first_touch" ->
+      """SELECT event_id, user_id, first_touch_id, last_touch_id,
+        | first_touch_id IS NOT NULL AS attributed,
+        | first_touch_id = last_touch_id AS same_touch
+        |FROM (
+        | SELECT event_id, user_id, event_type,
+        |  first_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+        |    OVER w AS first_touch_id,
+        |  last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+        |    OVER w AS last_touch_id
+        | FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -482,4 +482,42 @@ object Activity {
   /** Verified entry (st21). Sort is oracle-determinism only. */
   def st21(spark: SparkSession, dir: String): DataFrame =
     gapStats(Tables.events(spark, dir)).orderBy(col("event_type"))
+
+  /** First-vs-last-touch attribution (st23): each conversion credited
+    * under BOTH models side by side — first preceding touch (the
+    * acquisition view) and latest preceding touch (st15's conversion
+    * view) — plus `same_touch` marking single-touch journeys where
+    * the models agree. Marketing runs both and argues about the
+    * middle; this is the comparison frame that argument reads from.
+    * Order/tie law is st15's exactly: strict (ts, event_id)
+    * precedence.
+    *
+    * Scale shape: ONE user_id shuffle; both carries ride the same
+    * window frame (first/last with ignoreNulls over the same
+    * partitioning — no second exchange, no self-join).
+    */
+  def firstLastTouch(events: DataFrame,
+                     conversionType: String = "purchase",
+                     touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("first_touch_id",
+        first(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(col("event_id"), col("user_id"),
+        col("first_touch_id"), col("last_touch_id"),
+        col("first_touch_id").isNotNull.as("attributed"),
+        (col("first_touch_id") === col("last_touch_id")).as("same_touch"))
+  }
+
+  /** Verified entry (st23). Sort is oracle-determinism only. */
+  def st23(spark: SparkSession, dir: String): DataFrame =
+    firstLastTouch(Tables.events(spark, dir)).orderBy(col("event_id"))
 }

@@ -895,6 +895,42 @@ object Curation {
   def x22SourceQuality(spark: SparkSession, dir: String): DataFrame =
     sourceQuality(Tables.documents(spark, dir)).orderBy(col("source"))
 
+  /** Split-leakage audit (x23): where near-dup pairs land under the
+    * PLAIN per-doc x8 split — the measured evidence for the hole
+    * x13 exists to close (independent hashes put ≈34% of cross-dup
+    * pairs in different splits at 80/10/10; this reports the actual
+    * count, per split-pair cell, with `is_leak` on the off-diagonal
+    * cells). Run it before trusting any per-doc split for eval.
+    *
+    * Scale shape: the bounded near-dup pair set decorates against
+    * the narrow split map via two id equi-joins (the pair frame is
+    * ≪ corpus and broadcasts on size estimate — d16's contract);
+    * cells fold unordered via least/greatest (d14's law) and the
+    * share divides by a window total over the ≤6-cell matrix.
+    */
+  def splitLeakageAudit(docs: DataFrame, pairs: DataFrame,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val sp = hashSplit(docs.select(col("doc_id")), "doc_id", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    val decorated = pairs.select(col("a_id"), col("b_id"))
+      .join(sp.select(col("doc_id").as("a_id"), col("split").as("__sa")), Seq("a_id"))
+      .join(sp.select(col("doc_id").as("b_id"), col("split").as("__sb")), Seq("b_id"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    decorated
+      .groupBy(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pair_share",
+        round(col("n_pairs").cast("double") / sum(col("n_pairs")).over(all), 6))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
+  /** Verified entry (x23). Sort is oracle-determinism only. */
+  def x23SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAudit(Tables.documents(spark, dir),
+      graft.dedup.Dedup.cachedJaccardPairs(spark, dir))
+      .orderBy(col("split_lo"), col("split_hi"))
+
   /** Verified entry (x21): 1-row result over x6's packing. */
   def x21PackEfficiency(spark: SparkSession, dir: String): DataFrame =
     packEfficiency(
