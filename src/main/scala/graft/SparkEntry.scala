@@ -192,6 +192,7 @@ object SparkEntry {
     "p21_dq_daily" -> ((s, d) => quality.Checks.p21DqDaily(s, d)),
     "x23_split_leakage" -> ((s, d) => text.Curation.x23SplitLeakage(s, d)),
     "st23_first_touch" -> ((s, d) => operators.Activity.st23(s, d)),
+    "p22_stage_reconcile" -> ((s, d) => pipeline.Medallion.stageReconcile(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3316,5 +3317,17 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // p22: replayed stage counts — silver = distinct event_id (the
+    // dedup key; unique at every SF, §5's determinism note), gold
+    // event mass = silver by conservation
+    "p22_stage_reconcile" ->
+      """SELECT n_bronze, n_silver, n_bronze - n_silver AS dedup_loss,
+        | n_gold_groups, gold_events, gold_events = n_silver AS conserved
+        |FROM (
+        | SELECT (SELECT count(*) FROM events) AS n_bronze,
+        |  (SELECT count(DISTINCT event_id) FROM events) AS n_silver,
+        |  (SELECT count(*) FROM (SELECT DISTINCT event_type,
+        |    time_bucket(INTERVAL '15 minutes', ts) FROM events)) AS n_gold_groups,
+        |  (SELECT count(DISTINCT event_id) FROM events) AS gold_events)""".stripMargin,
   )
 }

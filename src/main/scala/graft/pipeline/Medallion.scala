@@ -89,6 +89,34 @@ object Medallion {
     silverClean(cleaned, Seq("event_id"))
   }
 
+  /** Medallion stage reconciliation (p22): the row-conservation audit
+    * run after every backfill — bronze count, silver count with the
+    * dedup loss made explicit, gold group count, and the TOTAL events
+    * folded into gold, with `conserved` asserting gold's event mass
+    * equals silver exactly (an aggregation that silently drops or
+    * double-counts rows breaks here, not in a downstream report).
+    * The reference pipeline has no such audit; a production medallion
+    * does, and it is the first thing checked when gold "looks low".
+    *
+    * Scale shape: three independent 1-row aggregates (each a
+    * map-side-combined pass) cross-joined at the report grain —
+    * the fact table is never joined, only counted.
+    */
+  def stageReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val raw = graft.Tables.events(spark, dir)
+    val silver = silverEvents(raw)
+    val gold = goldWindow(silver, "ts", "event_type")
+    val b = raw.agg(count(lit(1)).as("n_bronze"))
+    val s = silver.agg(count(lit(1)).as("n_silver"))
+    val g = gold.agg(count(lit(1)).as("n_gold_groups"),
+      sum(col("n_events")).as("gold_events"))
+    b.crossJoin(broadcast(s)).crossJoin(broadcast(g))
+      .select(col("n_bronze"), col("n_silver"),
+        (col("n_bronze") - col("n_silver")).as("dedup_loss"),
+        col("n_gold_groups"), col("gold_events"),
+        (col("gold_events") === col("n_silver")).as("conserved"))
+  }
+
   /** Gold: tumbling-window aggregation per key (reference: 15-minute
     * window × station_id with avg aggregates,
     * spark_streaming_job.py:105-117). Works unchanged on a streaming

@@ -260,7 +260,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "a39_decile_migration",
       // p19 cross-joins the single-row corpus-max day onto the TINY
       // day-grain frame (st11's pattern)
-      "p19_retention_plan")
+      "p19_retention_plan",
+      // p22 cross-joins three single-row stage counts
+      "p22_stage_reconcile")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
