@@ -193,6 +193,7 @@ object SparkEntry {
     "x23_split_leakage" -> ((s, d) => text.Curation.x23SplitLeakage(s, d)),
     "st23_first_touch" -> ((s, d) => operators.Activity.st23(s, d)),
     "p22_stage_reconcile" -> ((s, d) => pipeline.Medallion.stageReconcile(s, d)),
+    "s21_sq_error" -> ((s, d) => similarity.Similarity.s21(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3329,5 +3330,39 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT DISTINCT event_type,
         |    time_bucket(INTERVAL '15 minutes', ts) FROM events)) AS n_gold_groups,
         |  (SELECT count(DISTINCT event_id) FROM events) AS gold_events)""".stripMargin,
+    // s21: identical int8 quantization (floor(x/scale·127 + 0.5))
+    // and fixed-index-order cosine fold; mean over 1e-6 integer
+    // units of the per-row ROUNDED cosine (d18's law)
+    "s21_sq_error" ->
+      """WITH c AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+        | FROM embeddings),
+        |q AS (
+        | SELECT vec_id, e,
+        |  CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |   ELSE list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))
+        |  END AS codes
+        | FROM c),
+        |s AS (
+        | SELECT vec_id,
+        |  list_reduce(list_transform(generate_series(1, 64), i -> codes[i] * codes[i]),
+        |    (x, y) -> x + y) AS qn,
+        |  list_reduce(list_transform(generate_series(1, 64), i -> e[i] * CAST(codes[i] AS DOUBLE)),
+        |    (x, y) -> x + y) AS dot,
+        |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i] * e[i]),
+        |    (x, y) -> x + y)) AS ne
+        | FROM q),
+        |r AS (
+        | SELECT vec_id,
+        |  round(CASE WHEN qn > 0 AND ne > 0
+        |   THEN dot / (ne * sqrt(CAST(qn AS DOUBLE))) END, 6) AS cos
+        | FROM s)
+        |SELECT count(*) AS n_vecs, round(min(cos), 6) AS min_cos,
+        | round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+        |  / 1000000.0 / count(cos), 6) AS mean_cos,
+        | round(CAST(sum(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS share_above_999
+        |FROM r""".stripMargin,
   )
 }

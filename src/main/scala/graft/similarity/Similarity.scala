@@ -914,6 +914,49 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
+  /** SQ reconstruction-error report (s21): per-vector cosine between
+    * the raw embedding and its int8 scalar-quantized codes (cosine
+    * is scale-invariant, so the codes ARE the reconstruction),
+    * folded to the fidelity table that justifies s4's 4× compression
+    * claim as data: vector count, worst cosine, integer-exact mean
+    * cosine, and the share above 0.999. Production re-runs this per
+    * encoder change — a drifting embedding scale distribution shows
+    * up here before recall drops.
+    *
+    * Scale shape: ONE narrow pass (quantize + fixed-index-order
+    * cosine fold per row — the int code norm is an exact integer sum
+    * of squares, so only the raw-side norm is a float fold) into a
+    * 1-row aggregate; the mean accumulates 1e-6 integer units of the
+    * per-row ROUNDED cosine (d18's law).
+    */
+  def sqErrorReport(corpus: DataFrame): DataFrame = {
+    val coded = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("__scale", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("__q", when(col("__scale") === 0d,
+          transform(col("e"), _ => lit(0L)))
+        .otherwise(transform(col("e"),
+          x => floor(x / col("__scale") * lit(127.0) + lit(0.5)).cast("long"))))
+      .withColumn("__qn", aggregate(transform(col("__q"), v => v * v), lit(0L), _ + _))
+      .withColumn("__dot", aggregate(
+        zip_with(col("e"), col("__q"), (a, b) => a * b.cast("double")),
+        lit(0.0), _ + _))
+      .withColumn("__ne", sqrt(aggregate(
+        transform(col("e"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("cos", round(when(col("__qn") > 0 && col("__ne") > 0,
+        col("__dot") / (col("__ne") * sqrt(col("__qn").cast("double")))), 6))
+    coded.agg(count(lit(1)).as("n_vecs"),
+      round(min(col("cos")), 6).as("min_cos"),
+      round(sum(round(col("cos") * 1000000.0, 0).cast("long")).cast("double")
+        / 1000000.0 / count(col("cos")), 6).as("mean_cos"),
+      round(sum(when(col("cos") >= 0.999, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6).as("share_above_999"))
+  }
+
+  /** Verified entry (s21): 1-row fidelity report. */
+  def s21(spark: SparkSession, dir: String): DataFrame =
+    sqErrorReport(Tables.embeddings(spark, dir))
+
   /** Background-similarity histogram (s16): the cosine distribution
     * over a deterministic pseudo-random pairing of the corpus — the
     * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far
