@@ -194,6 +194,7 @@ object SparkEntry {
     "st23_first_touch" -> ((s, d) => operators.Activity.st23(s, d)),
     "p22_stage_reconcile" -> ((s, d) => pipeline.Medallion.stageReconcile(s, d)),
     "s21_sq_error" -> ((s, d) => similarity.Similarity.s21(s, d)),
+    "x24_temperature_mix" -> ((s, d) => text.Curation.x24TemperatureMix(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3364,5 +3365,23 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / count(*), 6) AS share_above_999
         |FROM r""".stripMargin,
+    // x24: exact token-sum shares, then s^τ / Σ s^τ per rung —
+    // identical pow/normalize arithmetic, rounded once
+    "x24_temperature_mix" ->
+      """WITH b AS (
+        | SELECT source,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |sh AS (
+        | SELECT source,
+        |  CAST(tokens AS DOUBLE) / (SELECT sum(tokens) FROM b) AS base_share
+        | FROM b),
+        |th AS (SELECT unnest([0.5, 0.7, 1.0]) AS tau),
+        |w AS (
+        | SELECT source, tau, base_share, pow(base_share, tau) AS pw
+        | FROM sh, th)
+        |SELECT source, tau, round(base_share, 6) AS base_share,
+        | round(pw / sum(pw) OVER (PARTITION BY tau), 6) AS weight
+        |FROM w ORDER BY tau, source""".stripMargin,
   )
 }

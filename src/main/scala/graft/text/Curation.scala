@@ -931,6 +931,46 @@ object Curation {
       graft.dedup.Dedup.cachedJaccardPairs(spark, dir))
       .orderBy(col("split_lo"), col("split_hi"))
 
+  /** Temperature-scaled mixture plan (x24): the multilingual /
+    * DoReMi-style sampling formula — target share of source i at
+    * temperature τ is sᵢ^τ / Σⱼ sⱼ^τ, where sᵢ is the source's
+    * natural token share. τ = 1 keeps the natural mix, τ → 0
+    * approaches uniform; the τ ladder shows how hard each setting
+    * suppresses the head and boosts the tail BEFORE x16 turns a
+    * chosen row into sampling rates. Natural shares come from exact
+    * integer token sums (x14's pass); the powers are the only
+    * irrational step and every reported double is rounded once.
+    *
+    * Scale shape: ONE corpus scan into the tiny source aggregate;
+    * the τ ladder and normalization are windows over the |sources|-
+    * row frame (a30's bounded-frame rule).
+    */
+  def temperatureMix(docs: DataFrame,
+                     taus: Seq[Double] = Seq(0.5, 0.7, 1.0),
+                     textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col("source"), size(TextAnalysis.tokens(col(textCol))).cast("long").as("__tk"))
+      .groupBy(col("source"))
+      .agg(sum(col("__tk")).as("__tokens"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val shared = base
+      .withColumn("base_share",
+        col("__tokens").cast("double") / sum(col("__tokens")).over(all))
+    taus.map { tau =>
+      shared
+        .withColumn("tau", lit(tau))
+        .withColumn("__w", pow(col("base_share"), tau))
+        .withColumn("weight", round(col("__w") / sum(col("__w")).over(all), 6))
+        .select(col("source"), col("tau"),
+          round(col("base_share"), 6).as("base_share"), col("weight"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Verified entry (x24). Sort is oracle-determinism only. */
+  def x24TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir))
+      .orderBy(col("tau"), col("source"))
+
   /** Verified entry (x21): 1-row result over x6's packing. */
   def x21PackEfficiency(spark: SparkSession, dir: String): DataFrame =
     packEfficiency(

@@ -383,6 +383,23 @@ class CurationSpec extends GraftSpecBase {
     assert(math.abs(r(0).getDouble(2) - scored.toDouble / docs.count()) < 1e-9)
   }
 
+  test("x24 temperature mix: tau=1 is the natural mix, tau<1 suppresses the head, sums to 1") {
+    val df = Seq((1L, "a", Seq.fill(90)("w").mkString(" ")),
+      (2L, "b", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = text.Curation.temperatureMix(df, taus = Seq(0.5, 1.0)).collect()
+      .map(x => (x.getString(0), x.getDouble(1)) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(("a", 1.0)) == ((0.9, 0.9)) && r(("b", 1.0)) == ((0.1, 0.1)),
+      s"tau=1 must keep the natural mix: $r")
+    // tau=0.5: w_a = sqrt(.9)/(sqrt(.9)+sqrt(.1)) ≈ 0.75
+    val wa = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert(math.abs(r(("a", 0.5))._2 - wa) < 1e-4, s"got ${r(("a", 0.5))}")
+    assert(math.abs(r(("a", 0.5))._2 + r(("b", 0.5))._2 - 1.0) < 1e-5,
+      "weights must sum to 1 per tau")
+    assert(r(("a", 0.5))._2 < 0.9 && r(("b", 0.5))._2 > 0.1,
+      "tau<1 must suppress the head and boost the tail")
+  }
+
   test("x22 source quality: per-source means exact, reject rate counts the gate's failures") {
     val docs = Tables.documents(spark, sf)
     val r = text.Curation.sourceQuality(docs).collect()
