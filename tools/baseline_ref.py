@@ -32,11 +32,21 @@ t0 = time.time()
 
 bronze = spark.read.format("parquet").load(f"{sf_dir}/events.parquet")
 
+# The testdata has shipped ts as BOTH parquet ns (read as long under
+# the legacy flag) and plain us TIMESTAMP_NTZ depending on the
+# generation — fold both to a timestamp, exactly like the library's
+# Tables.normalizeEventTs, so the baseline runs on either vintage.
+from pyspark.sql.types import LongType
+if isinstance(bronze.schema["ts"].dataType, LongType):
+    ts_expr = "timestamp_micros(ts div 1000)"
+else:
+    ts_expr = "CAST(ts AS TIMESTAMP)"
+
 # silver: mirrors the reference line for line (event_ts normalize,
 # 0/1->bool coercion, key dedup, guarded ratio)
 silver = (
     bronze
-    .withColumn("event_minute", date_trunc("minute", expr("timestamp_micros(ts div 1000)")))
+    .withColumn("event_minute", date_trunc("minute", expr(ts_expr)))
     .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
     .withColumn("is_error_int", (col("event_type") == "error").cast("int"))
     .withColumn("is_error", when(col("is_error_int") == 1, True)
