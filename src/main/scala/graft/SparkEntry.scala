@@ -195,6 +195,7 @@ object SparkEntry {
     "p22_stage_reconcile" -> ((s, d) => pipeline.Medallion.stageReconcile(s, d)),
     "s21_sq_error" -> ((s, d) => similarity.Similarity.s21(s, d)),
     "x24_temperature_mix" -> ((s, d) => text.Curation.x24TemperatureMix(s, d)),
+    "s22_scan_cost" -> ((s, d) => similarity.Similarity.s22(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3383,5 +3384,22 @@ object SparkEntry {
         |SELECT source, tau, round(base_share, 6) AS base_share,
         | round(pw / sum(pw) OVER (PARTITION BY tau), 6) AS weight
         |FROM w ORDER BY tau, source""".stripMargin,
+    // s22: the shared IVF probe replay → rung prefix of the cell
+    // preference ranks → exact integer cell-size sums per rung
+    "s22_scan_cost" -> ("WITH " + ivfCorpusCtes + """,
+        |probes AS (
+        | SELECT q.vec_id AS q_id, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |sizes AS (SELECT cell, count(*) AS n FROM corpus GROUP BY 1),
+        |th AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+        |f AS (SELECT th.nprobe, p.q_id, p.cell FROM th JOIN probes p ON p.pr <= th.nprobe)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        | CAST(sum(coalesce(s.n, 0)) AS BIGINT) AS total_scanned,
+        | round(CAST(sum(coalesce(s.n, 0)) AS DOUBLE)
+        |  / (SELECT count(DISTINCT q_id) FROM probes), 4) AS mean_scanned_per_query
+        |FROM f LEFT JOIN sizes s ON f.cell = s.cell
+        |GROUP BY nprobe ORDER BY nprobe""".stripMargin),
   )
 }

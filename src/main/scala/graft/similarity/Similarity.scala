@@ -957,6 +957,58 @@ object Similarity {
   def s21(spark: SparkSession, dir: String): DataFrame =
     sqErrorReport(Tables.embeddings(spark, dir))
 
+  /** IVF scan-cost curve (s22): mean corpus vectors SCANNED per query
+    * at every nprobe rung — the cost half of the s20 recall curve
+    * (together they are the complete latency/recall trade; scan cost
+    * is the thing a 100 TB deployment actually pays, and it depends
+    * on the actual cell-size distribution, not the uniform n/cells
+    * estimate a skewed quantizer breaks). Exact integers end to end:
+    * candidates per (query, rung) = Σ sizes of its nprobe nearest
+    * cells.
+    *
+    * Scale shape: cell sizes are a |cells|-row aggregate of the
+    * narrow assignment map; the query×cell probe ranking is bounded
+    * (|queries| × cells); the rung fan-out explodes THAT bounded
+    * frame, never the corpus. Mean = exact integer sum / query
+    * count, one division.
+    */
+  def scanCostCurve(queries: DataFrame, corpus: DataFrame,
+                    ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 16,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val sizes = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell_id", assignBest(col("embedding"), cents))
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("__cell_n"))
+    val maxProbe = ladder.max
+    // probeCells returns the nprobe nearest cells in preference
+    // order; posexplode keeps the per-query preference rank so each
+    // rung's prefix is exact
+    val pref = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), posexplode(probeCells(col("q_emb"), cents, maxProbe)))
+      .select(col("q_id"), (col("pos") + 1).as("pref"), col("col").as("cell_id"))
+    val rungArr = array(ladder.map(lit): _*)
+    val fan = pref
+      .withColumn("nprobe", explode(filter(rungArr, r => col("pref") <= r)))
+      .join(sizes, Seq("cell_id"), "left")
+      .na.fill(0L, Seq("__cell_n"))
+    val nq = queries.agg(countDistinct(col("vec_id")).as("__nq"))
+    fan.groupBy(col("nprobe"))
+      .agg(sum(col("__cell_n")).as("total_scanned"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        col("total_scanned"),
+        round(col("total_scanned").cast("double") / col("__nq"), 4)
+          .as("mean_scanned_per_query"))
+  }
+
+  /** Verified entry (s22). Sort is oracle-determinism only. */
+  def s22(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    scanCostCurve(emb.filter(col("vec_id") % 50 === 0), emb, cacheKey = Some(dir))
+      .orderBy(col("nprobe"))
+  }
+
   /** Background-similarity histogram (s16): the cosine distribution
     * over a deterministic pseudo-random pairing of the corpus — the
     * evidence a τ threshold for d5/d9/s12 is picked AGAINST (how far
