@@ -196,6 +196,7 @@ object SparkEntry {
     "s21_sq_error" -> ((s, d) => similarity.Similarity.s21(s, d)),
     "x24_temperature_mix" -> ((s, d) => text.Curation.x24TemperatureMix(s, d)),
     "s22_scan_cost" -> ((s, d) => similarity.Similarity.s22(s, d)),
+    "a40_basket_lift" -> ((s, d) => analytics.Queries.a40(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3401,5 +3402,25 @@ object SparkEntry {
         |  / (SELECT count(DISTINCT q_id) FROM probes), 4) AS mean_scanned_per_query
         |FROM f LEFT JOIN sizes s ON f.cell = s.cell
         |GROUP BY nprobe ORDER BY nprobe""".stripMargin),
+    // a40: identical basket/pair/marginal replay; lift from exact
+    // integer counts, divided once
+    "a40_basket_lift" ->
+      """WITH k AS (
+        | SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |p AS (
+        | SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        | FROM k a JOIN k b ON a.okey = b.okey AND a.brand < b.brand
+        | GROUP BY 1, 2 HAVING count(*) >= 10),
+        |m AS (SELECT brand, count(*) AS n FROM k GROUP BY 1),
+        |t AS (SELECT count(DISTINCT okey) AS n_orders FROM k)
+        |SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+        | CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+        | round(CAST(n_ab AS DOUBLE) / (SELECT n_orders FROM t), 6) AS support,
+        | round(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM t)
+        |  / (ma.n * mb.n), 6) AS lift
+        |FROM p JOIN m ma ON p.brand_a = ma.brand
+        |       JOIN m mb ON p.brand_b = mb.brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
   )
 }

@@ -1243,4 +1243,53 @@ object Queries {
   def a39(spark: SparkSession, dir: String): DataFrame =
     decileMigration(spark, dir)
       .orderBy(col("from_decile").asc_nulls_first, col("to_decile").asc_nulls_first)
+
+  /** Market-basket brand lift (a40): brand pairs co-purchased in the
+    * same order with support, confidence and lift — a20's
+    * co-occurrence shape on the purchase side (a20 mines event
+    * streams for embedding co-engagement; this mines order baskets
+    * for the assortment/recommendation table). Kept rows are the
+    * deterministic support-floored SET (no fp-ranked top-k cut).
+    *
+    * Scale shape: baskets dedupe to (order, brand) — ONE composite
+    * exchange with map-side partial dedupe — then the within-order
+    * pair join is an orderkey equi-join whose per-key width is
+    * bounded by the order's distinct-brand count (≤ lines per order,
+    * a schema constant — the same bound that makes a20's cap
+    * unnecessary here), never a cross product; both self-join sides
+    * carry `shuffle_hash` so the basket exchange computes once and
+    * ReusedExchange feeds both (d4's trick). Brand marginals re-agg
+    * the basket frame on the tiny brand key and broadcast back; the
+    * order count rides a 1-row broadcast. Lift's numerator and
+    * denominator are exact integers; the division happens once.
+    */
+  def basketLift(spark: SparkSession, dir: String,
+                 minSupport: Long = 10): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val a = baskets.hint("shuffle_hash").alias("a")
+    val b = baskets.hint("shuffle_hash").alias("b")
+    val pairs = a.join(b, col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val marg = baskets.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val total = baskets.agg(countDistinct(col("okey")).as("__n_orders"))
+    pairs
+      .join(marg.select(col("brand").as("brand_a"), col("n").as("n_a")), Seq("brand_a"))
+      .join(marg.select(col("brand").as("brand_b"), col("n").as("n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("__n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") * col("__n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Verified entry (a40). Sort is oracle-determinism only. */
+  def a40(spark: SparkSession, dir: String): DataFrame =
+    basketLift(spark, dir).orderBy(col("brand_a"), col("brand_b"))
 }
