@@ -197,6 +197,7 @@ object SparkEntry {
     "x24_temperature_mix" -> ((s, d) => text.Curation.x24TemperatureMix(s, d)),
     "s22_scan_cost" -> ((s, d) => similarity.Similarity.s22(s, d)),
     "a40_basket_lift" -> ((s, d) => analytics.Queries.a40(s, d)),
+    "d21_dedup_savings" -> ((s, d) => dedup.Dedup.d21(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3422,5 +3423,33 @@ object SparkEntry {
         |FROM p JOIN m ma ON p.brand_a = ma.brand
         |       JOIN m mb ON p.brand_b = mb.brand
         |ORDER BY brand_a, brand_b""".stripMargin,
+    // d21: d19's pair replay → per-rung distinct b_id drop set
+    // (pairwise min-id anchor law) → token decoration + shares
+    "d21_dedup_savings" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |th AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold),
+        |drop0 AS (
+        | SELECT DISTINCT th.threshold, p.b_id AS doc_id
+        | FROM th JOIN p ON p.j >= th.threshold),
+        |tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS t
+        |       FROM documents),
+        |tot AS (SELECT count(*) AS docs, sum(t) AS tokens FROM tk)
+        |SELECT threshold, CAST(count(*) AS BIGINT) AS n_dropped,
+        | round(CAST(count(*) AS DOUBLE) / (SELECT docs FROM tot), 6) AS doc_share,
+        | CAST(sum(tk.t) AS BIGINT) AS tokens_removed,
+        | round(CAST(sum(tk.t) AS DOUBLE) / (SELECT tokens FROM tot), 6) AS token_share
+        |FROM drop0 JOIN tk USING (doc_id)
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
   )
 }

@@ -466,6 +466,47 @@ object Dedup {
   def d20(spark: SparkSession, dir: String): DataFrame =
     boilerplateShingles(Tables.documents(spark, dir)).orderBy(col("rank"))
 
+  /** Dedup savings forecast (x25's dedup-side sibling, d21): what a
+    * keep-min-id near-dup pass would actually RECLAIM at each τ rung
+    * — docs dropped and token mass removed, in absolute and corpus
+    * share. d19 counts pairs; budgets are token-denominated (x9's
+    * lesson), so the decision table is this one. Drop law is the
+    * pairwise anchor (d9's): a doc drops iff SOME smaller-id
+    * neighbor clears τ — every pair's b_id (the frame's a<b
+    * ordering) is a drop candidate, deduped per rung.
+    *
+    * Scale shape: the rung fan-out explodes the bounded pair set
+    * (d19's shape), the dropped-doc set joins the narrow token map
+    * on doc_id, and corpus totals ride a 1-row broadcast. The
+    * corpus is never pairwise and never shuffled beyond the token
+    * decoration join.
+    */
+  def dedupSavings(pairs: DataFrame, docs: DataFrame,
+                   rungs: Seq[Double] = (10 to 19).map(_ / 20.0)): DataFrame = {
+    val rungArr = array(rungs.map(lit): _*)
+    val dropped = pairs
+      .withColumn("threshold", explode(filter(rungArr, r => col("jaccard") >= r)))
+      .select(col("threshold"), col("b_id").as("doc_id"))
+      .distinct()
+    val tokens = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("__tk"))
+    val totals = tokens.agg(count(lit(1)).as("__docs"), sum(col("__tk")).as("__tokens"))
+    dropped.join(tokens, Seq("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("__tk")).as("tokens_removed"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("__docs"), 6).as("doc_share"),
+        col("tokens_removed"),
+        round(col("tokens_removed").cast("double") / col("__tokens"), 6)
+          .as("token_share"))
+  }
+
+  /** Verified entry (d21). Sort is oracle-determinism only. */
+  def d21(spark: SparkSession, dir: String): DataFrame =
+    dedupSavings(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
+      .orderBy(col("threshold"))
+
   def d5(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsBlocked(Tables.embeddings(spark, dir)).orderBy(col("a_id"), col("b_id"))
 

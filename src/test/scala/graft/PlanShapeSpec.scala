@@ -254,8 +254,8 @@ class PlanShapeSpec extends GraftSpecBase {
       // scoring pass (t7/t11's corpus-stat pattern); t19 wraps t16
       // and adds its own single-row tercile-threshold cross join
       "t16_bigram_ppl", "t19_ppl_partition",
-      // d19/d20 cross-join the single-row corpus count for the share
-      "d19_threshold_sweep", "d20_boilerplate_shingles",
+      // d19/d20/d21 cross-join single-row corpus totals for shares
+      "d19_threshold_sweep", "d20_boilerplate_shingles", "d21_dedup_savings",
       // a39 cross-joins the single-row midpoint date (a22's pattern)
       "a39_decile_migration",
       // p19 cross-joins the single-row corpus-max day onto the TINY
