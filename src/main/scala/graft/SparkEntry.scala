@@ -198,6 +198,7 @@ object SparkEntry {
     "s22_scan_cost" -> ((s, d) => similarity.Similarity.s22(s, d)),
     "a40_basket_lift" -> ((s, d) => analytics.Queries.a40(s, d)),
     "d21_dedup_savings" -> ((s, d) => dedup.Dedup.d21(s, d)),
+    "t20_blocklist_gate" -> ((s, d) => text.TextAnalysis.t20BlocklistGate(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3451,5 +3452,28 @@ object SparkEntry {
         | round(CAST(sum(tk.t) AS DOUBLE) / (SELECT tokens FROM tot), 6) AS token_share
         |FROM drop0 JOIN tk USING (doc_id)
         |GROUP BY threshold ORDER BY threshold""".stripMargin,
+    // t20: per-term list_filter counts over the lowercased token
+    // array; dl counts NON-EMPTY tokens (TermFrequencies' tokenize
+    // law — an empty doc is dl 0, not [''] = 1); empty docs keep
+    "t20_blocklist_gate" ->
+      """SELECT doc_id, n_tokens, n_hits, n_terms_hit,
+        | round(CASE WHEN n_tokens > 0
+        |  THEN CAST(n_hits AS DOUBLE) / n_tokens END, 6) AS hit_rate,
+        | coalesce(round(CASE WHEN n_tokens > 0
+        |  THEN CAST(n_hits AS DOUBLE) / n_tokens END, 6) <= 0.02, TRUE) AS keep
+        |FROM (
+        | SELECT doc_id, CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> x = 'drop'))
+        |   + len(list_filter(toks, x -> x = 'slow'))
+        |   + len(list_filter(toks, x -> x = 'filter'))
+        |   + len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_hits,
+        |  CAST((CASE WHEN len(list_filter(toks, x -> x = 'drop')) > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN len(list_filter(toks, x -> x = 'slow')) > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN len(list_filter(toks, x -> x = 'filter')) > 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN len(list_filter(toks, x -> x = 'merge')) > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_terms_hit
+        | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |       FROM documents))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -726,6 +726,40 @@ object TextAnalysis {
   def t19PplPartition(spark: SparkSession, dir: String): DataFrame =
     pplPartition(Tables.documents(spark, dir)).orderBy(col("bucket"))
 
+  /** Blocklist/safety gate (t20): per-doc blocklist hits — total
+    * occurrences, distinct terms hit, token-normalized hit rate, and
+    * the keep verdict — the C4/WebText-style badwords filter every
+    * public-corpus pipeline runs (this demo list uses corpus
+    * vocabulary; a deployment swaps in its curated list, the plan
+    * does not change). Rate-normalized rather than any-hit: a single
+    * incidental term in a long document survives, a saturated one
+    * doesn't — and the verdict's inputs ship alongside it (t9's
+    * auditable-gate pattern). Empty docs have no evidence and keep.
+    *
+    * Scale shape: ONE TermFrequencies walk per row (s6's expression
+    * — O(tokens), not O(tokens × terms)), pure narrow map, zero
+    * shuffles; the threshold compares the ROUNDED rate.
+    */
+  def blocklistGate(docs: DataFrame,
+                    terms: Seq[String] = Seq("drop", "slow", "filter", "merge"),
+                    maxHitRate: Double = 0.02,
+                    textCol: String = "text"): DataFrame = {
+    docs
+      .withColumn("__tf",
+        graft.functions.GraftFunctions.term_frequencies(lower(col(textCol)), terms))
+      .select(col("doc_id"),
+        col("__tf.dl").as("n_tokens"),
+        aggregate(col("__tf.tfs"), lit(0L), _ + _).as("n_hits"),
+        size(filter(col("__tf.tfs"), c => c > 0)).cast("long").as("n_terms_hit"))
+      .withColumn("hit_rate", round(when(col("n_tokens") > 0,
+        col("n_hits").cast("double") / col("n_tokens")), 6))
+      .withColumn("keep", coalesce(col("hit_rate") <= maxHitRate, lit(true)))
+  }
+
+  /** Verified entry (t20). Sort is oracle-determinism only. */
+  def t20BlocklistGate(spark: SparkSession, dir: String): DataFrame =
+    blocklistGate(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   /** Code-likeness gate (t18): structural indicators that separate
     * source code / markup from prose — code-fence and symbol density
     * ([{};()=<>] per char), indented-line ratio, camelCase boundary

@@ -242,8 +242,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "x16_mix_rebalance",
       // s17 wraps s1's brute-force exact side (broadcast query subset
       // into the non-equi scan — the same bounded BNLJ as s1/s5);
-      // s20 likewise, plus its single-row query-count cross join
-      "s17_ivf_recall", "s20_nprobe_curve",
+      // s20 likewise, and s20/s22 add a single-row query-count
+      // cross join each
+      "s17_ivf_recall", "s20_nprobe_curve", "s22_scan_cost",
       // x18 cross-joins its single-row corpus total (x16's pattern)
       "x18_epoch_plan",
       // a35 cross-joins the single-row corpus-max order date (a22's
@@ -254,8 +255,9 @@ class PlanShapeSpec extends GraftSpecBase {
       // scoring pass (t7/t11's corpus-stat pattern); t19 wraps t16
       // and adds its own single-row tercile-threshold cross join
       "t16_bigram_ppl", "t19_ppl_partition",
-      // d19/d20/d21 cross-join single-row corpus totals for shares
+      // d19/d20/d21/a40 cross-join single-row corpus totals for shares
       "d19_threshold_sweep", "d20_boilerplate_shingles", "d21_dedup_savings",
+      "a40_basket_lift",
       // a39 cross-joins the single-row midpoint date (a22's pattern)
       "a39_decile_migration",
       // p19 cross-joins the single-row corpus-max day onto the TINY
