@@ -199,6 +199,7 @@ object SparkEntry {
     "a40_basket_lift" -> ((s, d) => analytics.Queries.a40(s, d)),
     "d21_dedup_savings" -> ((s, d) => dedup.Dedup.d21(s, d)),
     "t20_blocklist_gate" -> ((s, d) => text.TextAnalysis.t20BlocklistGate(s, d)),
+    "st25_return_cadence" -> ((s, d) => streaming.Sessionize.st25(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3475,5 +3476,24 @@ object SparkEntry {
         | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
         |       FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // st25: st1's session replay → per-user session-start lead gaps
+    // → 1-row cadence fold (quantile_cont on exact µs, a8's law)
+    "st25_return_cadence" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM x)),
+        |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y),
+        |s AS (SELECT user_id, session_seq, min(ts_us) AS start_us
+        |      FROM z GROUP BY user_id, session_seq),
+        |g AS (
+        | SELECT user_id,
+        |  lead(start_us) OVER (PARTITION BY user_id ORDER BY session_seq) - start_us
+        |   AS gap_us
+        | FROM s)
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_returning_users,
+        | count(*) AS n_gaps,
+        | round(quantile_cont(gap_us, 0.5) / 3600000000.0, 4) AS p50_cadence_h,
+        | round(quantile_cont(gap_us, 0.9) / 3600000000.0, 4) AS p90_cadence_h
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
   )
 }

@@ -71,6 +71,39 @@ object Sessionize {
   def st22(spark: SparkSession, dir: String): DataFrame =
     sessionStats(graft.Tables.events(spark, dir))
 
+  /** Return-cadence report (st25): the distribution of the spacing
+    * between a user's consecutive SESSION STARTS — the visit-rhythm
+    * feature churn models eat (st21 measures event gaps inside the
+    * stream; this measures how often users come BACK) plus the
+    * multi-session population size. Cadence is exact µs from the
+    * session frame; percentiles interpolate the exact integers
+    * (a8's law) and convert to hours once.
+    *
+    * Scale shape: rides sessionizeBatch's one user shuffle; the
+    * cadence window partitions by user over the SESSION frame
+    * (per-user length = sessions, not events) and the report is a
+    * 1-row fold.
+    */
+  def returnCadence(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionizeBatch(events, gapMinutes)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_seq"))
+    val gaps = s
+      .withColumn("__next_start", lead(col("session_start_us"), 1).over(w))
+      .withColumn("__gap_us", col("__next_start") - col("session_start_us"))
+      .filter(col("__gap_us").isNotNull)
+    gaps.agg(
+      countDistinct(col("user_id")).as("n_returning_users"),
+      count(lit(1)).as("n_gaps"),
+      round(percentile(col("__gap_us"), lit(0.5)) / 3600000000.0, 4)
+        .as("p50_cadence_h"),
+      round(percentile(col("__gap_us"), lit(0.9)) / 3600000000.0, 4)
+        .as("p90_cadence_h"))
+  }
+
+  /** Verified entry (st25): 1-row report. */
+  def st25(spark: SparkSession, dir: String): DataFrame =
+    returnCadence(graft.Tables.events(spark, dir))
+
   final case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
   final case class SessionState(start_us: Long, end_us: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
