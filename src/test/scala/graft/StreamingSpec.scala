@@ -301,6 +301,52 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("streaming daily DQ counts equal batch p21 over a two-batch ingest") {
+    // p21's gate run ON the stream: the same day-grain counts via a
+    // watermarked 1-day window agg (exact-distinct replaced by the
+    // stream-safe dropDuplicates-within-watermark spelling: ids are
+    // deduped before the count, so dup_event_id = 0 by construction
+    // and the remaining counts must equal batch p21's)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[(Long, Long, Option[Long], Double)].collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[(Long, Long, Option[Long], Double)]
+    val counts = mem.toDF().toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "48 hours")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
+      .select(col("window.start").cast("date").as("day"), col("n_rows"),
+        col("n_null_user"), col("avg_value"))
+    val q = counts.writeStream.format("memory").queryName("dq_twin")
+      .outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a day's row each batch it changes in —
+    // keep the LAST emission per day (the disorder-twin idiom)
+    val fin = spark.table("dq_twin").collect().zipWithIndex
+      .groupBy(_._1.getDate(0))
+      .map { case (d, rows) =>
+        val r = rows.maxBy(_._2)._1
+        d -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    val batch = quality.Checks.dqDaily(Tables.events(spark, sf)).collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(fin.size == batch.size, s"${fin.size} stream days vs ${batch.size} batch")
+    batch.foreach { case (d, b) =>
+      assert(fin(d) == b, s"day $d: stream ${fin(d)} != batch $b")
+    }
+  }
+
   test("streaming streaks equal batch st19 across a scrambled two-batch ingest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{StreakEv, StreakOut}
