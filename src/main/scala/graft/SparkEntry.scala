@@ -2905,11 +2905,13 @@ object SparkEntry {
     // p18: the oracle replays the two-generation split from the flat
     // events table — v1 (even ids) predates the quality_flag column
     // so its flags are ALL null after the merge read, v2 (odd ids)
-    // carries the real predicate
+    // carries `value > 50.0`, which is itself NULL when value is NULL
+    // (so the null-flag count spells the operator's actual
+    // IS-NULL semantics, not the value-never-null corpus shortcut)
     "p18_schema_evolution" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch,
         | count(*) AS n_rows,
-        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
+        | CAST(sum(CASE WHEN event_id % 2 = 0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
         | CAST(sum(CASE WHEN event_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_flag
         |FROM events GROUP BY 1 ORDER BY batch""".stripMargin,
     // st20: the oracle replays the textbook correlated-EXISTS

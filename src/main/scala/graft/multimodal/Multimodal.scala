@@ -223,11 +223,20 @@ object Multimodal {
     Some((n, durationMs, rms, peak))
   }
 
-  /** Deterministic stand-in for codec-requiring formats. */
+  /** Deterministic stand-in for codec-requiring formats.
+    *
+    * ORACLE-PARITY PRECONDITION: the DuckDB oracles replay this fold
+    * per CHARACTER (`unicode(c)`), while the kernel folds per BYTE —
+    * the two agree exactly when the payload is ASCII (one byte = one
+    * codepoint = one non-negative value), which the synthetic corpus
+    * guarantees. Real binary/multibyte payloads keep a well-defined
+    * unsigned-byte fold here (masked below) but are outside the
+    * oracle's replay contract.
+    */
   private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     var h = 1125899906842597L // FNV-ish rolling hash over content
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >>> 17, 1024).toInt
     val frames = 1 + math.floorMod(h >>> 33, 16).toInt
@@ -494,9 +503,12 @@ object Multimodal {
             case Some((n, durMs, rms, peak)) =>
               AudioStats(id, is_pcm = true, n.toLong, durMs, rms, peak.toLong)
             case None =>
+              // unsigned-byte fold; ASCII-only oracle-parity contract
+              // (see fakeDecode Scaladoc) — masked so non-ASCII bytes
+              // still hash deterministically instead of sign-flipping
               var h = 1125899906842597L
               var i = 0
-              while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+              while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
               val n = 1L + ((h >>> 13) % 65536L)
               val peak = (h >>> 29) % 32768L
               // k/4096·32768 = 8k — an integer-valued double, so the

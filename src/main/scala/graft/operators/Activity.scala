@@ -383,7 +383,7 @@ object Activity {
       .agg(array_sort(collect_set(col("__d"))).as("__days"))
       .withColumn("__st", expr(
         """aggregate(__days,
-          |  named_struct('prev', CAST(-100 AS INT),
+          |  named_struct('prev', CAST(-2147483648 AS INT),
           |    'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
           |    'runs', CAST(0 AS BIGINT)),
           |  (s, d) -> named_struct(

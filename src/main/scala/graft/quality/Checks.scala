@@ -379,7 +379,11 @@ object Checks {
     // exchange of the raw rows buys full-core parallelism exactly
     // when the input is small enough for that exchange to be free.
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // toRdd reads the partition count off the already-planned physical
+    // plan; df.rdd would build a SEPARATE deserializing RDD conversion
+    // (a second physical planning pass) just to ask the same question
+    val nParts = df.queryExecution.toRdd.getNumPartitions
+    val src = if (nParts < cores) df.repartition(cores) else df
     val aggs = columns.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),

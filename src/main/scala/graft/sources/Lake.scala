@@ -166,6 +166,28 @@ object Lake {
       .orderBy(col("event_type"))
   }
 
+  /** Temp lake roots are per-JVM caches; without cleanup each bench/
+    * test run leaks a full copy of the events table per source dir.
+    * One shutdown hook sweeps every root this JVM created.
+    */
+  private val tempRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    tempRoots.forEach { root =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () } // best-effort at JVM exit
+    }
+  }
+  private def tempLakeRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   private val evoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -180,7 +202,7 @@ object Lake {
     evoCache.computeIfAbsent(dir, { _ =>
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val path = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val path = tempLakeRoot("graft_evo")
       ev.filter(pmod(col("event_id"), lit(2)) === 0)
         .write.mode("overwrite").parquet(s"$path/batch=v1")
       ev.filter(pmod(col("event_id"), lit(2)) === 1)
@@ -226,22 +248,19 @@ object Lake {
     * an hourly/daily backfill cron (the reference's Airflow DAG)
     * actually needs: re-running yesterday's job must replace
     * yesterday's files, not truncate the lake (static overwrite) and
-    * not append duplicates. The conf override is scoped to this
-    * write; the caller session is untouched.
+    * not append duplicates. Dynamic mode rides a per-write
+    * DataFrameWriter option, so the caller session's conf is never
+    * touched (concurrency-safe by construction).
     */
   def overwritePartitions(df: DataFrame, path: String,
-                          tsCol: String = "ts"): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("p_date").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+                          tsCol: String = "ts"): Unit =
+    df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      // per-WRITE option, not a session-conf mutation: a concurrent
+      // write on the same SparkSession can never observe dynamic mode
+      // or have its own setting clobbered by a finally-restore
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date").parquet(path)
 
   private val backfillCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -258,7 +277,7 @@ object Lake {
     backfillCache.computeIfAbsent(dir, { _ =>
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      val path = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+      val path = tempLakeRoot("graft_backfill")
       writeDatePartitioned(ev, path)
       val day0 = ev.agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
       val slice = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day0)

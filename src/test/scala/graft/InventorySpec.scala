@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bookkeeping invariant VERDICT r6 asked for: SURVEY.md §2's
+  * coverage table, `SparkEntry.queries`, `SparkEntry.oracleSql`, and
+  * the latest driver CORRECTNESS artifact can never drift apart
+  * silently again. Pure file/registry parsing — no SparkSession.
+  */
+class InventorySpec extends AnyFunSuite {
+
+  private def surveySection2Keys: Set[String] = {
+    val lines = Files.readAllLines(Paths.get("SURVEY.md")).asScala
+    val start = lines.indexWhere(_.startsWith("## §2"))
+    val end = lines.indexWhere(_.startsWith("## §3"), start + 1)
+    assert(start >= 0 && end > start, "SURVEY.md must keep §2 before §3")
+    val KeyRow = """^\| `([a-z][a-z0-9_]*)` \|.*""".r
+    lines.slice(start, end).collect { case KeyRow(k) => k }.toSet
+  }
+
+  test("SURVEY §2 table keys == SparkEntry.queries keys == oracleSql keys") {
+    val survey = surveySection2Keys
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(survey == queries,
+      s"SURVEY §2 drifted from SparkEntry.queries — " +
+        s"missing from SURVEY: ${(queries -- survey).toSeq.sorted.mkString(", ")}; " +
+        s"stale in SURVEY: ${(survey -- queries).toSeq.sorted.mkString(", ")}")
+    assert(oracles == queries,
+      s"oracleSql drifted from queries — " +
+        s"unoracled: ${(queries -- oracles).toSeq.sorted.mkString(", ")}; " +
+        s"orphan oracle: ${(oracles -- queries).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("latest CORRECTNESS artifact keys are a subset of the current registry") {
+    // The artifact is last round's snapshot: new entries added since
+    // are legitimately absent, but an artifact key with no current
+    // query means an entry was REMOVED after being verified.
+    val artifacts = Files.list(Paths.get(".")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("CORRECTNESS_r") && n.endsWith(".json"))
+      .toSeq.sorted
+    assume(artifacts.nonEmpty, "no CORRECTNESS artifact present")
+    val latest = new String(Files.readAllBytes(Paths.get(artifacts.last)), "UTF-8")
+    val Key = "\"([a-z][a-z0-9_]*)\"\\s*:\\s*\\{".r
+    val artifactKeys = Key.findAllMatchIn(latest).map(_.group(1)).toSet
+    val queries = SparkEntry.queries.keySet
+    val removed = artifactKeys -- queries
+    assert(removed.isEmpty,
+      s"entries verified in ${artifacts.last} but no longer registered: " +
+        removed.toSeq.sorted.mkString(", "))
+  }
+}
