@@ -200,6 +200,8 @@ object SparkEntry {
     "d21_dedup_savings" -> ((s, d) => dedup.Dedup.d21(s, d)),
     "t20_blocklist_gate" -> ((s, d) => text.TextAnalysis.t20BlocklistGate(s, d)),
     "st25_return_cadence" -> ((s, d) => streaming.Sessionize.st25(s, d)),
+    "p14b_approx_profile" -> ((s, d) => quality.Checks.p14bApproxProfile(s, d)),
+    "p23_lake_merge" -> ((s, d) => sources.Lake.p23LakeMerge(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -224,6 +226,26 @@ object SparkEntry {
        | round(CAST(b.n_distinct AS DOUBLE) / a.n_distinct, 6) AS distinct_ratio,
        | (a.min_val <> b.min_val OR a.max_val <> b.max_val) AS range_changed
        |FROM a JOIN b USING (col_name) ORDER BY col_name""".stripMargin
+  }
+
+  /** p14b oracle: p14's exact per-column profile replay plus the
+    * stated-`true` tolerance flag (a5b's pattern — the Spark side
+    * computes both HLL++ sketch and exact, so sketch drift past 5%
+    * hash-mismatches here).
+    */
+  private def p14bOracle: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    val branches = cols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val,
+         | true AS distinct_within_5pct
+         |FROM li""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag,
+       |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem)
+       |$branches
+       |ORDER BY col_name""".stripMargin
   }
 
   /** s9 oracle: the full PQ replay, GENERATED per subspace — for
@@ -1171,6 +1193,7 @@ object SparkEntry {
         | max(late_us) AS max_late_us
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p15_profile_drift" -> p15Oracle,
+    "p14b_approx_profile" -> p14bOracle,
     // st13: st5's k-join funnel replay, unpivoted per transition,
     // quantile_cont == Spark's exact interpolated percentile (a8)
     "st13_funnel_timing" ->
@@ -3133,6 +3156,28 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
+    // p23: full-log recompute of the partition-local keyed merge —
+    // the two earliest days' corrections (id%7=3, value ×10) replace
+    // their originals, the inserts (id%11=5 cloned to +1e8) append,
+    // everything else passes through untouched; per-day report in
+    // p20's exact-cent form
+    "p23_lake_merge" ->
+      """WITH ev AS (SELECT event_id, ts, event_type, value FROM events),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev ORDER BY d LIMIT 2),
+        |corr AS (
+        | SELECT event_id, ts, round(value * 10, 2) AS value
+        | FROM ev WHERE CAST(ts AS DATE) IN (SELECT d FROM days) AND event_id % 7 = 3),
+        |ins AS (
+        | SELECT event_id + 100000000 AS event_id, ts, 1.23 AS value
+        | FROM ev WHERE CAST(ts AS DATE) IN (SELECT d FROM days) AND event_id % 11 = 5),
+        |merged AS (
+        | SELECT event_id, ts, value FROM ev
+        |  WHERE event_id NOT IN (SELECT event_id FROM corr)
+        | UNION ALL SELECT event_id, ts, value FROM corr
+        | UNION ALL SELECT event_id, ts, value FROM ins)
+        |SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM merged GROUP BY 1 ORDER BY p_date""".stripMargin,
     // st22: st1's session replay folded to the 1-row quality report;
     // percentiles interpolate exact integers (a8's parity law)
     "st22_session_stats" ->

@@ -413,6 +413,59 @@ object Checks {
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus"))
       .orderBy(col("col_name"))
 
+  /** The 100 TB spelling of [[profileColumns]]: approx_count_distinct
+    * (HLL++, fixed sketch memory, map-side mergeable) in place of the
+    * exact multi-distinct. The exact spelling compiles to an Expand
+    * that multiplies EVERY input row by |columns|+1 before the
+    * partial agg — inherent to exact multi-distinct, ruinous at fact
+    * scale; the sketch spelling keeps ONE partial+final agg pair over
+    * unmultiplied rows (a5b's trade applied to the whole profile).
+    * Plan-pinned Expand-free in PlanShapeSpec. rsd 0.02 makes the 5%
+    * gate the entry applies a ≈2.5σ bound.
+    */
+  def approxProfileColumns(df: DataFrame, columns: Seq[String],
+                           rsd: Double = 0.02): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), rsd = rsd).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val stack = columns.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    one.select(col("__n_rows").as("n_rows"),
+        expr(s"stack(${columns.length}, $stack)")
+          .as(Seq("col_name", "n_nulls", "n_distinct_approx", "min_val", "max_val")))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_approx"), col("min_val"), col("max_val"))
+  }
+
+  /** Verified entry (p14b): the sketch profile gated against the
+    * exact one, a5b's tolerance-flag pattern — verified output
+    * carries the EXACT distinct counts (engine-portable) plus a
+    * boolean asserting the HLL++ estimate landed within 5%; the
+    * oracle states `true`, so sketch drift fails the hash compare.
+    * The gate join is |columns| rows × |columns| rows — free at any
+    * corpus size; production callers run [[approxProfileColumns]]
+    * alone (no Expand anywhere in its plan).
+    */
+  def p14bApproxProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    val approx = approxProfileColumns(li, cols)
+    val exact = profileColumns(li, cols)
+      .select(col("col_name"), col("n_distinct").as("__exact"))
+    approx.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("__exact").as("n_distinct"), col("min_val"), col("max_val"),
+        (abs(col("n_distinct_approx") - col("__exact"))
+          <= col("__exact") * 0.05).as("distinct_within_5pct"))
+      .orderBy(col("col_name"))
+  }
+
   /** Profile drift (p15): p14's one-pass profile run on a baseline
     * and a candidate slice, joined per column — the "did the new
     * partition change shape?" gate a pipeline runs before promoting a

@@ -300,6 +300,91 @@ object Lake {
       .orderBy(col("p_date"))
   }
 
+  /** Lake-side CDC MERGE (p23): partition-local keyed upsert over the
+    * date-partitioned lake — p9's latest-per-key semantics composed
+    * with p20's dynamic partition overwrite. The batch carries
+    * corrections/inserts whose partition date is part of the row's
+    * identity (late corrections keep their event's day), so the merge
+    * is partition-LOCAL by construction: only the batch's days are
+    * read, merged (existing rows whose key the batch replaces drop
+    * via a LEFT ANTI against the broadcast batch key set —
+    * delete-then-insert, the dialect-portable MERGE spelling), and
+    * re-written via per-write dynamic overwrite. Every other day's
+    * files are never opened, listed, or re-written (spec-asserted
+    * byte-identical).
+    *
+    * Scale shape: the touched-day list is calendar-bounded (a
+    * driver-side collect of DISTINCT dates — p19's contract), the
+    * day filter is literal so partition pruning is static, the batch
+    * key set broadcasts (a correction batch is small by nature, and
+    * at 100 TB the read side is |touched days|, not the lake). The
+    * caller contract is one row per key in the batch (pre-compact
+    * with [[graft.pipeline.Medallion.p9CdcLatest]]'s pattern if the
+    * feed is multi-version).
+    */
+  def mergeApply(spark: SparkSession, lakePath: String, batch: DataFrame,
+                 keyCol: String = "event_id", tsCol: String = "ts"): Unit = {
+    val touched = batch
+      .select(date_format(col(tsCol), "yyyy-MM-dd").as("p_date"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val existing = spark.read.parquet(lakePath)
+      .filter(col("p_date").isin(touched: _*))
+    val keys = batch.select(col(keyCol)).distinct()
+    val survivors = existing
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .drop("p_date")
+    survivors.unionByName(batch.select(survivors.columns.map(col): _*))
+      .withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date").parquet(lakePath)
+  }
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p23 lake: full write, then ONE merge batch touching only the two
+    * earliest days — corrections (event_id % 7 == 3 rows re-valued
+    * ×10) plus inserts (event_id % 11 == 5 rows cloned to key
+    * +100000000 at value 1.23). If the merge replaced in place,
+    * dropped the superseded versions, kept the inserts, and left
+    * every other day alone, the per-day report equals the oracle's
+    * full-log recompute — any truncation, duplication, or missed
+    * delete hash-mismatches.
+    */
+  private[graft] def mergedLake(spark: SparkSession, dir: String): String =
+    mergeCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val path = tempLakeRoot("graft_merge")
+      writeDatePartitioned(ev, path)
+      val days = ev.select(to_date(col("ts")).as("d")).distinct()
+        .orderBy(col("d")).limit(2).collect().map(_.getDate(0).toString)
+      val touched = ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(days: _*))
+      val corrections = touched.filter(pmod(col("event_id"), lit(7)) === 3)
+        .withColumn("value", round(col("value") * 10, 2))
+      val inserts = touched.filter(pmod(col("event_id"), lit(11)) === 5)
+        .withColumn("event_id", col("event_id") + 100000000L)
+        .withColumn("event_type", lit("backfill"))
+        .withColumn("value", lit(1.23))
+      mergeApply(spark, path, corrections.unionByName(inserts))
+      path
+    })
+
+  /** Verified entry (p23): per-day rows + exact cent sums over the
+    * merged lake, p20's report form — equal to the flat-source
+    * recompute with the same corrections/inserts applied iff the
+    * partition-local merge is exactly keyed-upsert semantics.
+    */
+  def p23LakeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = mergedLake(spark, dir)
+    spark.read.parquet(path)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("p_date"))
+  }
+
   /** Retention-policy planner (p19): for a ladder of candidate
     * retention windows, how many rows the lake would keep vs expire
     * and the retained share — the sizing table behind

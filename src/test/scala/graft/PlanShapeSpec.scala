@@ -886,4 +886,22 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(wmPlan.contains("BroadcastHashJoin"),
       s"watermark frame must broadcast back to facts:\n$wmPlan")
   }
+
+  test("p14b: approx profile plans WITHOUT the exact multi-distinct Expand") {
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    // the exact spelling PAYS the Expand (that's its contract)...
+    val exact = finalPlan(quality.Checks.profileColumns(li, cols))
+    assert(exact.contains("Expand"),
+      s"exact multi-distinct must compile to Expand + two-phase agg:\n$exact")
+    // ...and the 100 TB sketch spelling must not: one partial+final
+    // agg pair over unmultiplied rows, a single exchange, no Expand
+    val approx = finalPlan(quality.Checks.approxProfileColumns(li, cols))
+    assert(!approx.contains("Expand"),
+      s"approx profile must lose the row-multiplying Expand:\n$approx")
+    val exchanges = "Exchange".r.findAllIn(approx).length
+    assert(exchanges <= 1,
+      s"approx profile needs only the SinglePartition gather, got $exchanges:\n$approx")
+  }
 }

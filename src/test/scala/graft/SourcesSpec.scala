@@ -109,6 +109,43 @@ class SourcesSpec extends GraftSpecBase {
       .equalsIgnoreCase("static"))
   }
 
+  test("p23 merge-apply: keyed upsert is partition-local, untouched day files byte-identical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000000L
+    val path = java.nio.file.Files.createTempDirectory("p23_spec").toString
+    def ev(rows: (Long, Long, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    // three days; the merge batch touches ONLY day 1
+    sources.Lake.writeDatePartitioned(
+      ev((1L, 1L * day, 1.0), (2L, 1L * day, 2.0),
+         (3L, 2L * day, 3.0), (4L, 3L * day, 4.0)), path)
+    def fileState(sub: String): Map[String, (Long, String)] =
+      new java.io.File(path, sub).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+          f.getName -> ((bytes.length.toLong, md5))
+        }.toMap
+    val d2Before = fileState("p_date=1970-01-03")
+    val d3Before = fileState("p_date=1970-01-04")
+    // update key 1, insert key 9 — both on day 1
+    sources.Lake.mergeApply(spark, path,
+      ev((1L, 1L * day, 99.0), (9L, 1L * day, 9.0)))
+    assert(fileState("p_date=1970-01-03") == d2Before,
+      "day-2 files must survive the day-1 merge byte-identical")
+    assert(fileState("p_date=1970-01-04") == d3Before,
+      "day-3 files must survive the day-1 merge byte-identical")
+    val back = spark.read.parquet(path)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(back == Map(1L -> 99.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0, 9L -> 9.0),
+      s"merge must update key 1, insert key 9, keep everything else: $back")
+  }
+
   test("p18 schema evolution: merged read unions schemas, null-fills the old generation") {
     import org.apache.spark.sql.functions._
     val path = sources.Lake.evolvedLake(spark, sf)
