@@ -89,6 +89,30 @@ object Activity {
       .select(col("g_day").as("day"), col("dau"), col("wau_est"))
   }
 
+  /** Roll a WAU estimate over a persisted day-sketch table — the
+    * mergeable-state sibling of [[rollingActiveSketch]] and the
+    * production pattern the sketch family exists for: store ONE HLL
+    * row per day (constant bytes, built batch-wise or streamed —
+    * Streams.dailySketchStream maintains the same table from a
+    * stream), then roll ANY window over days × windowDays sketch
+    * rows without ever re-touching events. DataSketches HLL state is
+    * a per-bucket max, so the union estimate is insertion-order- and
+    * batch-boundary-invariant: streaming-built and batch-built day
+    * sketches produce the SAME estimate (StreamingSpec pins exact
+    * equality). Emits only days that had activity (st8's contract).
+    */
+  def rollingWauFromSketches(daySketches: DataFrame, windowDays: Int = 7,
+                             dayCol: String = "day",
+                             skCol: String = "day_sk"): DataFrame =
+    daySketches
+      .withColumn("g_day",
+        explode(sequence(col(dayCol), date_add(col(dayCol), windowDays - 1))))
+      .groupBy(col("g_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col(skCol))).as("wau_est"),
+        max(when(col(dayCol) === col("g_day"), lit(1))).as("__active"))
+      .filter(col("__active").isNotNull)
+      .select(col("g_day").as(dayCol), col("wau_est"))
+
   /** Verified entry (st8b): the sketch path gated IN-QUERY against
     * the exact path (a8b's pattern — the oracle replays the exact
     * values and literal-true flags, so a drifting sketch breaks the
@@ -299,9 +323,20 @@ object Activity {
       .filter(col("item").isNotNull)
       .groupBy(col("hour_ts"), col("item"))
       .agg(count(lit(1)).as("n_events"))
+    trendingCut(counted, k)
+  }
+
+  /** The per-hour top-k cut over an already-aggregated (hour_ts,
+    * item, n_events) frame — shared by the batch path above and the
+    * streaming twin (where the frame is the compacted update-mode
+    * sink state, Streams.trendingCounts). Runs over hours × items
+    * rows, never events; ties break (count DESC, item ASC) so the
+    * cut is deterministic on any engine.
+    */
+  def trendingCut(counts: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("hour_ts"))
       .orderBy(col("n_events").desc, col("item"))
-    counted
+    counts
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("hour_ts"), col("item"), col("n_events"),

@@ -40,7 +40,7 @@ object StatefulTwins {
     * exact step state machine of Funnel.funnel3 (strictly-after step
     * ordering), emitting each user's CURRENT funnel row every batch
     * (Update mode — the downstream sink upserts by user_id, the same
-    * keyed-upsert contract p9/Streams.upsertBatch document).
+    * keyed-upsert contract p9/Streams.jdbcUpsertWriter document).
     */
   def funnelStream(events: Dataset[FunnelEv],
                    steps: (String, String, String)): Dataset[FunnelOut] = {

@@ -193,6 +193,78 @@ object Streams {
     scoped.sparkSession.table(name)
   }
 
+  /** st14 streaming twin, aggregation stage: watermarked tumbling
+    * 1-hour (window, item) counts in update mode. Each micro-batch
+    * re-emits only changed keys; the sink upserts them on
+    * (hour_ts, item) — jdbcUpsertWriter in production,
+    * [[runUpsertToMemory]] locally — and the trending top-k is
+    * Activity.trendingCut over the sink's compacted state (the
+    * reference-heritage shape: gold windows upsert to a table, the
+    * dashboard ranks the table).
+    */
+  def trendingCounts(stream: DataFrame, tsCol: String = "ts",
+                     itemCol: String = "item",
+                     watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(itemCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_ts"),
+        col(itemCol).as("item"), col("n_events"))
+
+  /** st8b streaming twin, aggregation stage: ONE mergeable HLL
+    * sketch row per day, maintained across micro-batches in the
+    * streaming agg state (DataSketches HLL state is a per-bucket
+    * max — insertion-order- and batch-boundary-invariant, so the
+    * streamed day sketch is bit-compatible with the batch-built
+    * one). The compacted (day, day_sk) table is exactly the input
+    * Activity.rollingWauFromSketches rolls windows over — per-day
+    * state is CONSTANT bytes regardless of user count, the property
+    * that lets a 100 TB stream keep every day's sketch forever.
+    */
+  def dailySketchStream(stream: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", lgK: Int = 14,
+                        watermark: String = "2 hours"): DataFrame =
+    stream
+      .filter(col(userCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(hll_sketch_agg(col(userCol), lgK).as("day_sk"))
+      .select(col("window.start").cast("date").as("day"), col("day_sk"))
+
+  /** Run a bounded update-mode stream to completion, compacting its
+    * per-batch re-emissions into final per-key rows via a
+    * foreachBatch keyed upsert — the LOCAL stand-in for
+    * [[jdbcUpsertWriter]]'s table (same delete-then-insert-by-key
+    * semantics, an in-memory map instead of a database). The state
+    * is bounded by the AGGREGATE'S KEY GRAIN (hours × items, days),
+    * never by event count — the same boundedness contract the JDBC
+    * gold table carries — so the per-batch collect here is
+    * bounded-by-contract (at production scale the identical stream
+    * simply points foreachBatchSink at jdbcUpsertWriter instead).
+    */
+  def runUpsertToMemory(df: DataFrame, keyCols: Seq[String],
+                        statePartitions: Option[Int] = None): DataFrame = {
+    val scoped = statePartitions match {
+      case Some(n) => org.apache.spark.sql.GraftBridge.withConfScope(df,
+        "spark.sql.shuffle.partitions" -> n.toString)
+      case None => df
+    }
+    val state = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
+    val q = scoped.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ki = keyCols.map(k => batch.schema.fieldNames.indexOf(k))
+        require(ki.forall(_ >= 0), s"key columns $keyCols must exist in the stream")
+        batch.collect().foreach(r => state.put(ki.map(r.get(_)), r))
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](state.values())
+    scoped.sparkSession.createDataFrame(rows, scoped.schema)
+  }
+
   /** SURVEY §2 p6: the reference's gold aggregation executed through
     * Structured Streaming — file source over the events parquet,
     * watermark + 15-min tumbling window per event_type, memory sink —

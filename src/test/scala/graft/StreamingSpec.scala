@@ -389,31 +389,65 @@ class StreamingSpec extends GraftSpecBase {
     val cut = evs.map(_._1).sorted.apply(evs.length / 2)
     val (b1, b2) = evs.partition(_._1 < cut)
     val mem = MemoryStream[(Long, Int)]
-    val counts = mem.toDF().toDF("ts_us", "item")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("item"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("hour_ts"), col("item"), col("n_events"))
-    val q = counts.writeStream.format("memory").queryName("trend_twin")
-      .outputMode("update").start()
-    try {
-      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
-      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
-    } finally q.stop()
-    // update mode re-emits; last row per (hour, item) is final
-    val fin = scala.collection.mutable.LinkedHashMap[(java.sql.Timestamp, Int), Long]()
-    spark.table("trend_twin").collect()
-      .foreach(r => fin((r.getTimestamp(0), r.getInt(1))) = r.getLong(2))
-    // trending cut over the stream's final state == batch st14
-    val streamedTop = fin.toSeq.groupBy(_._1._1).flatMap { case (h, rows) =>
-      rows.sortBy { case ((_, item), n) => (-n, item) }.take(3).zipWithIndex
-        .map { case (((_, item), n), i) => (h, item, n, (i + 1).toLong) }
-    }.toSet
+    val counts = streaming.Streams.trendingCounts(
+      mem.toDF().toDF("ts_us", "item")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    mem.addData(scala.util.Random.shuffle(b1.toSeq): _*)
+    mem.addData(scala.util.Random.shuffle(b2.toSeq): _*)
+    // library path: update-mode re-emissions compact through the
+    // keyed-upsert sink; the trending cut is the SAME batch code the
+    // verified entry runs, over the sink's state
+    val state = streaming.Streams.runUpsertToMemory(
+      counts, Seq("hour_ts", "item"), statePartitions = Some(4))
+    val streamedTop = operators.Activity.trendingCut(state, 3).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     val batchTop = operators.Activity.st14(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamedTop == batchTop,
       s"stream-only: ${(streamedTop -- batchTop).take(3)}; batch-only: ${(batchTop -- streamedTop).take(3)}")
+  }
+
+  test("streaming day-sketch rolling actives: wau_est equals batch sketch exactly, 5% of exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      .as[(Long, Long)].collect()
+    val cut = evs.map(_._1).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_._1 < cut)
+    val mem = MemoryStream[(Long, Long)]
+    val daySketches = streaming.Streams.dailySketchStream(
+      mem.toDF().toDF("ts_us", "user_id")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    mem.addData(scala.util.Random.shuffle(b1.toSeq): _*)
+    mem.addData(scala.util.Random.shuffle(b2.toSeq): _*)
+    // per-day HLL state merges across the two scrambled batches; the
+    // compacted sink table is the persisted day-sketch table the
+    // batch rolling stage consumes unchanged
+    val state = streaming.Streams.runUpsertToMemory(
+      daySketches, Seq("day"), statePartitions = Some(4))
+    val rolled = operators.Activity.rollingWauFromSketches(state, 7).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // HLL state is a per-bucket max — batch-boundary-invariant, so
+    // the streamed union estimate equals the batch sketch path's
+    // estimate EXACTLY, not just within tolerance
+    val batchSketch = operators.Activity.rollingActiveSketch(
+        Tables.events(spark, sf), "user_id", "ts").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(rolled == batchSketch,
+      s"streamed day-sketch roll must equal the batch sketch roll: " +
+        s"stream-only ${(rolled.toSet -- batchSketch.toSet).take(3)}, " +
+        s"batch-only ${(batchSketch.toSet -- rolled.toSet).take(3)}")
+    // and the st8b tolerance vs the EXACT batch path holds end-to-end
+    val exact = operators.Activity.st8(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(rolled.keySet == exact.keySet, "active-day sets must agree")
+    rolled.foreach { case (d, est) =>
+      val w = exact(d).toDouble
+      assert(math.abs(est.toDouble - w) <= math.max(1.0, w * 0.05),
+        s"day $d: wau_est $est vs exact $w exceeds 5%")
+    }
   }
 
   test("streaming attribution twin equals batch st15 on the real event log (cross-batch touch carry)") {
