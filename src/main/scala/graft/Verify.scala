@@ -60,12 +60,25 @@ object Verify {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case _: Throwable => "unknown" }
+    // LEAKCHECK.json is driver-owned and carries no stamp of its own;
+    // fingerprinting its content here ties each round's leak scan to
+    // this commit + timestamp, so a round bump is distinguishable
+    // from a rerun (r6 advice item 2).
+    val leakMd5 =
+      try {
+        val lp = Paths.get("/root/repo/LEAKCHECK.json")
+        if (Files.exists(lp))
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(lp)).map("%02x".format(_)).mkString
+        else "absent"
+      } catch { case _: Throwable => "unreadable" }
     val manifest =
       s"""{"queries": ${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")},
          | "failed": ${failed.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")},
          | "sf_dir": ${q(sfDir)},
          | "ts": ${q(java.time.Instant.now().toString)},
-         | "commit": ${q(head)}}""".stripMargin
+         | "commit": ${q(head)},
+         | "leakcheck_md5": ${q(leakMd5)}}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }

@@ -15,6 +15,10 @@ object GraftSpecBase {
   lazy val session: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val s = GraftSession.builder("graft-test", cores = 4)
+      // local[4, 2]: allow ONE task retry so RetrySpec can inject a
+      // first-attempt failure and prove retry determinism; assertions
+      // everywhere are on results, so the allowance masks nothing
+      .master("local[4, 2]")
       .config("spark.sql.warehouse.dir", wh)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
