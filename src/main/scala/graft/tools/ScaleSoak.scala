@@ -1,0 +1,224 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+
+/** Derived-scale soak (VERDICT r6 lead item): the 100×-scale story
+  * rests on plan shape — this MEASURES it at the next rung this
+  * environment admits. Without touching /root/testdata, derive a
+  * `factor`× corpus under target/ (union of re-keyed copies:
+  * doc_id/user_id/orderkey shifted into disjoint ranges, sources
+  * re-labeled per copy, timestamps jittered seconds) and run the
+  * scale-sensitive operators on it with SPARK-INTERNAL parity
+  * cross-checks — each banded/bounded/capped spelling against the
+  * naive global spelling it replaces, proving the decomposition is
+  * exact at 10× while timing both.
+  *
+  * Usage: runMain graft.tools.ScaleSoak [sfDir] [outRoot] [factor]
+  * Prints one JSON line per check; summary goes to SCALE.md by hand.
+  */
+object ScaleSoak {
+
+  def deriveCorpus(spark: SparkSession, sfDir: String, outRoot: String,
+                   factor: Int): Unit = {
+    if (Files.exists(Paths.get(s"$outRoot/documents.parquet"))) return
+    val docs = Tables.documents(spark, sfDir)
+    (0 until factor).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("source",
+          if (i == 0) col("source") else concat(col("source"), lit(s"_$i")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outRoot/documents.parquet")
+    val ev = Tables.events(spark, sfDir)
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECONDS"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outRoot/events.parquet")
+    val li = Tables.lineitem(spark, sfDir)
+    (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outRoot/lineitem.parquet")
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Exact frame equality, computed distributed (no driver compare). */
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def report(check: String, rows: Long, operatorS: Double,
+                     naiveS: Double, parity: Boolean, note: String): Unit =
+    println(s"""{"check":"$check","rows":$rows,""" +
+      f""""operator_s":$operatorS%.2f,"naive_s":$naiveS%.2f,""" +
+      s""""parity":$parity,"note":"$note"}""")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "target/scale10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    // df cap for the d4 join leg: at high factors the UNCAPPED join is
+    // deliberately infeasible locally (that's the point of the valve);
+    // pass a binding cap so the bounded join can still run and be timed
+    val d4Cap = if (args.length > 3) args(3).toLong else 1000L
+    val spark = GraftSession.get("graft-scale-soak")
+    spark.sparkContext.setLogLevel("WARN")
+    val (_, deriveS) = timed(deriveCorpus(spark, sfDir, outRoot, factor))
+    println(f"""{"check":"derive","factor":$factor,"wall_s":$deriveS%.2f}""")
+
+    val docs = Tables.documents(spark, outRoot)
+    val events = Tables.events(spark, outRoot)
+    val li = Tables.lineitem(spark, outRoot)
+    val nDocs = docs.count(); val nEv = events.count(); val nLi = li.count()
+
+    // -- x9b: banded token-budget window ≡ global window ------------
+    val scored = graft.text.TextAnalysis.qualityScore(docs)
+      .filter(col("quality_score").isNotNull)
+    val budgets = Map("src0" -> 6000L)
+    val (saltedN, saltedS) = timed(
+      graft.text.Curation.tokenBudgetMixSalted(scored, budgets, 3000L).count())
+    val (globalN, globalS) = timed(
+      graft.text.Curation.tokenBudgetMix(scored, budgets, 3000L).count())
+    val x9bPar = sameRows(
+      graft.text.Curation.tokenBudgetMixSalted(scored, budgets, 3000L)
+        .select("doc_id", "source", "cum_tokens"),
+      graft.text.Curation.tokenBudgetMix(scored, budgets, 3000L)
+        .select("doc_id", "source", "cum_tokens"))
+    report("x9b_banded_budget", saltedN, saltedS, globalS, x9bPar,
+      s"admitted=$saltedN/$globalN docs=$nDocs")
+
+    // -- x10: two-phase banded rank ≡ true global row_number --------
+    val (x10N, x10S) = timed(
+      graft.text.Curation.shufflePositions(docs.select("doc_id"), "doc_id").count())
+    def x10Naive: DataFrame = docs.select(col("doc_id"))
+      .withColumn("shuffle_key",
+        graft.functions.GraftFunctions.mix64(col("doc_id").cast("long")))
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id")))
+          .cast("long"))
+    val (x10nN, x10nS) = timed(x10Naive.count())
+    val x10Par = sameRows(
+      graft.text.Curation.shufflePositions(docs.select("doc_id"), "doc_id")
+        .select("doc_id", "shuffle_pos"),
+      x10Naive.select("doc_id", "shuffle_pos"))
+    report("x10_banded_rank", x10N, x10S, x10nS, x10Par && x10N == x10nN,
+      "naive = single-partition global window")
+
+    // -- x15: banded source interleave ≡ per-source global windows --
+    val (x15N, x15S) = timed(graft.text.Curation.interleaveBySource(docs).count())
+    def x15Naive: DataFrame = {
+      val keyed = docs.select(col("doc_id"), col("source"))
+        .withColumn("shuffle_key",
+          graft.functions.GraftFunctions.mix64(col("doc_id").cast("long")))
+      val srcIdx = keyed.select(col("source")).distinct()
+        .withColumn("__src_idx",
+          (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+      val n = srcIdx.count()
+      keyed
+        .withColumn("__rank",
+          (row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("shuffle_key"), col("doc_id"))) - 1).cast("long"))
+        .join(broadcast(srcIdx), Seq("source"))
+        .withColumn("pos", col("__rank") * lit(n) + col("__src_idx"))
+        .select(col("doc_id"), col("source"), col("pos"))
+    }
+    val (x15nN, x15nS) = timed(x15Naive.count())
+    val x15Par = sameRows(graft.text.Curation.interleaveBySource(docs), x15Naive)
+    report("x15_interleave", x15N, x15S, x15nS, x15Par && x15N == x15nN,
+      "naive = unbanded per-source windows")
+
+    // -- x17: banded length curriculum ≡ global (len, key) window ---
+    val (x17N, x17S) = timed(graft.text.Curation.lengthCurriculum(docs).count())
+    def x17Naive: DataFrame = docs.select(col("doc_id"), col("text"))
+      .withColumn("n_tokens",
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("shuffle_key",
+        graft.functions.GraftFunctions.mix64(col("doc_id").cast("long")))
+      .withColumn("curriculum_pos",
+        row_number().over(Window.orderBy(col("n_tokens"),
+          col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("curriculum_pos"))
+    val (x17nN, x17nS) = timed(x17Naive.count())
+    val x17Par = sameRows(graft.text.Curation.lengthCurriculum(docs), x17Naive)
+    report("x17_curriculum", x17N, x17S, x17nS, x17Par && x17N == x17nN,
+      "naive = single-partition global (len,key) window")
+
+    // -- st8: bounded ≤7-day fan-out ≡ grid between-join replay -----
+    val (st8N, st8S) = timed(
+      graft.operators.Activity.rollingActiveUsers(events, "user_id", "ts").count())
+    def st8Naive: DataFrame = {
+      val days = events.filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("user_id").as("u")).distinct()
+      val grid = days.select(col("day").as("g_day")).distinct()
+      grid.join(days,
+          col("day").between(date_sub(col("g_day"), 6), col("g_day")))
+        .groupBy(col("g_day"))
+        .agg(countDistinct(when(col("day") === col("g_day"), col("u"))).as("dau"),
+          countDistinct(col("u")).as("wau"))
+        .filter(col("dau") > 0)
+        .select(col("g_day").as("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+    }
+    val (st8nN, st8nS) = timed(st8Naive.count())
+    val st8Par = sameRows(
+      graft.operators.Activity.rollingActiveUsers(events, "user_id", "ts"),
+      st8Naive)
+    report("st8_bounded_fanout", st8N, st8S, st8nS, st8Par && st8N == st8nN,
+      s"naive = day-grid between-join (BNLJ); events=$nEv")
+
+    // -- d4: df-cap valve on 10x-planted boilerplate ----------------
+    // every doc has `factor` byte-identical copies, so every shingle's
+    // df multiplied by `factor` — the valve must bound the candidate
+    // pair count BEFORE the self-join. Candidate mass = sum df·(df−1)/2.
+    val posts = docs
+      .withColumn("sh",
+        graft.functions.GraftFunctions.shingle_hashes(col("text")))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfs = posts.groupBy(col("s")).count().persist()
+    val ladder = Seq(250L, 500L, 1000L)
+    val candAggs = sum(col("count") * (col("count") - 1) / 2).as("__unc") +:
+      ladder.map(c => sum(when(col("count") <= c,
+        col("count") * (col("count") - 1) / 2).otherwise(0L)).as(s"__c$c"))
+    val candRow = dfs.agg(candAggs.head, candAggs.tail: _*).head()
+    val maxDf = dfs.agg(max(col("count"))).head().getLong(0)
+    dfs.unpersist()
+    val cands = candRow.toSeq.map(v => BigDecimal(v.toString).toLong)
+    val (d4N, d4S) = timed(
+      graft.dedup.Dedup.exactJaccardPairs(docs, maxDf = d4Cap).count())
+    report("d4_df_cap", d4N, d4S, -1.0,
+      cands.tail.zip(cands.tail.tail :+ cands.head).forall { case (a, b) => a <= b },
+      s"join_cap=$d4Cap max_df=$maxDf candidates uncapped=${cands.head} " +
+        ladder.zip(cands.tail).map { case (c, v) => s"cap$c=$v" }.mkString(" "))
+
+    // -- p14 exact vs p14b sketch profile at 10x lineitem -----------
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    val liDay = li.withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val (p14N, p14S) = timed(
+      graft.quality.Checks.profileColumns(liDay, cols).count())
+    val (p14bN, p14bS) = timed(
+      graft.quality.Checks.approxProfileColumns(liDay, cols).count())
+    // parity: null counts + min/max identical; approx distinct within 5%
+    val ex = graft.quality.Checks.profileColumns(liDay, cols).alias("e")
+    val ap = graft.quality.Checks.approxProfileColumns(liDay, cols).alias("a")
+    val p14Par = ex.join(ap, col("e.col_name") === col("a.col_name"))
+      .filter(col("e.n_nulls") =!= col("a.n_nulls") ||
+        col("e.min_val") =!= col("a.min_val") ||
+        col("e.max_val") =!= col("a.max_val") ||
+        abs(col("a.n_distinct_approx") - col("e.n_distinct")) >
+          col("e.n_distinct") * 0.05)
+      .isEmpty
+    report("p14_profile", p14N.toLong, p14bS, p14S, p14Par,
+      s"operator=approx(no Expand), naive=exact(Expand); lineitem=$nLi")
+
+    spark.stop()
+  }
+}
