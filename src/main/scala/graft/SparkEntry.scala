@@ -202,6 +202,8 @@ object SparkEntry {
     "st25_return_cadence" -> ((s, d) => streaming.Sessionize.st25(s, d)),
     "p14b_approx_profile" -> ((s, d) => quality.Checks.p14bApproxProfile(s, d)),
     "p23_lake_merge" -> ((s, d) => sources.Lake.p23LakeMerge(s, d)),
+    "st26_session_window" -> ((s, d) => streaming.Sessionize.st26(s, d)),
+    "p24_compaction" -> ((s, d) => sources.Lake.p24Compaction(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3161,6 +3163,31 @@ object SparkEntry {
     // their originals, the inserts (id%11=5 cloned to +1e8) append,
     // everything else passes through untouched; per-day report in
     // p20's exact-cent form
+    // st26: gaps-and-islands replay of the NATIVE session_window
+    // semantics — split on gap >= 30min (session_window merges only
+    // strictly-inside events, the boundary law the Scaladoc states);
+    // window end = last event ts + gap
+    "st26_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        | FROM events WHERE user_id IS NOT NULL),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |              ORDER BY ts_us, event_id) AS prev FROM x)),
+        |z AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |      FROM y)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        | max(ts_us) + 1800000000 AS window_end_us,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM z GROUP BY user_id, seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // p24: flat-source replay — the report hash-matches iff the
+    // fragment-then-compact rewrite conserved every row and value
+    "p24_compaction" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
     "p23_lake_merge" ->
       """WITH ev AS (SELECT event_id, ts, event_type, value FROM events),
         |days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev ORDER BY d LIMIT 2),

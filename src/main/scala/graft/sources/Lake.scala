@@ -385,6 +385,48 @@ object Lake {
       .orderBy(col("p_date"))
   }
 
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p24 lake: the events table written as 8 micro-batch-style
+    * APPENDS (each day dir ends up with many small files — the
+    * streaming-bronze pathology [[compactPartition]] exists for),
+    * then every day compacted. The per-day report over the compacted
+    * lake hash-matches the flat source iff compaction conserved
+    * every row and value through the rewrite; the file-count
+    * mechanics (≥8 before, sized-by-bytes after) are spec-pinned in
+    * SourcesSpec.
+    */
+  private[graft] def compactedLake(spark: SparkSession, dir: String): String =
+    compactCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val path = tempLakeRoot("graft_compact")
+      (0 until 8).foreach { i =>
+        writeDatePartitioned(
+          ev.filter(pmod(col("event_id"), lit(8)) === i), path, mode = "append")
+      }
+      val days = spark.read.parquet(path)
+        .select(col("p_date").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      days.foreach(d => compactPartition(spark, path, d))
+      path
+    })
+
+  /** Verified entry (p24): per-day rows + exact cent sums over the
+    * fragment-then-compact lake, p20's report form — equal to the
+    * flat source iff the compaction rewrite lost and duplicated
+    * nothing.
+    */
+  def p24Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val path = compactedLake(spark, dir)
+    spark.read.parquet(path)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("p_date"))
+  }
+
   /** Retention-policy planner (p19): for a ladder of candidate
     * retention windows, how many rows the lake would keep vs expire
     * and the retained share — the sizing table behind

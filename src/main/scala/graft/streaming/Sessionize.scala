@@ -39,6 +39,40 @@ object Sessionize {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Native session windows (st26): Spark's BUILT-IN `session_window`
+    * aggregation — the compose-existing-ops spelling of st1, and the
+    * one that runs unchanged as a watermarked streaming agg (state
+    * store managed by the engine, no custom fMGWS state needed; the
+    * streaming twin spec proves batch/stream parity on closed
+    * windows). Semantics differ from [[sessionizeBatch]] at exactly
+    * the boundary: session_window MERGES an event iff it lands
+    * strictly inside [start, last + gap), so a gap of EXACTLY
+    * `gapMinutes` splits here and merges there — the oracle replays
+    * the `>=` split law, documenting the difference rather than
+    * papering over it. Window end = last event time + gap (the
+    * engine's close time), surfaced as µs for engine-neutral
+    * comparison.
+    *
+    * Scale shape: one user-prefixed shuffle, engine-fused window
+    * assignment — the same single-exchange contract st1 pins.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("window_end_us"),
+        col("n_events"), col("total_value"))
+
+  /** Verified entry (st26). Sort is oracle-determinism only. */
+  def st26(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** Session-quality report (st22): the distribution of session
     * depth and duration — sessions counted, single-event (bounce)
     * share, exact p50/p90 of events-per-session and of session

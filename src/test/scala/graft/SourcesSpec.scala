@@ -109,6 +109,26 @@ class SourcesSpec extends GraftSpecBase {
       .equalsIgnoreCase("static"))
   }
 
+  test("p24 compaction lake: fragmented days collapse to sized outputs, rows conserved") {
+    val path = sources.Lake.compactedLake(spark, sf)
+    def files(sub: String): Array[java.io.File] =
+      new java.io.File(path, sub).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val days = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date="))
+      .map(_.getName)
+    assert(days.nonEmpty, "compacted lake must have day partitions")
+    // tiny data → every day's bytes fit one 128MB target output
+    days.foreach { d =>
+      assert(files(d).length == 1, s"$d must compact to one sized file, " +
+        s"got ${files(d).length}")
+    }
+    // conservation against the flat source
+    val flat = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(path).count() == flat,
+      "compaction must conserve every row")
+  }
+
   test("p23 merge-apply: keyed upsert is partition-local, untouched day files byte-identical") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -473,6 +473,41 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("native session_window: streamed closed sessions equal the batch frame up to the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val cut = evs.map(_._1).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_._1 < cut)
+    val maxUs = evs.map(_._1).max
+    val mem = MemoryStream[(Long, Long, Double)]
+    val streamed = streaming.Sessionize.sessionWindowAgg(
+      mem.toDF().toDF("ts_us", "user_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds"))
+    mem.addData(scala.util.Random.shuffle(b1.toSeq): _*)
+    mem.addData(scala.util.Random.shuffle(b2.toSeq): _*)
+    val got = streaming.Streams.runToMemory(streamed, outputMode = "append",
+        statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // append mode emits a session once the watermark passes its
+    // engine close time (last event + gap); the final watermark is
+    // the corpus max, so the expected set is the batch frame
+    // restricted to window_end <= max event time
+    val expected = streaming.Sessionize.sessionWindowAgg(
+        Tables.events(spark, sf))
+      .filter(col("window_end_us") <= maxUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"stream-only: ${(got -- expected).take(3)}; batch-only: ${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "the parity set must not be vacuous")
+  }
+
   test("streaming attribution twin equals batch st15 on the real event log (cross-batch touch carry)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{FunnelEv, AttribOut}
