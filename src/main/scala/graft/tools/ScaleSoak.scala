@@ -199,6 +199,30 @@ object ScaleSoak {
       s"join_cap=$d4Cap max_df=$maxDf candidates uncapped=${cands.head} " +
         ladder.zip(cands.tail).map { case (c, v) => s"cap$c=$v" }.mkString(" "))
 
+    // -- skew: salted join on a planted hot key ≡ plain shuffle join
+    // one user owns 20% of the scaled event stream (the planted-skew
+    // shape SkewStreamSpec pins at spec size) — join events⋈per-user
+    // dims salted vs plain, prove row-identical, time both
+    val hotUser = -1L
+    val skewed = events.select(col("event_id"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit(hotUser))
+          .otherwise(col("user_id")).as("user_id"),
+        col("value"))
+    val dims = skewed.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(7)))
+    // force a SHUFFLE join (the skew-relevant case; broadcast would
+    // hide the hot partition) on both spellings
+    val plainJ = skewed.join(dims.hint("shuffle_hash"), Seq("user_id"))
+    val saltedJ = graft.operators.Skew.saltedJoin(
+      skewed, dims.hint("shuffle_hash"), "user_id", 16, col("event_id"))
+    val (plainN, plainS) = timed(plainJ.count())
+    val (saltN, saltS) = timed(saltedJ.count())
+    val skewPar = saltN == plainN && sameRows(
+      saltedJ.select("user_id", "event_id", "segment"),
+      plainJ.select("user_id", "event_id", "segment"))
+    report("skew_salted_join", saltN, saltS, plainS, skewPar,
+      s"hot key holds 20% of $nEv events; salt n=16")
+
     // -- p14 exact vs p14b sketch profile at 10x lineitem -----------
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
     val liDay = li.withColumn("l_shipdate", col("l_shipdate").cast("date"))

@@ -887,6 +887,43 @@ class PlanShapeSpec extends GraftSpecBase {
       s"watermark frame must broadcast back to facts:\n$wmPlan")
   }
 
+  test("st26: native session_window rides ONE user shuffle, no library sort") {
+    val plan = finalPlan(
+      streaming.Sessionize.sessionWindowAgg(Tables.events(spark, sf)))
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes <= 1, s"session_window agg needs one keyed exchange, got $hashes:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library fn must not global-sort its result:\n$plan")
+  }
+
+  test("p23 merge read side: touched-day partition pruning + broadcast anti join") {
+    // the survivors frame mergeApply writes: only touched day dirs
+    // scanned (literal day filter → static partition pruning), and
+    // the batch key set must BROADCAST into the anti join — the fact
+    // side never shuffles for the merge
+    val lake = java.nio.file.Files.createTempDirectory("p23_plan").toString
+    val day = 86400000000L
+    import spark.implicits._
+    val ev = Seq((1L, 1L * day, 1.0), (2L, 2L * day, 2.0), (3L, 3L * day, 3.0))
+      .toDF("event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    sources.Lake.writeDatePartitioned(ev, lake)
+    val batch = Seq((1L, 1L * day, 9.0)).toDF("event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val existing = spark.read.parquet(lake)
+      .filter(col("p_date").isin("1970-01-02"))
+    val survivors = existing.join(
+      broadcast(batch.select(col("event_id")).distinct()),
+      Seq("event_id"), "left_anti")
+    val plan = finalPlan(survivors)
+    assert(plan.contains("PartitionFilters: [(p_date"),
+      s"touched-day filter must prune partitions:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"batch keys must broadcast into a LEFT ANTI:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the lake side must never shuffle for the merge:\n$plan")
+  }
+
   test("p14b: approx profile plans WITHOUT the exact multi-distinct Expand") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
