@@ -204,6 +204,8 @@ object SparkEntry {
     "p23_lake_merge" -> ((s, d) => sources.Lake.p23LakeMerge(s, d)),
     "st26_session_window" -> ((s, d) => streaming.Sessionize.st26(s, d)),
     "p24_compaction" -> ((s, d) => sources.Lake.p24Compaction(s, d)),
+    "m9_scene_change" -> ((s, d) => multimodal.Multimodal.m9(s, d)),
+    "p25_write_audit_publish" -> ((s, d) => sources.Lake.p25WriteAuditPublish(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3182,6 +3184,46 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM z GROUP BY user_id, seq
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // p25: replay of ONLY the clean (even-id) half — hash-matches iff
+    // the failed staged batch is invisible to lake-root readers and
+    // the published batch arrived whole
+    "p25_write_audit_publish" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // m9: m3's frame replay extended one window step — a cut opens a
+    // scene when consecutive frame hashes differ in > 3 bits
+    // (two's-complement bit_count on both engines)
+    "m9_scene_change" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u,
+        |  list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, c) -> (31 * acc + c) % 4294967296) AS ju
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
+        |  CASE WHEN ju >= 2147483648 THEN ju - 4294967296 ELSE ju END AS jhash,
+        |  CAST(((1 + (u // 8589934592) % 16) + 3) // 4 AS INTEGER) AS stride
+        | FROM h),
+        |f AS (
+        | SELECT doc_id, CAST(frame // stride AS INTEGER) AS frame_idx,
+        |  CAST(jhash * 31 + frame AS BIGINT) AS frame_hash
+        | FROM (SELECT doc_id, stride, jhash,
+        |        unnest(generate_series(0, n_frames - 1, stride)) AS frame FROM s)),
+        |g AS (
+        | SELECT doc_id, frame_hash,
+        |  lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        | FROM f)
+        |SELECT doc_id, count(*) AS n_frames,
+        | CAST(sum(CASE WHEN prev IS NULL THEN 1
+        |   WHEN bit_count(xor(frame_hash, prev)) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // p24: flat-source replay — the report hash-matches iff the
     // fragment-then-compact rewrite conserved every row and value
     "p24_compaction" ->

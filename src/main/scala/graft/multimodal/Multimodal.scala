@@ -275,6 +275,39 @@ object Multimodal {
     }
   }
 
+  /** m9: scene-change segmentation over the sampled frame stream —
+    * the shot-boundary pass a video curation pipeline runs before
+    * per-scene captioning/embedding (scene count and density are
+    * also cheap quality signals: a 1-scene hour is a static slide, a
+    * 100-scene minute is strobing). A cut is declared when
+    * consecutive sampled frames' perceptual hashes differ in more
+    * than `bitThreshold` bits (here the m3 stub hashes; with a real
+    * codec the same Hamming rule runs over real dHashes — m5's
+    * kernel). First frame always opens a scene.
+    *
+    * Scale shape: frames are bounded (≤ maxFrames per doc, m3's
+    * stride contract), the lag window and the per-doc agg ride ONE
+    * doc-key shuffle, and the Hamming test is integer bit_count in
+    * codegen — no joins, no fan-out beyond m3's own.
+    */
+  def sceneChange(docs: DataFrame, maxFrames: Int = 4,
+                  bitThreshold: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSample(docs, maxFrames).toDF()
+      .withColumn("__prev", lag(col("frame_hash"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNull, 1L)
+          .when(expr(s"bit_count(frame_hash ^ __prev) > $bitThreshold"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("__cut")).as("n_scenes"))
+  }
+
+  /** Verified entry (m9). Sort is oracle-determinism only. */
+  def m9(spark: SparkSession, dir: String): DataFrame =
+    sceneChange(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                                 out_w: Int, out_h: Int, resize_hash: Long)
 

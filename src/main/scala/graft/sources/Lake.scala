@@ -427,6 +427,83 @@ object Lake {
       .orderBy(col("p_date"))
   }
 
+  /** Write-audit-publish (p25): the lakehouse promotion gate — a
+    * batch lands in a `_staging` dir, the declarative audit suite
+    * runs on the STAGED files (what was actually written, not the
+    * in-memory frame), and only a fully-passing batch is PUBLISHED
+    * by directory rename. A failing batch stays in staging as its
+    * own dead letter. The underscore prefix is load-bearing: Hadoop
+    * input listing ignores `_`-prefixed paths, so readers of the
+    * lake root can NEVER observe an unaudited batch — the isolation
+    * property WAP exists for, enforced by the layout itself rather
+    * than reader discipline.
+    *
+    * Scale shape: the audit is Checks.run's single aggregation pass
+    * over the staged batch (not the lake); publish is one metadata
+    * rename. @return whether the batch published.
+    */
+  def writeAuditPublish(spark: SparkSession, batch: DataFrame, root: String,
+                        batchId: String,
+                        checks: Seq[graft.quality.Checks.Check]): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, s"_staging/batch=$batchId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val verdict = graft.quality.Checks.run(
+      spark.read.parquet(staging.toString), checks)
+    val ok = verdict.filter(!col("passed")).isEmpty
+    if (ok) {
+      val dest = new Path(root, s"batch=$batchId")
+      fs.mkdirs(dest.getParent)
+      fs.rename(staging, dest)
+    }
+    ok
+  }
+
+  private val wapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p25 lake: two WAP batches — the even-id half (clean, audits
+    * pass, publishes) and the odd-id half with planted null user_ids
+    * (MissingCount fails, stays staged). The builder asserts both
+    * verdicts; the entry reads the lake ROOT, which by the
+    * underscore law sees only the published batch.
+    */
+  private[graft] def wapLake(spark: SparkSession, dir: String): String =
+    wapCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val root = tempLakeRoot("graft_wap")
+      val checks = Seq(
+        graft.quality.Checks.RowCountAbove(0),
+        graft.quality.Checks.MissingCount("user_id"),
+        graft.quality.Checks.DuplicateCount("event_id"))
+      val good = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val bad = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(7)) === 1, lit(null).cast("long"))
+            .otherwise(col("user_id")))
+      val okGood = writeAuditPublish(spark, good, root, "g0", checks)
+      val okBad = writeAuditPublish(spark, bad, root, "b1", checks)
+      require(okGood, "clean batch must publish")
+      require(!okBad, "null-planted batch must stay staged")
+      root
+    })
+
+  /** Verified entry (p25): per-type report over the lake root — the
+    * oracle replays ONLY the clean half, so the hash matches iff the
+    * failed batch is invisible to root readers and the published one
+    * arrived whole.
+    */
+  def p25WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = wapLake(spark, dir)
+    spark.read.parquet(root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Retention-policy planner (p19): for a ladder of candidate
     * retention windows, how many rows the lake would keep vs expire
     * and the retained share — the sizing table behind

@@ -129,6 +129,24 @@ class SourcesSpec extends GraftSpecBase {
       "compaction must conserve every row")
   }
 
+  test("p25 WAP: failed batch stays in _staging, invisible to lake-root readers") {
+    val root = sources.Lake.wapLake(spark, sf)
+    assert(new java.io.File(root, "batch=g0").isDirectory,
+      "clean batch must publish")
+    assert(new java.io.File(root, "_staging/batch=b1").isDirectory,
+      "failed batch must remain staged (its own dead letter)")
+    assert(!new java.io.File(root, "batch=b1").exists(),
+      "failed batch must never reach the published namespace")
+    val ev = Tables.events(spark, sf)
+    val published = spark.read.parquet(root)
+    assert(published.count() ==
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).count(),
+      "root readers must see exactly the clean half")
+    // and the staged dead letter is intact for inspection/repair
+    assert(spark.read.parquet(s"$root/_staging/batch=b1").count() ==
+      ev.filter(pmod(col("event_id"), lit(2)) === 1).count())
+  }
+
   test("p23 merge-apply: keyed upsert is partition-local, untouched day files byte-identical") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
