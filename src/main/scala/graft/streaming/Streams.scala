@@ -232,6 +232,53 @@ object Streams {
       .agg(hll_sketch_agg(col(userCol), lgK).as("day_sk"))
       .select(col("window.start").cast("date").as("day"), col("day_sk"))
 
+  /** p16 streaming twin: maintain the partial-gold materialized view
+    * across micro-batches — each batch folds to its OWN partial
+    * (window-cardinality aggregate rows, Medallion.goldPartial) and
+    * sum-merges into the sink state by (window, key). The merge is
+    * commutative and associative (p16's round-per-slice law), so NO
+    * cross-batch ordering contract exists: ANY split of the log into
+    * batches — including a fully shuffled one — yields the identical
+    * view (StreamingSpec ingests exactly that). Local stand-in sink
+    * = in-memory merge map bounded by the gold grain; at production
+    * scale the same per-batch partial sum-merges into the
+    * partial-gold lake (goldMerge) or a JDBC upsert.
+    */
+  def runGoldMergeToMemory(silver: DataFrame, keyCol: String,
+                           statePartitions: Option[Int] = None): DataFrame = {
+    val scoped = statePartitions match {
+      case Some(n) => org.apache.spark.sql.GraftBridge.withConfScope(silver,
+        "spark.sql.shuffle.partitions" -> n.toString)
+      case None => silver
+    }
+    val state = new java.util.LinkedHashMap[
+      (java.sql.Timestamp, java.sql.Timestamp, String), (Long, Double)]()
+    val q = scoped.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Medallion.goldPartial(batch, "ts", keyCol).collect().foreach { r =>
+          val k = (r.getAs[java.sql.Timestamp]("window_start"),
+            r.getAs[java.sql.Timestamp]("window_end"),
+            String.valueOf(r.getAs[Any](keyCol)))
+          val (n0, s0) = Option(state.get(k)).getOrElse((0L, 0.0))
+          state.put(k, (n0 + r.getAs[Long]("n_events"),
+            s0 + r.getAs[Double]("sum_value")))
+        }
+      }
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = scoped.sparkSession
+    import spark.implicits._
+    state.entrySet().toArray(Array.empty[java.util.Map.Entry[
+        (java.sql.Timestamp, java.sql.Timestamp, String), (Long, Double)]])
+      .map { e =>
+        val ((ws, we, k), (n, s)) = (e.getKey, e.getValue)
+        (ws, we, k, n, math.rint(s * 100) / 100)
+      }.toSeq
+      .toDF("window_start", "window_end", keyCol, "n_events", "sum_value")
+  }
+
   /** Run a bounded update-mode stream to completion, compacting its
     * per-batch re-emissions into final per-key rows via a
     * foreachBatch keyed upsert — the LOCAL stand-in for

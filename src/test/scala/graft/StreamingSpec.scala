@@ -473,6 +473,36 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("incremental gold merge twin: FULLY SHUFFLED micro-batches yield the exact batch view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val silver = pipeline.Medallion.silverEvents(Tables.events(spark, sf))
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val rows = silver.as[(Long, String, Double)].collect()
+    // the merge is commutative+associative, so unlike every other
+    // twin there is NO cross-batch ordering contract to honor —
+    // shuffle the WHOLE log and split arbitrarily
+    val shuffled = scala.util.Random.shuffle(rows.toSeq)
+    val chunks = shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).toSeq
+    val mem = MemoryStream[(Long, String, Double)]
+    chunks.foreach(c => mem.addData(c: _*))
+    val streamed = streaming.Streams.runGoldMergeToMemory(
+      mem.toDF().toDF("ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "event_type", statePartitions = Some(4))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("long"), col("window_end").cast("long"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = pipeline.Medallion.goldPartial(
+      pipeline.Medallion.silverEvents(Tables.events(spark, sf)), "ts", "event_type")
+      .select(col("window_start"), col("window_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    assert(key(streamed) == key(batch),
+      s"streamed-only: ${(key(streamed) -- key(batch)).take(3)}; " +
+        s"batch-only: ${(key(batch) -- key(streamed)).take(3)}")
+  }
+
   test("native session_window: streamed closed sessions equal the batch frame up to the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
