@@ -863,6 +863,9 @@ class PlanShapeSpec extends GraftSpecBase {
       ("x22 sourceQuality", text.Curation.sourceQuality(docs), 1),
       // narrow mapPartitions kernel, zero shuffles
       ("m8 byteEntropy", multimodal.Multimodal.byteEntropy(docs), 0),
+      // narrow frame kernel; the lag window and the per-doc agg share
+      // ONE doc-key exchange (m3's bounded ≤4-frame fan-out)
+      ("m9 sceneChange", multimodal.Multimodal.sceneChange(docs), 1),
       // each slice pays silver's key-dedup exchange + its partial
       // window agg (2×2), the merge adds ONE exchange of AGGREGATE
       // rows — the merge never sees an event row
