@@ -199,6 +199,20 @@ object ScaleSoak {
       s"join_cap=$d4Cap max_df=$maxDf candidates uncapped=${cands.head} " +
         ladder.zip(cands.tail).map { case (c, v) => s"cap$c=$v" }.mkString(" "))
 
+    // -- d2 vs d2b: signature shuffle vs signature-free joinback ----
+    // (10x rung only: the signature compute dominates above that and
+    // the comparison is already established)
+    if (nDocs <= 100000) {
+      val (d2N, d2S) = timed(graft.dedup.Dedup.minhashLshPairs(docs).count())
+      val (d2bN, d2bS) = timed(
+        graft.dedup.Dedup.minhashLshPairsJoinback(docs).count())
+      val d2Par = d2N == d2bN && sameRows(
+        graft.dedup.Dedup.minhashLshPairs(docs),
+        graft.dedup.Dedup.minhashLshPairsJoinback(docs))
+      report("d2b_joinback", d2bN, d2bS, d2S, d2Par,
+        "operator=signature-free joinback, naive=16KB-signature band shuffle")
+    }
+
     // -- skew: salted join on a planted hot key ≡ plain shuffle join
     // one user owns 20% of the scaled event stream (the planted-skew
     // shape SkewStreamSpec pins at spec size) — join events⋈per-user
