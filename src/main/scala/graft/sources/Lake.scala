@@ -105,7 +105,7 @@ object Lake {
   private[graft] def eventsLake(spark: SparkSession, dir: String): (String, String) =
     lakeCache.computeIfAbsent(dir, { _ =>
       val ev = graft.Tables.events(spark, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      val path = tempLakeRoot("graft_lake")
       writeDatePartitioned(ev, path)
       val day = ev.agg(min(date_format(col("ts"), "yyyy-MM-dd"))).head().getString(0)
       (path, day)
@@ -137,7 +137,7 @@ object Lake {
       def write(df: DataFrame, table: String, key: String): Unit =
         df.write.mode("overwrite")
           .bucketBy(buckets, key).sortBy(key)
-          .option("path", java.nio.file.Files.createTempDirectory(s"graft_$table").toString)
+          .option("path", tempLakeRoot(s"graft_$table"))
           .saveAsTable(table)
       write(graft.Tables.orders(spark, dir), ot, "o_orderkey")
       write(graft.Tables.lineitem(spark, dir), lt, "l_orderkey")
