@@ -206,6 +206,7 @@ object SparkEntry {
     "p24_compaction" -> ((s, d) => sources.Lake.p24Compaction(s, d)),
     "m9_scene_change" -> ((s, d) => multimodal.Multimodal.m9(s, d)),
     "p25_write_audit_publish" -> ((s, d) => sources.Lake.p25WriteAuditPublish(s, d)),
+    "st24_peak_concurrency" -> ((s, d) => operators.Intervals.st24(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3192,6 +3193,30 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // st24: the oracle computes the GLOBAL sweep-line running sum
+    // directly — the Spark side's (day, hour)-banded offset
+    // decomposition must equal it bit-for-bit, so DuckDB itself
+    // proves the prefix-sum split exact (the x9b proof pattern).
+    // Half-open interval law: all deltas at one instant net together.
+    "st24_peak_concurrency" ->
+      """WITH deltas AS (
+        | SELECT epoch_us(ts) AS us, 1 AS delta FROM events
+        | UNION ALL
+        | SELECT epoch_us(ts) + 300000000 AS us, -1 AS delta FROM events),
+        |perus AS (
+        | SELECT us, sum(delta) AS net FROM deltas GROUP BY us),
+        |run AS (
+        | SELECT us, sum(net) OVER (ORDER BY us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        | FROM perus),
+        |byday AS (
+        | SELECT CAST(make_timestamp(us) AS DATE) AS day, us, running FROM run),
+        |pk AS (
+        | SELECT day, max(running) AS peak FROM byday GROUP BY day)
+        |SELECT b.day, CAST(p.peak AS BIGINT) AS peak_concurrency,
+        | min(b.us) AS peak_at_us
+        |FROM byday b JOIN pk p ON b.day = p.day AND b.running = p.peak
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // m9: m3's frame replay extended one window step — a cut opens a
     // scene when consecutive frame hashes differ in > 3 bits
     // (two's-complement bit_count on both engines)

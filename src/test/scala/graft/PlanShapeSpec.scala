@@ -944,4 +944,37 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(exchanges <= 1,
       s"approx profile needs only the SinglePartition gather, got $exchanges:\n$approx")
   }
+
+  test("st24: delta rows cross the wire once; banded prefix-sum reuses that exchange") {
+    val df = operators.Intervals.peakConcurrency(
+      Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts"))),
+      "ts_us", 300000000L)
+    val plan = finalPlan(df)
+    // exactly ONE full-width exchange moves delta rows (the band
+    // repartition); every other pass over them is a ReusedExchange
+    // (whose plan line echoes the referenced exchange — count lines)
+    val lines = plan.linesIterator.toSeq
+    val repart = lines.count(l =>
+      l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(repart == 1, s"expected 1 band repartition, got $repart:\n$plan")
+    assert(lines.count(l => l.contains("ReusedExchange") &&
+      l.contains("REPARTITION_BY_COL")) >= 2,
+      s"offsets and dayPeak must reuse the band exchange:\n$plan")
+    // the per-µs groupBy must ride the band partitioning — the only
+    // OTHER hash exchanges are the two tiny post-aggregation ones
+    // (dayPeak on day; the final (day, peak) gather)
+    val hashEx = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashEx <= 3, s"expected ≤3 hash exchanges (1 band + 2 tiny post-agg), got $hashEx:\n$plan")
+    // offsets prefix-sum runs on ONE partition of |days|×24 rows —
+    // the only SinglePartition exchange, and it broadcasts back
+    assert(lines.count(l => l.contains("Exchange SinglePartition") &&
+      !l.contains("ReusedExchange")) == 1,
+      s"exactly the tiny offsets table may gather to one partition:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"offsets must broadcast back to the bands:\n$plan")
+    // scan reads only ts
+    assert(plan.contains("ReadSchema: struct<ts:"),
+      s"events scan must prune to the ts column:\n$plan")
+  }
 }
