@@ -207,6 +207,7 @@ object SparkEntry {
     "m9_scene_change" -> ((s, d) => multimodal.Multimodal.m9(s, d)),
     "p25_write_audit_publish" -> ((s, d) => sources.Lake.p25WriteAuditPublish(s, d)),
     "st24_peak_concurrency" -> ((s, d) => operators.Intervals.st24(s, d)),
+    "x25_doc_chunking" -> ((s, d) => text.Curation.x25DocChunking(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3193,6 +3194,31 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // x25: same '\s+' split law as t2/x6 (limit -1: leading/trailing
+    // empties kept on both engines), 1-based inclusive list slice,
+    // md5 over the UTF-8 bytes of the re-joined chunk (t3's law).
+    // window 32 / stride 24 — below the corpus max doc length so the
+    // multi-chunk overlap law is actually exercised
+    "x25_doc_chunking" ->
+      """WITH tk AS (
+        | SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM tk),
+        |c AS (
+        | SELECT doc_id, toks, n_toks,
+        |  unnest(generate_series(0, CASE WHEN n_toks <= 32 THEN 0
+        |    ELSE (n_toks - 32 + 23) // 24 END)) AS chunk_idx
+        | FROM n),
+        |s AS (
+        | SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |  array_to_string(toks[chunk_idx * 24 + 1 :
+        |    least(chunk_idx * 24 + 32, n_toks)], ' ') AS ctext,
+        |  least(32, n_toks - chunk_idx * 24) AS n_chunk_toks
+        | FROM c)
+        |SELECT doc_id, chunk_idx, start_tok, n_chunk_toks,
+        | CAST(length(ctext) AS BIGINT) AS chunk_chars,
+        | md5(ctext) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     // st24: the oracle computes the GLOBAL sweep-line running sum
     // directly — the Spark side's (day, hour)-banded offset
     // decomposition must equal it bit-for-bit, so DuckDB itself

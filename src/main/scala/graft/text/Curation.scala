@@ -979,4 +979,52 @@ object Curation {
           .select(col("doc_id"), col("ws_tokens")),
         idCol = "doc_id", tokenCol = "ws_tokens", maxTokens = 512, chunkSize = 64),
       maxTokens = 512)
+
+  /** Sliding-window document chunking (x25): split each doc into
+    * `window`-token chunks advancing by `stride` tokens (overlap =
+    * window − stride) — the RAG-indexing / long-doc-training cut that
+    * pairs with x6 (x6 PACKS many short docs into one context; this
+    * SPLITS one long doc into many contexts). Chunk count law:
+    * 1 for n ≤ window, else ceil((n − window)/stride) + 1 — the last
+    * chunk may be short but every token lands in ≥1 chunk and no
+    * chunk is pure tail-padding. Chunk identity carries md5 of the
+    * re-joined chunk text (t3's portable content-hash law).
+    *
+    * Scale shape: entirely NARROW — tokenize, a bounded explode
+    * (fan-out ≤ n/stride + 1, proportional to the doc's own length,
+    * the m3 bounded-fan-out property), slice + hash per chunk. No
+    * shuffle anywhere; at 100 TB this is a map-only pass whose output
+    * feeds s5/s6-style indexing. Null-text docs produce no chunks
+    * (explode of a null sequence) on both engines.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 128, stride: Int = 96,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"window=$window must cover stride=$stride (gap-free law)")
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("__n") <= window, lit(0L))
+          .otherwise(expr(s"(__n - $window + ${stride - 1}) div $stride")))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("start_tok") + 1).cast("int"), lit(window)))
+      .withColumn("__ctext", concat_ws(" ", col("__chunk")))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_chunk_toks"),
+        length(col("__ctext")).cast("long").as("chunk_chars"),
+        md5(col("__ctext")).as("chunk_md5"))
+  }
+
+  /** Verified entry (x25): 32-token windows, 24-token stride over
+    * `documents` — sized BELOW the corpus's max doc length (~100
+    * tokens) so the oracle exercises the multi-chunk overlap law (the
+    * production 128/96 default would leave every test doc single-
+    * chunk). Sort is oracle-determinism only.
+    */
+  def x25DocChunking(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
 }

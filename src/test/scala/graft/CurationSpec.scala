@@ -458,4 +458,33 @@ class CurationSpec extends GraftSpecBase {
       p(0).getLong(1) == p(1).getLong(1) && p(0).getLong(0) > p(1).getLong(0))
     assert(inverted, "equal-length docs must not stay in id order")
   }
+
+  test("x25 chunking: gap-free coverage, overlap law, bounded fan-out, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks → 4 chunks @32/24
+      (2L, "a b c"),                                   // short → 1 chunk
+      (3L, (1 to 56).map(i => s"t$i").mkString(" "))   // n−W divisible by S → no tail chunk
+    ).toDF("doc_id", "text")
+    val r = text.Curation.chunkDocuments(docs, window = 32, stride = 24)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // chunk-count law: ceil((n−32)/24)+1
+    assert(r.count(_._1 == 1L) == 4 && r.count(_._2 == 0) == 3)
+    assert(r.count(_._1 == 2L) == 1 && r.count(_._1 == 3L) == 2,
+      "56 toks must give exactly 2 chunks (0..31, 24..55) — no tail chunk")
+    // gap-free: consecutive chunks overlap by window − stride
+    r.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sortBy(_._2).sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._3 - p(0)._3 == 24, "starts advance by stride")
+        assert(p(0)._3 + p(0)._4 >= p(1)._3, "no token may fall between chunks")
+      }
+    }
+    // last chunk reaches the final token exactly
+    assert(r.filter(_._1 == 1L).map(t => t._3 + t._4).max == 100)
+    // map-only contract: no exchange in the plan
+    val plan = text.Curation.chunkDocuments(docs, 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
+  }
 }
