@@ -208,6 +208,7 @@ object SparkEntry {
     "p25_write_audit_publish" -> ((s, d) => sources.Lake.p25WriteAuditPublish(s, d)),
     "st24_peak_concurrency" -> ((s, d) => operators.Intervals.st24(s, d)),
     "x25_doc_chunking" -> ((s, d) => text.Curation.x25DocChunking(s, d)),
+    "t21_quality_classifier" -> ((s, d) => text.TextAnalysis.t21QualityClassifier(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -649,6 +650,14 @@ object SparkEntry {
     * tables, registered by table name). Column aliases MUST match the
     * Spark side exactly.
     */
+  /** Shared d3/t21 oracle fragment: bit-exact ShingleHashes(n=1,
+    * keep-reps) replay - FNV-1a 64 over UTF-16 units per token,
+    * then the splitmix64 finalizer applied twice, all in HUGEINT
+    * mod-2^64 arithmetic with 32-bit-split modular multiplies.
+    */
+  private val tokenHashesSql: String =
+    "list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31))"
+
   def oracleSql: Map[String, String] = Map(
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1125,8 +1134,8 @@ object SparkEntry {
     // lambda tiny (a nested textual expansion re-evaluates
     // subexpressions exponentially).
     "d3_simhash" ->
-      """WITH th AS (
-        | SELECT doc_id, list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(list_transform(regexp_split_to_array(text, '\s+'), tk -> list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), list_transform(regexp_split_to_array(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT))), (acc, c) -> (((xor(acc, c)) % 4294967296) * 435 + ((((xor(acc, c)) % 4294967296) * 256 + ((xor(acc, c)) // 4294967296) * 435) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT))), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)), x -> (x + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 30)), x -> (((x) % 4294967296) * 484763065 + ((((x) % 4294967296) * 3210233709 + ((x) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 27)), x -> (((x) % 4294967296) * 321982955 + ((((x) % 4294967296) * 2496678331 + ((x) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT)), x -> xor(x, x >> 31)) AS ths
+      s"""WITH th AS (
+        | SELECT doc_id, $tokenHashesSql AS ths
         | FROM documents),
         |sims AS (
         | SELECT doc_id,
@@ -3194,6 +3203,35 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // t21: d3's token-hash replay (shared fragment) → mask-mod bucket
+    // (unsigned u % 1024 == signed h & 1023), integer milli-weight
+    // formula, exact integer score sum; the logit rounds to µ-units
+    // in INTEGER arithmetic (half-away on |s|, signed — a double
+    // round lands on half-way grid points where engines disagree),
+    // then exp of the exactly-scaled µ value (t16's idiom). Token-
+    // less docs drop via the same trim() law both sides.
+    "t21_quality_classifier" ->
+      (s"""WITH th AS (
+        | SELECT doc_id, $tokenHashesSql AS ths
+        | FROM documents WHERE regexp_matches(text, '\\S')),
+        |w AS (
+        | SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(ths, h ->
+        |    CAST((h % 1024) * 2654435761 % 2003 AS BIGINT) - 1001)) AS BIGINT)
+        |   AS score_milli
+        | FROM th),
+        |l AS (
+        | SELECT doc_id, n_tokens, score_milli,
+        |  CASE WHEN score_milli < 0
+        |   THEN -((abs(score_milli) * 2000 + n_tokens) // (2 * n_tokens))
+        |   ELSE (score_milli * 2000 + n_tokens) // (2 * n_tokens)
+        |  END AS logit_micro
+        | FROM w)
+        |SELECT doc_id, n_tokens, score_milli, logit_micro,
+        | round(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1000000.0))), 6) AS prob,
+        | CASE WHEN round(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1000000.0))), 6) >= 0.5
+        |      THEN 'keep' ELSE 'drop' END AS label
+        |FROM l ORDER BY doc_id""".stripMargin),
     // x25: same '\s+' split law as t2/x6 (limit -1: leading/trailing
     // empties kept on both engines), 1-based inclusive list slice,
     // md5 over the UTF-8 bytes of the re-joined chunk (t3's law).

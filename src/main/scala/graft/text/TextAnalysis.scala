@@ -797,4 +797,59 @@ object TextAnalysis {
   /** Verified entry (t18). Sort is oracle-determinism only. */
   def t18CodeDetect(spark: SparkSession, dir: String): DataFrame =
     codeDetect(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Hashed-feature linear quality classifier (t21): the fastText /
+    * hashing-trick scoring shape every production quality filter runs
+    * — token → hash bucket → weight lookup → mean → sigmoid — with a
+    * DETERMINISTIC weight table (weight_milli(b) = (b·2654435761 mod
+    * 2003) − 1001 ∈ [−1001, 1001]) standing in for trained weights: a
+    * real model swaps the weight formula for a broadcast array and
+    * NOTHING else changes. Bucketing uses the d3 token-hash law
+    * (FNV-1a 64 over UTF-16 units, splitmix64-finalized twice via
+    * ShingleHashes n=1), mask-mod into a power-of-two bucket space, so
+    * the whole feature step is one array expression per row.
+    *
+    * Exactness: score_milli accumulates EXACT integer milli-weights
+    * (no per-token FP), and the logit is rounded to µ-units IN
+    * INTEGER ARITHMETIC (half-away: (2·|s|·1000 + n) div 2n, signed)
+    * — rounding a double score/(1000n) instead lands exactly on
+    * half-way grid points (e.g. −10067/80000 = −0.1258375) where
+    * engines' FP tie-breaks legitimately disagree. The only FP ops
+    * are the exact µ→double scaling, one exp, one final round (t16's
+    * engine-portability idiom). Scale shape: entirely narrow — no
+    * shuffle, no weight join (the table is a formula; a trained table
+    * ≤ a few MB broadcasts). Token-less docs (all-whitespace) are
+    * dropped — the Spark side filters on the token array itself, the
+    * oracle spells the equivalent `regexp_matches(text, '\S')` (NOT
+    * trim(): SQL trim strips only spaces, so a tab-padded doc passes
+    * trim yet tokenizes to nothing).
+    */
+  def hashedQualityClassifier(docs: DataFrame, buckets: Int = 1024,
+                              textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two (unsigned mod = mask)")
+    val mask = (buckets - 1).toLong
+    docs
+      .withColumn("__hs",
+        graft.functions.GraftFunctions.shingle_hashes(col(textCol), 1, distinct = false))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("n_tokens", size(col("__hs")).cast("long"))
+      .withColumn("score_milli", aggregate(col("__hs"), lit(0L),
+        (acc, h) => acc +
+          (h.bitwiseAND(lit(mask)) * lit(2654435761L)) % lit(2003L) - lit(1001L)))
+      .withColumn("__absq",
+        expr("(abs(score_milli) * 2000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("logit_micro",
+        when(col("score_milli") < 0, -col("__absq")).otherwise(col("__absq")))
+      .withColumn("prob", round(lit(1.0) /
+        (lit(1.0) + exp(-col("logit_micro").cast("double") / 1000000.0)), 6))
+      .withColumn("label", when(col("prob") >= 0.5, lit("keep")).otherwise(lit("drop")))
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+        col("logit_micro"), col("prob"), col("label"))
+  }
+
+  /** Verified entry (t21). Sort is oracle-determinism only. */
+  def t21QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    hashedQualityClassifier(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -293,4 +293,30 @@ class TextSpec extends GraftSpecBase {
     }
     assert(plan.contains("BroadcastHashJoin"), s"LM must broadcast:\n$plan")
   }
+
+  test("t21 classifier: integer score law, sigmoid bounds, both labels fire, narrow plan") {
+    import spark.implicits._
+    val df = text.TextAnalysis.hashedQualityClassifier(Tables.documents(spark, sf))
+    val r = df.collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, s, lm, p) = (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(n > 0 && math.abs(s) <= 1001 * n, "score bounded by max |milli-weight| per token")
+      // integer half-away rounding law replayed in Scala
+      val q = (math.abs(s) * 2000 + n) / (2 * n)
+      assert(lm == (if (s < 0) -q else q), s"logit_micro law: s=$s n=$n lm=$lm")
+      assert(p > 0.0 && p < 1.0 || lm == 0 && p == 0.5)
+      assert((x.getString(5) == "keep") == (p >= 0.5))
+    }
+    assert(r.exists(_.getString(5) == "keep") && r.exists(_.getString(5) == "drop"),
+      "the deterministic weight table must split the corpus, not collapse to one label")
+    // all-whitespace docs are dropped, scored docs keep their count
+    val ws = Seq((1L, "  \t "), (2L, "solid text here")).toDF("doc_id", "text")
+    assert(text.TextAnalysis.hashedQualityClassifier(ws).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // scoring is one narrow pass — no exchange anywhere
+    val plan = df.queryExecution.optimizedPlan.toString
+    val exec = text.TextAnalysis.hashedQualityClassifier(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"classifier must stay narrow:\n$exec\n$plan")
+  }
 }
