@@ -209,6 +209,7 @@ object SparkEntry {
     "st24_peak_concurrency" -> ((s, d) => operators.Intervals.st24(s, d)),
     "x25_doc_chunking" -> ((s, d) => text.Curation.x25DocChunking(s, d)),
     "t21_quality_classifier" -> ((s, d) => text.TextAnalysis.t21QualityClassifier(s, d)),
+    "p26_scan_prune_manifest" -> ((s, d) => sources.Lake.p26ScanPruneManifest(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3203,6 +3204,25 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // p26: day stats replayed from the raw table — the per-file
+    // manifest collection must roll up to EXACTLY the table truth.
+    // n_files=1/day is the single-input-split testdata contract
+    // (spec-asserted against the real dir listing). Window = days
+    // [1, 3) after the corpus's first day, same derivation as Spark.
+    "p26_scan_prune_manifest" ->
+      """WITH b AS (
+        | SELECT epoch_us(CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)) AS t0
+        | FROM events),
+        |m AS (
+        | SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_rows,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        |  min(event_type) AS min_type, max(event_type) AS max_type
+        | FROM events GROUP BY 1)
+        |SELECT p_date, CAST(1 AS BIGINT) AS n_files, n_rows,
+        | min_ts_us, max_ts_us, min_type, max_type,
+        | NOT (max_ts_us < (SELECT t0 + 86400000000 FROM b)
+        |   OR min_ts_us > (SELECT t0 + 3 * 86400000000 - 1 FROM b)) AS would_scan
+        |FROM m ORDER BY p_date""".stripMargin,
     // t21: d3's token-hash replay (shared fragment) → mask-mod bucket
     // (unsigned u % 1024 == signed h & 1023), integer milli-weight
     // formula, exact integer score sum; the logit rounds to µ-units

@@ -606,4 +606,67 @@ object Lake {
         max(col("source_bin")).as("max_src"))
       .orderBy(col("zbucket"))
   }
+
+  /** File-level scan-prune manifest (p26): the Iceberg/Delta stats
+    * layer re-expressed over a plain parquet lake — per FILE (via the
+    * `_metadata.file_path` hidden column) collect row count and
+    * column min/max, roll up per partition, and decide from STATS
+    * ALONE which partitions a time-window query may skip
+    * (`would_scan` = [min, max] intersects the window). At 100 TB
+    * this manifest is what turns "read 30 days" into "open 2 files":
+    * the planner consults |files| rows instead of the data. A real
+    * deployment persists the manifest and incrementally maintains it
+    * per write (p23/p24's pattern); the collection pass itself is the
+    * operator here.
+    *
+    * Scale shape: ONE narrow scan + one (partition, file) hash agg —
+    * stats shrink to |files| rows before anything else happens; the
+    * day rollup then shuffles |files| rows, and the query window is a
+    * 1-row broadcast derived from the corpus min (no driver compute,
+    * no literals baked at plan time).
+    */
+  def scanPruneManifest(spark: SparkSession, lakePath: String,
+                        window: DataFrame): DataFrame = {
+    val perFile = spark.read.parquet(lakePath)
+      .select(col("p_date").cast("string").as("p_date"),
+        col("_metadata.file_path").as("__f"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .groupBy(col("p_date"), col("__f"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"))
+    perFile
+      .groupBy(col("p_date"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("min_ts_us")).as("min_ts_us"),
+        max(col("max_ts_us")).as("max_ts_us"),
+        min(col("min_type")).as("min_type"),
+        max(col("max_type")).as("max_type"))
+      .crossJoin(broadcast(window.select(
+        col("__lo").cast("long").as("__lo"), col("__hi").cast("long").as("__hi"))))
+      .withColumn("would_scan",
+        !(col("max_ts_us") < col("__lo") || col("min_ts_us") > col("__hi")))
+      .select(col("p_date"), col("n_files"), col("n_rows"),
+        col("min_ts_us"), col("max_ts_us"), col("min_type"),
+        col("max_type"), col("would_scan"))
+  }
+
+  /** Verified entry (SURVEY §2 p26): manifest over the day-
+    * partitioned events lake; the probe window is days [1, 3) after
+    * the corpus's first day (data-derived, so the entry tracks any
+    * vintage). The oracle replays day stats from the raw table — the
+    * per-file collection must roll up to EXACTLY the table truth, so
+    * a wrong file-stats pass cannot hide. n_files=1/day rides the
+    * single-input-split testdata contract (spec-asserted against the
+    * real listing; many-file days sum correctly by construction).
+    */
+  def p26ScanPruneManifest(spark: SparkSession, dir: String): DataFrame = {
+    val (path, _) = eventsLake(spark, dir)
+    val window = graft.Tables.events(spark, dir)
+      .agg(unix_micros(to_timestamp(to_date(min(col("ts"))))).as("t0"))
+      .select((col("t0") + lit(86400000000L)).as("__lo"),
+        (col("t0") + lit(3L * 86400000000L) - lit(1L)).as("__hi"))
+    scanPruneManifest(spark, path, window).orderBy(col("p_date"))
+  }
 }

@@ -205,4 +205,35 @@ class SourcesSpec extends GraftSpecBase {
       declared.filter(col("quality_flag").isNull).count() == v1.count(),
       "declared-schema read must match the footer-merge read")
   }
+
+  test("p26 manifest: per-file stats match the dir listing on a multi-file day; prune decision") {
+    import spark.implicits._
+    // 3 days × 30 rows, forced across 3 writer tasks → 3 files per day
+    val ev = (0 until 90).map { i =>
+      (i.toLong, s"2024-01-0${1 + i % 3} 10:${10 + i / 3}:00", s"t${i % 2}")
+    }.toDF("event_id", "__s", "event_type")
+      .withColumn("ts", to_timestamp(col("__s"))).drop("__s")
+    val path = java.nio.file.Files.createTempDirectory("graft_p26").toString
+    sources.Lake.writeDatePartitioned(ev.repartition(3), path)
+    // window covering exactly day 2
+    val window = spark.range(1).select(
+      unix_micros(to_timestamp(lit("2024-01-02 00:00:00"))).as("__lo"),
+      unix_micros(to_timestamp(lit("2024-01-02 23:59:59"))).as("__hi"))
+    val m = sources.Lake.scanPruneManifest(spark, path, window)
+      .orderBy(col("p_date")).collect()
+    assert(m.length == 3)
+    // n_files agrees with the REAL listing, day rows roll up exactly
+    m.foreach { r =>
+      val files = new java.io.File(s"$path/p_date=${r.getString(0)}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(r.getLong(1) == files && files > 1,
+        s"manifest n_files=${r.getLong(1)} vs listing $files for ${r.getString(0)}")
+      assert(r.getLong(2) == 30, "per-file counts must sum to the day truth")
+      assert(r.getString(5) == "t0" && r.getString(6) == "t1")
+    }
+    assert(m.map(r => (r.getString(0), r.getBoolean(7))).toSeq ==
+      Seq(("2024-01-01", false), ("2024-01-02", true), ("2024-01-03", false)),
+      "stats alone must admit exactly the window's day")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+  }
 }
