@@ -141,17 +141,33 @@ object Intervals {
     */
   def peakConcurrency(events: DataFrame, tsUsCol: String,
                       durationUs: Long): DataFrame = {
-    val deltas = events
-      .select(explode(array(
-        struct(col(tsUsCol).as("us"), lit(1L).as("delta")),
-        struct((col(tsUsCol) + lit(durationUs)).as("us"),
-          lit(-1L).as("delta")))).as("d"))
-      .select(col("d.us").as("us"), col("d.delta").as("delta"))
+    val deltas = intervalDeltas(events, tsUsCol, durationUs)
       .withColumn("day", to_date(timestamp_micros(col("us"))))
       .withColumn("hr", hour(timestamp_micros(col("us"))))
       .repartition(col("day"), col("hr"))
     val perUs = deltas.groupBy(col("day"), col("hr"), col("us"))
       .agg(sum(col("delta")).as("net"))
+    peakFromNets(perUs)
+  }
+
+  /** The ±1 sweep-line delta emission: every interval [t, t+dur)
+    * contributes (t, +1) and (t+dur, −1). Narrow; stream-safe.
+    */
+  private[graft] def intervalDeltas(events: DataFrame, tsUsCol: String,
+                                    durationUs: Long): DataFrame =
+    events
+      .select(explode(array(
+        struct(col(tsUsCol).as("us"), lit(1L).as("delta")),
+        struct((col(tsUsCol) + lit(durationUs)).as("us"),
+          lit(-1L).as("delta")))).as("d"))
+      .select(col("d.us").as("us"), col("d.delta").as("delta"))
+
+  /** Finishing stages over the per-instant net-delta frame
+    * (day, hr, us, net) — shared verbatim by the batch operator and
+    * the streaming twin (which maintains exactly this frame as its
+    * upsert-sink state, the st14 "dashboard ranks the table" shape).
+    */
+  private[graft] def peakFromNets(perUs: DataFrame): DataFrame = {
     val offsets = perUs.groupBy(col("day"), col("hr"))
       .agg(sum(col("net")).as("band_net"))
       .withColumn("band_off", coalesce(

@@ -212,6 +212,33 @@ object Streams {
       .select(col("window.start").as("hour_ts"),
         col(itemCol).as("item"), col("n_events"))
 
+  /** st24 streaming twin, aggregation stage: watermarked per-instant
+    * net-delta sums keyed by (1-hour window, us) in update mode —
+    * each interval start/end lands its ±1 on its own instant, nets
+    * are commutative so ANY batch split compacts to the identical
+    * (hour_ts, us, net) table through the keyed-upsert sink, and the
+    * peak report is Intervals.peakFromNets over that state — the SAME
+    * finishing code the batch entry runs (st14's "gold upserts to a
+    * table, the dashboard ranks the table" shape). State is one row
+    * per distinct state-change instant per hour — the same volume the
+    * batch shuffle carries, windowed out by the watermark.
+    */
+  def concurrencyDeltaNets(stream: DataFrame, tsCol: String = "ts",
+                           durationUs: Long = 300000000L,
+                           watermark: String = "2 hours"): DataFrame =
+    graft.operators.Intervals.intervalDeltas(
+      stream.withColumn("__ts_us", unix_micros(col(tsCol))),
+      "__ts_us", durationUs)
+      .withColumn("__delta_ts", timestamp_micros(col("us")))
+      // the watermark attaches to the DELTA's own event time (a
+      // projection of ts would drop the tag); the −1 delta sits
+      // durationUs AFTER its event, which only makes it earlier
+      // relative to the watermark, never late
+      .withWatermark("__delta_ts", watermark)
+      .groupBy(window(col("__delta_ts"), "1 hour"), col("us"))
+      .agg(sum(col("delta")).as("net"))
+      .select(col("window.start").as("hour_ts"), col("us"), col("net"))
+
   /** st8b streaming twin, aggregation stage: ONE mergeable HLL
     * sketch row per day, maintained across micro-batches in the
     * streaming agg state (DataSketches HLL state is a per-bucket

@@ -430,6 +430,33 @@ class StreamingSpec extends GraftSpecBase {
       s"stream-only: ${(streamedTop -- batchTop).take(3)}; batch-only: ${(batchTop -- streamedTop).take(3)}")
   }
 
+  test("streaming concurrency delta-nets: peak report over compacted state equals batch st24") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("ts_us")).as[Long].collect()
+    val cut = evs.sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_ < cut)
+    val mem = MemoryStream[Long]
+    val nets = streaming.Streams.concurrencyDeltaNets(
+      mem.toDF().toDF("ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+    mem.addData(scala.util.Random.shuffle(b1.toSeq): _*)
+    mem.addData(scala.util.Random.shuffle(b2.toSeq): _*)
+    // update-mode re-emissions compact on (hour_ts, us); the peak
+    // report is the SAME finishing code the batch entry runs
+    val state = streaming.Streams.runUpsertToMemory(
+      nets, Seq("hour_ts", "us"), statePartitions = Some(4))
+    val streamed = operators.Intervals.peakFromNets(
+      state.withColumn("day", to_date(col("hour_ts")))
+        .withColumn("hr", hour(col("hour_ts"))))
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = operators.Intervals.st24(spark, sf)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming day-sketch rolling actives: wau_est equals batch sketch exactly, 5% of exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
