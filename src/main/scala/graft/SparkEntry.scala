@@ -210,6 +210,8 @@ object SparkEntry {
     "x25_doc_chunking" -> ((s, d) => text.Curation.x25DocChunking(s, d)),
     "t21_quality_classifier" -> ((s, d) => text.TextAnalysis.t21QualityClassifier(s, d)),
     "p26_scan_prune_manifest" -> ((s, d) => sources.Lake.p26ScanPruneManifest(s, d)),
+    "p27_incremental_manifest" -> ((s, d) => sources.Lake.p27IncrementalManifest(s, d)),
+    "x26_chunk_dedup" -> ((s, d) => text.Curation.x26ChunkDedup(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3223,6 +3225,16 @@ object SparkEntry {
         | NOT (max_ts_us < (SELECT t0 + 86400000000 FROM b)
         |   OR min_ts_us > (SELECT t0 + 3 * 86400000000 - 1 FROM b)) AS would_scan
         |FROM m ORDER BY p_date""".stripMargin,
+    // p27: the incrementally-merged manifest must equal the FULL-lake
+    // truth replayed from the raw table (p16's proof pattern). Base
+    // slice writes 1 file/day, the appended commit adds 1 more →
+    // n_files=2/day under the single-input-split testdata contract.
+    "p27_incremental_manifest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+        | CAST(2 AS BIGINT) AS n_files, count(*) AS n_rows,
+        | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        | min(event_type) AS min_type, max(event_type) AS max_type
+        |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
     // t21: d3's token-hash replay (shared fragment) → mask-mod bucket
     // (unsigned u % 1024 == signed h & 1023), integer milli-weight
     // formula, exact integer score sum; the logit rounds to µ-units
@@ -3277,6 +3289,32 @@ object SparkEntry {
         | CAST(length(ctext) AS BIGINT) AS chunk_chars,
         | md5(ctext) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x26: x25's chunk replay grouped by content hash; the savings
+    // arithmetic rides the aggregated frame
+    "x26_chunk_dedup" ->
+      """WITH tk AS (
+        | SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM tk),
+        |c AS (
+        | SELECT doc_id, toks, n_toks,
+        |  unnest(generate_series(0, CASE WHEN n_toks <= 32 THEN 0
+        |    ELSE (n_toks - 32 + 23) // 24 END)) AS chunk_idx
+        | FROM n),
+        |s AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(toks[chunk_idx * 24 + 1 :
+        |    least(chunk_idx * 24 + 32, n_toks)], ' ')) AS chunk_md5,
+        |  least(32, n_toks - chunk_idx * 24) AS n_chunk_toks
+        | FROM c),
+        |g AS (
+        | SELECT chunk_md5, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(n_chunk_toks) AS chunk_toks, min(doc_id) AS first_doc
+        | FROM s GROUP BY 1)
+        |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
+        | (n_copies - 1) * chunk_toks AS saved_toks
+        |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
     // st24: the oracle computes the GLOBAL sweep-line running sum
     // directly — the Spark side's (day, hour)-banded offset
     // decomposition must equal it bit-for-bit, so DuckDB itself

@@ -1027,4 +1027,36 @@ object Curation {
   def x25DocChunking(spark: SparkSession, dir: String): DataFrame =
     chunkDocuments(Tables.documents(spark, dir), window = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Cross-document repeated-chunk report (x26): x25's chunks grouped
+    * by content hash — the CHUNK-granular boilerplate detector
+    * (headers, licenses, navigation text repeating across docs) that
+    * complements d1 (whole-doc), d8/d12 (character-span) and d20
+    * (shingle-df): a chunk repeating across ≥ minDocs distinct docs
+    * is boilerplate, and the report prices what dropping the extra
+    * copies saves. Grain: one row per duplicated chunk content.
+    *
+    * Scale shape: the chunk pass is x25's narrow map; then ONE hash
+    * shuffle on chunk_md5 (map-side combined — duplicates collapse
+    * before the wire) and the savings arithmetic rides the already-
+    * aggregated frame. No pairwise anything: a chunk repeated a
+    * million times is one group, the d4-df-cap story without needing
+    * the cap.
+    */
+  def chunkDedupReport(docs: DataFrame, window: Int, stride: Int,
+                       minDocs: Int = 2): DataFrame =
+    chunkDocuments(docs, window, stride)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_chunk_toks")).as("chunk_toks"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .withColumn("saved_toks",
+        (col("n_copies") - 1) * col("chunk_toks"))
+
+  /** Verified entry (x26): x25's 32/24 grain over `documents`. */
+  def x26ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupReport(Tables.documents(spark, dir), window = 32, stride = 24)
+      .orderBy(col("chunk_md5"))
 }

@@ -264,7 +264,10 @@ class PlanShapeSpec extends GraftSpecBase {
       // day-grain frame (st11's pattern)
       "p19_retention_plan",
       // p22 cross-joins three single-row stage counts
-      "p22_stage_reconcile")
+      "p22_stage_reconcile",
+      // p26 cross-joins the single-row probe window (corpus-min
+      // derived __lo/__hi) onto the |days|-row manifest rollup
+      "p26_scan_prune_manifest")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -236,4 +236,23 @@ class SourcesSpec extends GraftSpecBase {
       "stats alone must admit exactly the window's day")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
   }
+
+  test("p27 incremental manifest: delta pass reads ONLY the commit's files; merged == full recompute") {
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val (root, baseFiles, newFiles) = sources.Lake.manifestLake(spark, sf)
+    assert(baseFiles.nonEmpty && newFiles.nonEmpty)
+    // the O(commit) contract: the incremental pass never opens the lake
+    val delta = sources.Lake.perFileStats(spark, root, newFiles)
+    delta.collect()
+    val read = delta.inputFiles.map(norm).toSet
+    assert(read == newFiles.map(norm).toSet,
+      s"delta pass must read exactly the commit's files; extra: ${read -- newFiles.map(norm).toSet}")
+    // value contract: merge == from-scratch full-lake manifest
+    val merged = sources.Lake.p27IncrementalManifest(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val full = sources.Lake.manifestRollup(sources.Lake.perFileStats(spark, root))
+      .orderBy(col("p_date")).collect().map(_.toSeq).toSeq
+    assert(merged == full, "incrementally-merged manifest must equal the recompute")
+  }
 }
