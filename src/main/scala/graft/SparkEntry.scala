@@ -212,6 +212,7 @@ object SparkEntry {
     "p26_scan_prune_manifest" -> ((s, d) => sources.Lake.p26ScanPruneManifest(s, d)),
     "p27_incremental_manifest" -> ((s, d) => sources.Lake.p27IncrementalManifest(s, d)),
     "x26_chunk_dedup" -> ((s, d) => text.Curation.x26ChunkDedup(s, d)),
+    "x27_dsir_importance" -> ((s, d) => text.Curation.x27DsirImportance(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3289,6 +3290,44 @@ object SparkEntry {
         | CAST(length(ctext) AS BIGINT) AS chunk_chars,
         | md5(ctext) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x27: full DSIR replay — token-hash fragment → mask buckets,
+    // add-one-smoothed target/raw distributions over the 0..1023
+    // grid, ln of the IDENTICAL expression tree rounded half-away to
+    // integer milli-nats once per bucket, exact integer doc sums,
+    // t21's integer µ-mean. ln() is the only FP wobble (t16 idiom).
+    "x27_dsir_importance" ->
+      (s"""WITH th AS (
+        | SELECT doc_id, source, $tokenHashesSql AS ths
+        | FROM documents WHERE regexp_matches(text, '\\S')),
+        |tok AS (SELECT doc_id, source, unnest(ths) AS h FROM th),
+        |tb AS (SELECT doc_id, source, CAST(h % 1024 AS BIGINT) AS b FROM tok),
+        |grid AS (SELECT unnest(generate_series(0, 1023)) AS b),
+        |tgt AS (SELECT b, count(*) AS c FROM tb WHERE source = 'src0' GROUP BY 1),
+        |rawd AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(c) FROM tgt) AS tt,
+        |                (SELECT sum(c) FROM rawd) AS rt),
+        |lr AS (
+        | SELECT g.b,
+        |  ln(((coalesce(t.c, 0) + 1.0) * ((SELECT rt FROM tots) + 1024.0)) /
+        |     ((coalesce(r.c, 0) + 1.0) * ((SELECT tt FROM tots) + 1024.0))) AS x
+        | FROM grid g LEFT JOIN tgt t ON g.b = t.b LEFT JOIN rawd r ON g.b = r.b),
+        |lrm AS (
+        | SELECT b, CASE WHEN x < 0
+        |   THEN -CAST(floor(abs(x) * 1000.0 + 0.5) AS BIGINT)
+        |   ELSE CAST(floor(abs(x) * 1000.0 + 0.5) AS BIGINT) END AS lr_milli
+        | FROM lr),
+        |per AS (
+        | SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(l.lr_milli) AS BIGINT) AS sum_milli
+        | FROM tb JOIN lrm l USING (b) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_milli,
+        | CASE WHEN sum_milli < 0
+        |  THEN -((abs(sum_milli) * 2000 + n_tokens) // (2 * n_tokens))
+        |  ELSE (sum_milli * 2000 + n_tokens) // (2 * n_tokens) END AS avg_micro,
+        | (CASE WHEN sum_milli < 0
+        |  THEN -((abs(sum_milli) * 2000 + n_tokens) // (2 * n_tokens))
+        |  ELSE (sum_milli * 2000 + n_tokens) // (2 * n_tokens) END) > 0 AS selected
+        |FROM per ORDER BY doc_id""".stripMargin),
     // x26: x25's chunk replay grouped by content hash; the savings
     // arithmetic rides the aggregated frame
     "x26_chunk_dedup" ->

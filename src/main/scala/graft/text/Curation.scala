@@ -1059,4 +1059,75 @@ object Curation {
   def x26ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     chunkDedupReport(Tables.documents(spark, dir), window = 32, stride = 24)
       .orderBy(col("chunk_md5"))
+
+  /** DSIR-style importance weights (x27): score every doc by how much
+    * a hashed-unigram LM of a TARGET slice prefers it over the raw
+    * corpus — the importance-resampling data-selection method (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023) in its hashed-n-gram form. Per-bucket
+    * log-ratio lr(b) = ln[(tgt_b+1)/(T+B) ÷ (raw_b+1)/(R+B)]
+    * (add-one smoothing), per-doc importance = mean lr over its
+    * tokens; docs the target LM prefers (avg > 0) are selected.
+    *
+    * Scale shape: the corpus NEVER shuffles — the two bucket
+    * distributions are ≤`buckets`-row aggregates (map-side combined
+    * from the exploded token stream), collected to the driver under
+    * the s3-quantizer bounded-collect contract (`buckets` rows by
+    * construction) and pushed back into the scoring pass as ARRAY
+    * LITERALS, so scoring is one narrow array-fold per doc.
+    * Exactness: per-bucket log-ratios round ONCE to integer
+    * milli-nats (half-away — Java Math.round half-UP would disagree
+    * with SQL round on negative halves), per-doc sums are exact
+    * integers, the mean uses t21's integer µ-rounding; the only
+    * cross-engine FP wobble is ln() itself, identical-expression-tree
+    * guarded (t16's accepted idiom).
+    */
+  def dsirImportance(docs: DataFrame, targetPred: Column,
+                     buckets: Int = 1024,
+                     textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two (unsigned mod = mask)")
+    val mask = (buckets - 1).toLong
+    val toks = docs
+      .withColumn("__hs",
+        graft.functions.GraftFunctions.shingle_hashes(col(textCol), 1, distinct = false))
+      .filter(size(col("__hs")) > 0)
+    def dist(df: DataFrame): Array[Long] = {
+      val counts = df.select(explode(col("__hs")).as("h"))
+        .groupBy((col("h").bitwiseAND(lit(mask))).as("b")).count()
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      Array.tabulate(buckets)(b => counts.getOrElse(b, 0L))
+    }
+    val tgt = dist(toks.filter(targetPred))
+    val raw = dist(toks)
+    val (tTot, rTot) = (tgt.sum, raw.sum)
+    def halfAway(x: Double): Long = {
+      val q = math.floor(math.abs(x) * 1000.0 + 0.5).toLong
+      if (x < 0) -q else q
+    }
+    val lrMilli: Seq[Long] = (0 until buckets).map { b =>
+      halfAway(math.log(((tgt(b) + 1.0) * (rTot + buckets.toDouble)) /
+        ((raw(b) + 1.0) * (tTot + buckets.toDouble))))
+    }
+    val lrArr = typedlit(lrMilli)
+    toks
+      .withColumn("n_tokens", size(col("__hs")).cast("long"))
+      .withColumn("sum_milli", aggregate(col("__hs"), lit(0L),
+        (acc, h) => acc +
+          element_at(lrArr, h.bitwiseAND(lit(mask)).cast("int") + 1)))
+      .withColumn("__absq",
+        expr("(abs(sum_milli) * 2000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("avg_micro",
+        when(col("sum_milli") < 0, -col("__absq")).otherwise(col("__absq")))
+      .withColumn("selected", col("avg_micro") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("sum_milli"),
+        col("avg_micro"), col("selected"))
+  }
+
+  /** Verified entry (x27): importance of every doc under the src0
+    * slice as the target domain. Sort is oracle-determinism only.
+    */
+  def x27DsirImportance(spark: SparkSession, dir: String): DataFrame =
+    dsirImportance(Tables.documents(spark, dir), col("source") === "src0")
+      .orderBy(col("doc_id"))
 }

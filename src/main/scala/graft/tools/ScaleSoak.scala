@@ -237,6 +237,40 @@ object ScaleSoak {
     report("skew_salted_join", saltN, saltS, plainS, skewPar,
       s"hot key holds 20% of $nEv events; salt n=16")
 
+    // -- st24: (day, hour)-banded sweep-line prefix sum ≡ global ----
+    // running sum in ONE partition (the naive spelling every SQL
+    // cookbook gives) — parity proves the offset decomposition exact
+    // at 10×, the timing shows what the band shuffle buys
+    val (st24N, st24S) = timed(
+      graft.operators.Intervals.peakConcurrency(
+        events.withColumn("ts_us", unix_micros(col("ts"))),
+        "ts_us", 300000000L).count())
+    def st24Naive: DataFrame = {
+      val perUs = graft.operators.Intervals.intervalDeltas(
+          events.withColumn("ts_us", unix_micros(col("ts"))),
+          "ts_us", 300000000L)
+        .groupBy(col("us")).agg(sum(col("delta")).as("net"))
+      val run = perUs
+        .withColumn("running", sum(col("net")).over(Window.orderBy(col("us"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val pk = run.groupBy(col("day")).agg(max(col("running")).as("peak_concurrency"))
+      run.join(pk, Seq("day"))
+        .filter(col("running") === col("peak_concurrency"))
+        .groupBy(col("day"), col("peak_concurrency"))
+        .agg(min(col("us")).as("peak_at_us"))
+        .select(col("day"), col("peak_concurrency"), col("peak_at_us"))
+    }
+    val (st24nN, st24nS) = timed(st24Naive.count())
+    val st24Par = sameRows(
+      graft.operators.Intervals.peakConcurrency(
+        events.withColumn("ts_us", unix_micros(col("ts"))),
+        "ts_us", 300000000L),
+      st24Naive)
+    report("st24_banded_sweepline", st24N, st24S, st24nS,
+      st24Par && st24N == st24nN,
+      "naive = single-partition global running sum")
+
     // -- p14 exact vs p14b sketch profile at 10x lineitem -----------
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
     val liDay = li.withColumn("l_shipdate", col("l_shipdate").cast("date"))

@@ -487,4 +487,30 @@ class CurationSpec extends GraftSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
   }
+
+  test("x27 DSIR: target slice scores higher than the rest; scoring pass is shuffle-free") {
+    val df = text.Curation.dsirImportance(
+      Tables.documents(spark, sf), col("source") === "src0")
+    val scored = df.join(
+        Tables.documents(spark, sf).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source") === "src0", col("avg_micro")).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)))
+    // the defining DSIR property: the target domain's own docs carry
+    // higher mean importance under the target-vs-raw ratio
+    val tgtMean = scored.filter(_._1).map(_._2).sum.toDouble / scored.count(_._1)
+    val restMean = scored.filterNot(_._1).map(_._2).sum.toDouble / scored.count(!_._1)
+    assert(tgtMean > restMean,
+      s"src0 docs must score above the rest: $tgtMean vs $restMean")
+    // NOTE no absolute-selection assertion: with a sparse target the
+    // add-1 smoothing legitimately drives most per-doc means negative
+    // (most buckets have tgt=0) — DSIR is a RANKING signal; resamplers
+    // take the top slice, which the mean-separation above certifies.
+    // Law consistency: selected ⇔ avg_micro > 0, exactly.
+    val law = df.select((col("avg_micro") > 0) === col("selected")).collect()
+    assert(law.forall(_.getBoolean(0)), "selected must equal avg_micro > 0")
+    // the corpus-scoring pass itself is one narrow fold — the ONLY
+    // shuffles in the whole job are the two <=1024-row bucket dists
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must stay narrow:\n$plan")
+  }
 }
