@@ -213,6 +213,8 @@ object SparkEntry {
     "p27_incremental_manifest" -> ((s, d) => sources.Lake.p27IncrementalManifest(s, d)),
     "x26_chunk_dedup" -> ((s, d) => text.Curation.x26ChunkDedup(s, d)),
     "x27_dsir_importance" -> ((s, d) => text.Curation.x27DsirImportance(s, d)),
+    "st27_concurrency_histogram" -> ((s, d) => operators.Intervals.st27(s, d)),
+    "m10_image_tiles" -> ((s, d) => multimodal.Multimodal.m10(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3354,6 +3356,46 @@ object SparkEntry {
         |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
         | (n_copies - 1) * chunk_toks AS saved_toks
         |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
+    // m10: m2's HUGEINT stub-dims replay fanned into the tile grid —
+    // edge tiles carry their true short extent
+    "m10_image_tiles" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents),
+        |dims AS (
+        | SELECT doc_id, CAST(64 + u % 1024 AS INTEGER) AS w,
+        |  CAST(64 + (u // 131072) % 1024 AS INTEGER) AS h
+        | FROM h),
+        |g AS (SELECT doc_id, w, h, (w + 63) // 64 AS nx, (h + 63) // 64 AS ny FROM dims),
+        |t AS (SELECT doc_id, w, h, nx, unnest(generate_series(0, ny - 1)) AS ty FROM g),
+        |tt AS (SELECT doc_id, w, h, ty, unnest(generate_series(0, nx - 1)) AS tx FROM t)
+        |SELECT doc_id, CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+        | CAST(least(64, w - tx * 64) AS INTEGER) AS px_w,
+        | CAST(least(64, h - ty * 64) AS INTEGER) AS px_h
+        |FROM tt ORDER BY doc_id, tile_y, tile_x""".stripMargin,
+    // st27: global-spelling replay of the duration histogram — the
+    // banded within-band lead + cross-band next-first patch must
+    // equal ONE global lead over the same per-instant frame
+    "st27_concurrency_histogram" ->
+      """WITH deltas AS (
+        | SELECT epoch_us(ts) AS us, 1 AS delta FROM events
+        | UNION ALL
+        | SELECT epoch_us(ts) + 300000000 AS us, -1 AS delta FROM events),
+        |perus AS (
+        | SELECT us, sum(delta) AS net FROM deltas GROUP BY us),
+        |run AS (
+        | SELECT us,
+        |  sum(net) OVER (ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+        |  lead(us) OVER (ORDER BY us) AS next_us
+        | FROM perus)
+        |SELECT CAST(running AS BIGINT) AS level, count(*) AS n_spans,
+        | CAST(sum(next_us - us) AS BIGINT) AS total_us
+        |FROM run WHERE next_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // st24: the oracle computes the GLOBAL sweep-line running sum
     // directly — the Spark side's (day, hour)-banded offset
     // decomposition must equal it bit-for-bit, so DuckDB itself

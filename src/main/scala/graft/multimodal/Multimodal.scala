@@ -498,6 +498,50 @@ object Multimodal {
     frameSample(Tables.documents(spark, dir)).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  final case class Tile(doc_id: Long, tile_x: Int, tile_y: Int,
+                        px_w: Int, px_h: Int)
+
+  /** m10: patch-grid tiling — the ViT-patch / tile-inference planning
+    * pass: each image decodes to (w, h) and fans out into its
+    * ceil(w/tile)×ceil(h/tile) grid, edge tiles carrying their true
+    * (possibly short) pixel extent. A vision-encoder pipeline maps
+    * each tile row to one patch embedding; the grid metadata is what
+    * the batcher packs. STUB decode as in m2 (same kernel, same
+    * honest contract: a real codec swaps in behind `decode` and
+    * nothing downstream changes).
+    *
+    * Scale shape: per-doc fan-out is bounded by the decode law's max
+    * dims (stub: ≤1087px → ≤17×17 = 289 tiles; a real deployment
+    * bounds it by resize — m4's kernel — first), so downstream rows
+    * stay O(docs × tiles): the m3 bounded-fan-out property. Narrow,
+    * zero shuffles.
+    */
+  def imageTiles(docs: DataFrame, tile: Int = 64): Dataset[Tile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(tile > 0)
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val m = decode(id, bytes)
+          val (nx, ny) = ((m.width + tile - 1) / tile, (m.height + tile - 1) / tile)
+          for {
+            ty <- (0 until ny).iterator
+            tx <- (0 until nx).iterator
+          } yield Tile(id, tx, ty,
+            math.min(tile, m.width - tx * tile),
+            math.min(tile, m.height - ty * tile))
+        }
+      }
+  }
+
+  def m10(spark: SparkSession, dir: String): DataFrame =
+    imageTiles(Tables.documents(spark, dir)).toDF()
+      .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+
   def m4(spark: SparkSession, dir: String): DataFrame =
     resizeMedia(Tables.documents(spark, dir)).toDF().orderBy(col("doc_id"))
 

@@ -168,17 +168,7 @@ object Intervals {
     * upsert-sink state, the st14 "dashboard ranks the table" shape).
     */
   private[graft] def peakFromNets(perUs: DataFrame): DataFrame = {
-    val offsets = perUs.groupBy(col("day"), col("hr"))
-      .agg(sum(col("net")).as("band_net"))
-      .withColumn("band_off", coalesce(
-        sum(col("band_net")).over(Window.orderBy(col("day"), col("hr"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("day"), col("hr"), col("band_off"))
-    val running = perUs.join(broadcast(offsets), Seq("day", "hr"))
-      .withColumn("running", col("band_off") +
-        sum(col("net")).over(Window.partitionBy(col("day"), col("hr"))
-          .orderBy(col("us"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    val running = runningFromNets(perUs)
     val dayPeak = running.groupBy(col("day"))
       .agg(max(col("running")).as("peak_concurrency"))
     running.join(broadcast(dayPeak), Seq("day"))
@@ -186,6 +176,26 @@ object Intervals {
       .groupBy(col("day"), col("peak_concurrency"))
       .agg(min(col("us")).as("peak_at_us"))
       .select(col("day"), col("peak_concurrency"), col("peak_at_us"))
+  }
+
+  /** The banded running concurrency level: offsets table prefix-sums
+    * on the tiny (day, hr) side and broadcasts back, each band adds
+    * its offset to its local running sum — bit-equal to the global
+    * running sum (the st24 oracle proves it). Shared by peak (st24)
+    * and the duration histogram (st27).
+    */
+  private[graft] def runningFromNets(perUs: DataFrame): DataFrame = {
+    val offsets = perUs.groupBy(col("day"), col("hr"))
+      .agg(sum(col("net")).as("band_net"))
+      .withColumn("band_off", coalesce(
+        sum(col("band_net")).over(Window.orderBy(col("day"), col("hr"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("hr"), col("band_off"))
+    perUs.join(broadcast(offsets), Seq("day", "hr"))
+      .withColumn("running", col("band_off") +
+        sum(col("net")).over(Window.partitionBy(col("day"), col("hr"))
+          .orderBy(col("us"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
   }
 
   /** Verified entry (SURVEY §2 st24): peak concurrent 5-minute
@@ -197,4 +207,57 @@ object Intervals {
       Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts"))),
       "ts_us", 300000000L)
       .orderBy(col("day"))
+
+  /** Concurrency DURATION histogram (st27): how long the system sat
+    * at each concurrency level — st24 finds the per-day max, this
+    * prices the whole distribution (capacity planning reads "p95 of
+    * time-weighted concurrency", not just the spike). Each
+    * state-change instant holds its level until the NEXT instant;
+    * the histogram sums those spans per level. Level 0 spans (gaps
+    * between any activity) are included; the final instant has no
+    * successor and is dropped (its level is 0 by conservation — the
+    * sweep always returns to zero).
+    *
+    * Scale shape: rides st24's one band exchange + tiny broadcast
+    * offsets; the NEXT-instant lookup is a within-band lead patched
+    * at band boundaries by a broadcast |bands|-row next-first table
+    * (the cross-band successor — bands may be empty, so the tiny
+    * table's global lead skips to the next NONEMPTY band). Final
+    * per-level aggregation shuffles |levels| partial rows.
+    */
+  def concurrencyHistogram(events: DataFrame, tsUsCol: String,
+                           durationUs: Long): DataFrame = {
+    val deltas = intervalDeltas(events, tsUsCol, durationUs)
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+      .withColumn("hr", hour(timestamp_micros(col("us"))))
+      .repartition(col("day"), col("hr"))
+    val perUs = deltas.groupBy(col("day"), col("hr"), col("us"))
+      .agg(sum(col("delta")).as("net"))
+    val running = runningFromNets(perUs)
+    val nextFirst = perUs.groupBy(col("day"), col("hr"))
+      .agg(min(col("us")).as("__first_us"))
+      .withColumn("next_band_first",
+        lead(col("__first_us"), 1).over(Window.orderBy(col("day"), col("hr"))))
+      .select(col("day"), col("hr"), col("next_band_first"))
+    running
+      .withColumn("__next_in_band",
+        lead(col("us"), 1).over(Window.partitionBy(col("day"), col("hr"))
+          .orderBy(col("us"))))
+      .join(broadcast(nextFirst), Seq("day", "hr"))
+      .withColumn("__next_us", coalesce(col("__next_in_band"), col("next_band_first")))
+      .filter(col("__next_us").isNotNull)
+      .groupBy(col("running").as("level"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__next_us") - col("us")).as("total_us"))
+      .select(col("level"), col("n_spans"), col("total_us"))
+  }
+
+  /** Verified entry (SURVEY §2 st27): time-at-level histogram of the
+    * 5-minute activity sweep over `events`.
+    */
+  def st27(spark: SparkSession, dir: String): DataFrame =
+    concurrencyHistogram(
+      Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts"))),
+      "ts_us", 300000000L)
+      .orderBy(col("level"))
 }

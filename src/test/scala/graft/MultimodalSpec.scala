@@ -244,4 +244,22 @@ class MultimodalSpec extends GraftSpecBase {
       (x.getInt(1) == x.getInt(3) && x.getInt(2) == x.getInt(4))),
       "longest side pins to the box unless the image already fits")
   }
+
+  test("m10 tiling: tile areas conserve the image area; edge tiles short; fan-out bounded") {
+    val tiles = multimodal.Multimodal.imageTiles(Tables.documents(spark, sf))
+      .collect().groupBy(_.doc_id)
+    val dims = multimodal.Multimodal.m2(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(tiles.keySet == dims.keySet)
+    tiles.foreach { case (id, ts) =>
+      val (w, h) = dims(id)
+      assert(ts.map(t => t.px_w.toLong * t.px_h).sum == w.toLong * h,
+        s"doc $id: tile areas must conserve the $w x $h image")
+      assert(ts.length == ((w + 63) / 64) * ((h + 63) / 64) && ts.length <= 289)
+      assert(ts.forall(t => t.px_w >= 1 && t.px_w <= 64 && t.px_h >= 1 && t.px_h <= 64))
+      // interior tiles are full; only the last column/row may be short
+      assert(ts.forall(t => t.px_w == 64 || t.tile_x == ts.map(_.tile_x).max))
+      assert(ts.forall(t => t.px_h == 64 || t.tile_y == ts.map(_.tile_y).max))
+    }
+  }
 }

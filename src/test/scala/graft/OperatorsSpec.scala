@@ -559,4 +559,21 @@ class OperatorsSpec extends GraftSpecBase {
     val dh = "Exchange hashpartitioning".r.findAllIn(dplan).length
     assert(dh <= 2, s"dwell: key shuffle + tiny state agg only, got $dh:\n$dplan")
   }
+
+  test("st27 histogram: spans conserve total swept time; levels non-negative; zero level present") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val r = operators.Intervals.concurrencyHistogram(ev, "ts_us", 300000000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.forall(_._1 >= 0), "sweep-line level can never go negative")
+    assert(r.exists(_._1 == 0L), "gaps between activity must appear as level-0 spans")
+    // conservation: the spans tile [first instant, last instant] exactly
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us")) + lit(300000000L)).head()
+    assert(r.map(_._3).sum == bounds.getLong(1) - bounds.getLong(0),
+      "per-level durations must sum to the full swept range")
+    // conservation of spans: one per state-change instant minus the last
+    val nInstants = operators.Intervals.intervalDeltas(ev, "ts_us", 300000000L)
+      .select(col("us")).distinct().count()
+    assert(r.map(_._2).sum == nInstants - 1)
+  }
 }
