@@ -233,6 +233,15 @@ object Intervals {
       .repartition(col("day"), col("hr"))
     val perUs = deltas.groupBy(col("day"), col("hr"), col("us"))
       .agg(sum(col("delta")).as("net"))
+    histogramFromNets(perUs)
+  }
+
+  /** Histogram finishing stage over the (day, hr, us, net) frame —
+    * shared by the batch operator and the streaming twin, which runs
+    * it over the SAME compacted upsert-sink state st24's twin
+    * maintains (one state table, two reports).
+    */
+  private[graft] def histogramFromNets(perUs: DataFrame): DataFrame = {
     val running = runningFromNets(perUs)
     val nextFirst = perUs.groupBy(col("day"), col("hr"))
       .agg(min(col("us")).as("__first_us"))

@@ -447,14 +447,23 @@ class StreamingSpec extends GraftSpecBase {
     // report is the SAME finishing code the batch entry runs
     val state = streaming.Streams.runUpsertToMemory(
       nets, Seq("hour_ts", "us"), statePartitions = Some(4))
-    val streamed = operators.Intervals.peakFromNets(
-      state.withColumn("day", to_date(col("hour_ts")))
-        .withColumn("hr", hour(col("hour_ts"))))
+    val stateNets = state.withColumn("day", to_date(col("hour_ts")))
+      .withColumn("hr", hour(col("hour_ts")))
+    val streamed = operators.Intervals.peakFromNets(stateNets)
       .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
     val batch = operators.Intervals.st24(spark, sf)
       .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch,
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // one state table, two reports: the SAME compacted state must
+    // also reproduce batch st27's duration histogram exactly
+    val streamedHist = operators.Intervals.histogramFromNets(stateNets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchHist = operators.Intervals.st27(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedHist == batchHist,
+      s"hist stream-only: ${(streamedHist -- batchHist).take(3)}; " +
+        s"batch-only: ${(batchHist -- streamedHist).take(3)}")
   }
 
   test("streaming day-sketch rolling actives: wau_est equals batch sketch exactly, 5% of exact") {
