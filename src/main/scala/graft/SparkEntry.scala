@@ -215,6 +215,11 @@ object SparkEntry {
     "x27_dsir_importance" -> ((s, d) => text.Curation.x27DsirImportance(s, d)),
     "st27_concurrency_histogram" -> ((s, d) => operators.Intervals.st27(s, d)),
     "m10_image_tiles" -> ((s, d) => multimodal.Multimodal.m10(s, d)),
+    "a41_min_cost_supplier" -> ((s, d) => analytics.Queries.a41(s, d)),
+    "a42_important_stock" -> ((s, d) => analytics.Queries.a42(s, d)),
+    "a43_priority_checking" -> ((s, d) => analytics.Queries.a43(s, d)),
+    "a44_sales_opportunity" -> ((s, d) => analytics.Queries.a44(s, d)),
+    "a45_promo_suppliers" -> ((s, d) => analytics.Queries.a45(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3356,6 +3361,80 @@ object SparkEntry {
         |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
         | (n_copies - 1) * chunk_toks AS saved_toks
         |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
+    // a41: Q2's correlated min as agg + row_number join-back; unit
+    // price exact micro-cents so MIN and join-back are integer laws
+    "a41_min_cost_supplier" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem GROUP BY 1, 2),
+        |u AS (SELECT l_partkey, l_suppkey, (c * 10000) // q AS unit_ucents FROM ps),
+        |r AS (
+        | SELECT l_partkey, l_suppkey, unit_ucents,
+        |  row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY unit_ucents, l_suppkey) AS rn
+        | FROM u)
+        |SELECT r.l_partkey AS p_partkey, s.s_suppkey, s.s_name, n.n_name,
+        | CAST(r.unit_ucents AS BIGINT) AS unit_ucents
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    // a42: Q11's group-wise HAVING vs the nation total — threshold is
+    // 3x the nation's MEAN part share (distribution-relative; a fixed
+    // ppm floor empties as parts grow), integer cross-multiplied
+    "a42_important_stock" ->
+      """WITH v AS (
+        | SELECT n.n_name, l.l_partkey,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |t AS (
+        | SELECT n_name, l_partkey AS p_partkey, value_cents,
+        |  CAST(sum(value_cents) OVER (PARTITION BY n_name) AS BIGINT) AS nation_cents,
+        |  CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_parts
+        | FROM v)
+        |SELECT n_name, p_partkey, value_cents, nation_cents FROM t
+        |WHERE value_cents * n_parts > 3 * nation_cents
+        |ORDER BY n_name, p_partkey""".stripMargin,
+    // a43: Q4's EXISTS with the non-equi late-shipment predicate
+    "a43_priority_checking" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        | AND o.o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a44: Q22's scalar-avg decorrelation + lapsed-customer anti join
+    // (no orders in the final 24 months; cutoff data-derived, both
+    // engines month-shift the DATE)
+    "a44_sales_opportunity" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        | FROM customer),
+        |a AS (SELECT sum(bal) / count(*) AS avg_cents FROM c WHERE bal > 0),
+        |cut AS (SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 24 MONTH AS d FROM orders)
+        |SELECT n.n_name, count(*) AS n_custs,
+        | CAST(sum(c.bal) AS BIGINT) AS total_bal_cents
+        |FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE CAST(c.bal AS DOUBLE) > (SELECT avg_cents FROM a)
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= (SELECT d FROM cut))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a45: Q20's nested semi — PROMO-part filter, per-supplier HAVING
+    "a45_promo_suppliers" ->
+      """WITH q AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS promo_qty
+        | FROM lineitem
+        | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        | GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 500)
+        |SELECT s.s_suppkey, s.s_name, q.promo_qty
+        |FROM supplier s JOIN q ON s.s_suppkey = q.l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     // m10: m2's HUGEINT stub-dims replay fanned into the tile grid —
     // edge tiles carry their true short extent
     "m10_image_tiles" ->

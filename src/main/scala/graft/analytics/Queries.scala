@@ -1292,4 +1292,174 @@ object Queries {
   /** Verified entry (a40). Sort is oracle-determinism only. */
   def a40(spark: SparkSession, dir: String): DataFrame =
     basketLift(spark, dir).orderBy(col("brand_a"), col("brand_b"))
+
+  /** a41 (TPC-H Q2's correlated-min shape, adapted — no partsupp
+    * table, so lineitem is the part↔supplier bridge): for every part,
+    * the supplier selling it at the lowest average unit price,
+    * decorated with the supplier's nation. The Q2 lesson at scale:
+    * spell the correlated MIN as an agg + SAME-KEYED join-back, not a
+    * per-part subquery. avg unit price as exact micro-cents per
+    * 1000·qty — integer, so the MIN and the equality join-back are
+    * portable (no FP law).
+    *
+    * Plan shape: ONE fact shuffle on (l_partkey, l_suppkey); the
+    * per-part MIN re-aggregates WITHOUT a new exchange (group keys
+    * prefix-subset the partitioning) and joins back on the same keys;
+    * supplier/nation decorate via broadcast. Ties break to the
+    * smallest suppkey (min_by with a struct order).
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"),
+        col("l_quantity").cast("long").as("__qty"))
+    val perSupp = li
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("__cents")).as("__c"), sum(col("__qty")).as("__q"))
+      // exact unit price in micro-cents: (cents * 10000) div qty
+      .withColumn("unit_ucents", expr("(__c * 10000) div __q"))
+    val best = perSupp
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_ucents"), col("l_suppkey"))).as("__b"))
+      .select(col("l_partkey"), col("__b.unit_ucents").as("unit_ucents"),
+        col("__b.l_suppkey").as("l_suppkey"))
+    best
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("unit_ucents"))
+  }
+
+  /** Verified entry (a41). Sort is oracle-determinism only. */
+  def a41(spark: SparkSession, dir: String): DataFrame =
+    minCostSupplier(spark, dir).orderBy(col("p_partkey"))
+
+  /** a42 (TPC-H Q11's important-stock shape): per (supplier-nation,
+    * part) shipped value, keeping parts that carry more than
+    * `meanMultiple`× the nation's MEAN part share — the group-wise
+    * HAVING against a group total. The threshold is distribution-
+    * relative (an absolute ppm floor silently empties as the part
+    * count grows — caught by the sf0.1 oracle), the nation total and
+    * part count ride ONE WINDOW over the already-aggregated
+    * (nation, part) frame, never a second fact pass; exact cents
+    * arithmetic, integer cross-multiplication (value·n_parts >
+    * k·total — no division, no FP).
+    */
+  def importantStock(spark: SparkSession, dir: String,
+                     meanMultiple: Long = 3L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+    val byNation = li
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(col("__cents")).as("value_cents"))
+    val w = Window.partitionBy(col("n_name"))
+    byNation
+      .withColumn("nation_cents", sum(col("value_cents")).over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
+      .filter(col("value_cents") * col("n_parts") >
+        lit(meanMultiple) * col("nation_cents"))
+      .select(col("n_name"), col("l_partkey").as("p_partkey"),
+        col("value_cents"), col("nation_cents"))
+  }
+
+  /** Verified entry (a42). Sort is oracle-determinism only. */
+  def a42(spark: SparkSession, dir: String): DataFrame =
+    importantStock(spark, dir).orderBy(col("n_name"), col("p_partkey"))
+
+  /** a43 (TPC-H Q4, order-priority checking): orders in a quarter
+    * with at least one line shipped AFTER the order date (the
+    * late-commitment EXISTS), counted per priority. The EXISTS spells
+    * as a LEFT SEMI with the non-equi predicate inside the join
+    * condition — the fact side ships only (orderkey, shipdate) into
+    * the semi probe, and the quarter filter prunes orders at the
+    * scan.
+    */
+  def priorityChecking(spark: SparkSession, dir: String,
+                       qStart: String = "1995-01-01",
+                       qEnd: String = "1995-04-01"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(qStart) && col("o_orderdate") < lit(qEnd))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Verified entry (a43). Sort is oracle-determinism only. */
+  def a43(spark: SparkSession, dir: String): DataFrame =
+    priorityChecking(spark, dir).orderBy(col("o_orderpriority"))
+
+  /** a44 (TPC-H Q22's global-sales-opportunity shape): customers with
+    * above-average positive balance and no orders in the final 24
+    * months of the corpus — per nation, how many such lapsed-rich
+    * customers and their total balance. The scalar average AND the
+    * recency cutoff broadcast as 1-row frames (a22's decorrelation;
+    * the cutoff is data-derived so the entry tracks any vintage), the
+    * lapsed test is a LEFT ANTI against the recent-orderer key set,
+    * and the per-nation rollup rides the small customer side.
+    * Balance in exact cents; the cutoff month-shifts the DATE (both
+    * engines truncate the same way).
+    */
+  def salesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("__bal_cents", round(col("c_acctbal") * 100).cast("long"))
+    val avgPos = c.filter(col("__bal_cents") > 0)
+      .agg((sum(col("__bal_cents")) / count(lit(1))).as("__avg_cents"))
+    val o = Tables.orders(spark, dir)
+    val cutoff = o.agg(
+      add_months(max(col("o_orderdate")).cast("date"), -24).as("__cut"))
+    val recent = o.select(col("o_custkey"), col("o_orderdate"))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("__cut"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("__bal_cents").cast("double") > col("__avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("__bal_cents")).as("total_bal_cents"))
+  }
+
+  /** Verified entry (a44). Sort is oracle-determinism only. */
+  def a44(spark: SparkSession, dir: String): DataFrame =
+    salesOpportunity(spark, dir).orderBy(col("n_name"))
+
+  /** a45 (TPC-H Q20's nested-semi shape): suppliers who moved more
+    * than `minQty` units of PROMO-type parts — the "who can actually
+    * supply the promotion" probe. Inner: lineitem semi-filtered to
+    * PROMO parts via broadcast, aggregated per supplier with a
+    * HAVING; outer: suppliers SEMI-join that bounded key set. The
+    * fact shuffles once on suppkey, pre-shrunk by the broadcast part
+    * filter.
+    */
+  def promoSuppliers(spark: SparkSession, dir: String,
+                     minQty: Long = 500L): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val qualified = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("promo_qty"))
+      .filter(col("promo_qty") > lit(minQty))
+    Tables.supplier(spark, dir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("promo_qty"))
+  }
+
+  /** Verified entry (a45). Sort is oracle-determinism only. */
+  def a45(spark: SparkSession, dir: String): DataFrame =
+    promoSuppliers(spark, dir).orderBy(col("s_suppkey"))
 }
