@@ -220,6 +220,8 @@ object SparkEntry {
     "a43_priority_checking" -> ((s, d) => analytics.Queries.a43(s, d)),
     "a44_sales_opportunity" -> ((s, d) => analytics.Queries.a44(s, d)),
     "a45_promo_suppliers" -> ((s, d) => analytics.Queries.a45(s, d)),
+    "s23_mrl_recall" -> ((s, d) => similarity.Similarity.s23(s, d)),
+    "p28_time_travel" -> ((s, d) => sources.Lake.p28TimeTravel(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3361,6 +3363,35 @@ object SparkEntry {
         |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
         | (n_copies - 1) * chunk_toks AS saved_toks
         |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
+    // s23: truncated-prefix cosine replay per dim rung; full-dim rung
+    // is the recall-1.0 anchor. Same double-cast cosine law as s1.
+    "s23_mrl_recall" ->
+      """WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |r AS (
+        | SELECT d.dim, q.vec_id AS q_id, c.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id, d.dim
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(q.embedding[1:d.dim] AS DOUBLE[]),
+        |      CAST(c.embedding[1:d.dim] AS DOUBLE[])) DESC, c.vec_id) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | CROSS JOIN dims d
+        | WHERE q.vec_id % 50 = 0),
+        |topk AS (SELECT dim, q_id, n_id FROM r WHERE rank <= 10),
+        |f AS (SELECT q_id, n_id FROM topk WHERE dim = 64)
+        |SELECT CAST(t.dim AS INTEGER) AS dim,
+        | CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+        | CAST(sum(CASE WHEN f.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        | round(CAST(sum(CASE WHEN f.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / (count(DISTINCT t.q_id) * 10), 4) AS recall
+        |FROM topk t LEFT JOIN f ON t.q_id = f.q_id AND t.n_id = f.n_id
+        |GROUP BY t.dim ORDER BY 1""".stripMargin,
+    // p28: the as-of-commit-0 slice replayed from the raw table — a
+    // file-pinning bug cannot produce this rollup
+    "p28_time_travel" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 7 <> 3
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // a41: Q2's correlated min as agg + row_number join-back; unit
     // price exact micro-cents so MIN and join-back are integer laws
     "a41_min_cost_supplier" ->

@@ -1083,4 +1083,53 @@ object Similarity {
   /** Verified entry (s17). Sort is oracle-determinism only. */
   def s17(spark: SparkSession, dir: String): DataFrame =
     ivfRecallReport(spark, dir).orderBy(col("q_id"))
+
+  /** Matryoshka truncation-recall curve (s23): top-k recall when the
+    * cosine runs over only the first `dim` coordinates — the MRL
+    * question (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022): how many dims does retrieval actually need?
+    * MRL-trained embeddings front-load information, so serving at a
+    * prefix dim cuts the vector store linearly (8/64ths of the bytes
+    * at dim 8) at a measured recall cost; this report IS that
+    * measurement, with the full-dim rung as the recall-1.0 anchor
+    * (s20's ladder pattern). Non-MRL embeddings (this corpus) show
+    * the degradation curve you'd buy without retraining.
+    *
+    * Scale shape: the query subset explodes ×|dims| and broadcasts
+    * (s1's bounded-BNLJ baseline contract); the corpus is scanned
+    * ONCE — each scanned vector scores all dims of all queries in
+    * place. The self-recall join rides the already-top-k frame
+    * (|queries|·k·|dims| rows).
+    */
+  def mrlRecall(queries: DataFrame, corpus: DataFrame,
+                dims: Seq[Int] = Seq(8, 16, 32, 64),
+                k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("dim", explode(array(dims.map(d => lit(d)): _*)))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id"), col("dim"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val topk = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine_sim(
+        slice(col("q_emb"), lit(1), col("dim")),
+        slice(col("n_emb"), lit(1), col("dim"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("dim"), col("q_id"), col("n_id"))
+    val full = topk.filter(col("dim") === dims.max)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    topk.join(full, Seq("q_id", "n_id"), "left")
+      .groupBy(col("dim"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(
+        col("n_hits").cast("double") / (col("n_queries") * lit(k.toLong)), 4))
+      .select(col("dim"), col("n_queries"), col("n_hits"), col("recall"))
+  }
+
+  /** Verified entry (s23). Sort is oracle-determinism only. */
+  def s23(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mrlRecall(querySet(emb), emb).orderBy(col("dim"))
+  }
 }

@@ -729,4 +729,24 @@ object Lake {
     val delta = perFileStats(spark, root, newFiles)
     manifestRollup(existing.unionByName(delta)).orderBy(col("p_date"))
   }
+
+  /** Verified entry (SURVEY §2 p28): TIME TRAVEL — read the lake "as
+    * of commit 0" by pinning the scan to the file list the manifest
+    * recorded at that commit (p27's before-listing), exactly how
+    * Iceberg/Delta snapshot reads work: the table state IS a file
+    * list, so an old state is just an old list, no data copies and no
+    * tombstones. The appended commit's files are invisible to this
+    * read (spec-asserted on inputFiles); the oracle replays the
+    * as-of-v0 slice from the raw table, so a file-pinning bug cannot
+    * produce the right rollup. Aggregation is one map-side-combined
+    * pass over the pinned files.
+    */
+  def p28TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (root, baseFiles, _) = manifestLake(spark, dir)
+    spark.read.option("basePath", root).parquet(baseFiles: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
 }

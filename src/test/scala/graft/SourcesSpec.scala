@@ -254,5 +254,16 @@ class SourcesSpec extends GraftSpecBase {
     val full = sources.Lake.manifestRollup(sources.Lake.perFileStats(spark, root))
       .orderBy(col("p_date")).collect().map(_.toSeq).toSeq
     assert(merged == full, "incrementally-merged manifest must equal the recompute")
+    // p28 time travel: the as-of-commit-0 read sees EXACTLY the
+    // pinned files — the appended commit is invisible
+    val asOf = spark.read.option("basePath", root).parquet(baseFiles: _*)
+    asOf.collect()
+    assert(asOf.inputFiles.map(norm).toSet == baseFiles.map(norm).toSet,
+      "snapshot read must scan the pinned file list and nothing else")
+    val total = graft.Tables.events(spark, sf).count()
+    val base = graft.Tables.events(spark, sf)
+      .filter(col("event_id") % 7 =!= 3).count()
+    assert(asOf.count() == base && base < total,
+      "snapshot row count must equal the commit-0 slice, not the live table")
   }
 }
