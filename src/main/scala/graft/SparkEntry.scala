@@ -222,6 +222,8 @@ object SparkEntry {
     "a45_promo_suppliers" -> ((s, d) => analytics.Queries.a45(s, d)),
     "s23_mrl_recall" -> ((s, d) => similarity.Similarity.s23(s, d)),
     "p28_time_travel" -> ((s, d) => sources.Lake.p28TimeTravel(s, d)),
+    "x28_tokenizer_fertility" -> ((s, d) => text.Curation.x28TokenizerFertility(s, d)),
+    "m11_clip_dedup" -> ((s, d) => multimodal.Multimodal.m11(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3363,6 +3365,51 @@ object SparkEntry {
         |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
         | (n_copies - 1) * chunk_toks AS saved_toks
         |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
+    // x28: t2's token-count laws aggregated per source, ratios via
+    // the t21 integer half-away µ-law (no double rounding)
+    "x28_tokenizer_fertility" ->
+      """WITH t AS (
+        | SELECT source, n_chars,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe
+        | FROM documents),
+        |g AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+        | FROM t GROUP BY 1)
+        |SELECT source, n_docs, n_chars, ws_tokens, bpe_tokens,
+        | (n_chars * 2000000 + ws_tokens) // (2 * ws_tokens) AS chars_per_ws_micro,
+        | (n_chars * 2000000 + bpe_tokens) // (2 * bpe_tokens) AS chars_per_bpe_micro,
+        | (bpe_tokens * 2000000 + ws_tokens) // (2 * ws_tokens) AS bpe_per_ws_micro
+        |FROM g ORDER BY source""".stripMargin,
+    // m11: m3's frame-index replay (byte-fold dims → stride) keyed by
+    // t3's content fingerprint per frame, grouped across docs
+    "m11_clip_dedup" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, fp,
+        |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
+        |  CAST(((1 + (u // 8589934592) % 16) + 3) // 4 AS INTEGER) AS stride
+        | FROM h),
+        |f AS (
+        | SELECT doc_id, md5(fp || ':' || CAST(frame // stride AS VARCHAR)) AS clip_key
+        | FROM (SELECT doc_id, fp, stride,
+        |        unnest(generate_series(0, n_frames - 1, stride)) AS frame FROM s)),
+        |g AS (
+        | SELECT clip_key, count(*) AS n_frames,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        | FROM f GROUP BY 1)
+        |SELECT clip_key, n_frames, n_docs, first_doc
+        |FROM g WHERE n_docs >= 2 ORDER BY clip_key""".stripMargin,
     // s23: truncated-prefix cosine replay per dim rung; full-dim rung
     // is the recall-1.0 anchor. Same double-cast cosine law as s1.
     "s23_mrl_recall" ->

@@ -542,6 +542,44 @@ object Multimodal {
     imageTiles(Tables.documents(spark, dir)).toDF()
       .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
 
+  /** m11: cross-video repeated-frame report — the "same clip embedded
+    * in many videos" detector (intros, watermarked stock footage,
+    * re-uploads): m3's sampled frames keyed by a per-frame CONTENT
+    * identity and grouped across documents, kept where ≥ minDocs
+    * distinct docs share a frame. x26's chunk-dedup shape at the
+    * video grain: the frame stream is bounded (m3's stride contract),
+    * duplicates collapse map-side on the ONE key shuffle, never
+    * pairwise — a million-way repeated intro is one group.
+    *
+    * Stub identity, honestly labeled: with a real codec the frame
+    * key is m5's perceptual dHash of the decoded frame; offline, the
+    * stand-in is t3's normalized content fingerprint (order-
+    * insensitive token-set md5) scoped per frame index — so "same
+    * clip" ≡ "same normalized payload content", which is exactly the
+    * fuzzy-exact identity the corpus can express (the raw byte-fold
+    * stub hash of m3 can only ever collide on byte-identical files,
+    * which the sf0.01 corpus has none of — a 0-row report verifies
+    * nothing).
+    */
+  def clipDedupReport(docs: DataFrame, maxFrames: Int = 4,
+                      minDocs: Int = 2): DataFrame = {
+    val fp = docs.withColumn("__fp", md5(array_join(array_sort(
+        array_distinct(split(lower(col("text")), "\\s+"))), " ")))
+      .select(col("doc_id"), col("__fp"))
+    frameSample(docs, maxFrames).toDF()
+      .join(fp, Seq("doc_id"))
+      .withColumn("clip_key",
+        md5(concat(col("__fp"), lit(":"), col("frame_idx").cast("string"))))
+      .groupBy(col("clip_key"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  def m11(spark: SparkSession, dir: String): DataFrame =
+    clipDedupReport(Tables.documents(spark, dir)).orderBy(col("clip_key"))
+
   def m4(spark: SparkSession, dir: String): DataFrame =
     resizeMedia(Tables.documents(spark, dir)).toDF().orderBy(col("doc_id"))
 

@@ -1130,4 +1130,35 @@ object Curation {
   def x27DsirImportance(spark: SparkSession, dir: String): DataFrame =
     dsirImportance(Tables.documents(spark, dir), col("source") === "src0")
       .orderBy(col("doc_id"))
+
+  /** Tokenizer-fertility report (x28): characters per token and
+    * BPE-ish tokens per whitespace word, per source — the tokenizer
+    * diagnostics every pretraining run reads before fixing a token
+    * budget (fertility varies 2–4× across languages/domains; a
+    * source's token budget in x9/x14 is only comparable through its
+    * fertility). Ratios are integer µ-units via t21's half-away law —
+    * a double round of an exact rational lands on half-way grid
+    * points where engines disagree.
+    *
+    * Scale shape: one narrow counting pass (t2's one-pass token
+    * counts), one map-side-combined shuffle to |sources| rows, ratio
+    * arithmetic on the aggregated frame.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    def microRatio(num: String, den: String): org.apache.spark.sql.Column =
+      expr(s"($num * 2000000 + $den) div (2 * $den)")
+    TextAnalysis.tokenCounts(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_ish_tokens")).as("bpe_tokens"))
+      .withColumn("chars_per_ws_micro", microRatio("n_chars", "ws_tokens"))
+      .withColumn("chars_per_bpe_micro", microRatio("n_chars", "bpe_tokens"))
+      .withColumn("bpe_per_ws_micro", microRatio("bpe_tokens", "ws_tokens"))
+  }
+
+  /** Verified entry (x28). Sort is oracle-determinism only. */
+  def x28TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertility(Tables.documents(spark, dir)).orderBy(col("source"))
 }
