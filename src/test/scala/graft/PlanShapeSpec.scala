@@ -267,7 +267,13 @@ class PlanShapeSpec extends GraftSpecBase {
       "p22_stage_reconcile",
       // p26 cross-joins the single-row probe window (corpus-min
       // derived __lo/__hi) onto the |days|-row manifest rollup
-      "p26_scan_prune_manifest")
+      "p26_scan_prune_manifest",
+      // a44 cross-joins two single-row scalars (a22's decorrelation:
+      // the positive-balance average and the recency cutoff)
+      "a44_sales_opportunity",
+      // s23 broadcasts the explicit query subset into the non-equi
+      // exact scan — s1's bounded brute-force baseline contract
+      "s23_mrl_recall")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
