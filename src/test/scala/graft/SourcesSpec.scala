@@ -266,4 +266,51 @@ class SourcesSpec extends GraftSpecBase {
     assert(asOf.count() == base && base < total,
       "snapshot row count must equal the commit-0 slice, not the live table")
   }
+
+  test("streaming commit loop: per-micro-batch incremental manifest equals full recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mloop").toString
+    def list(): Seq[String] = {
+      val d = new java.io.File(root)
+      Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap(p =>
+        Option(p.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath)).toSeq
+    }
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    val commits = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = mem.toDF().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val before = list().toSet
+        sources.Lake.writeDatePartitioned(b, root, mode = "append")
+        commits += list().filterNot(before)
+        ()
+      }.start()
+    val (b1, b2) = evs.partition(_._1 % 2 == 0)
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    assert(commits.size >= 2 && commits.forall(_.nonEmpty),
+      s"each micro-batch must land its own commit of files: ${commits.map(_.size)}")
+    // the O(commit) loop: union of per-commit stat passes (each
+    // reading ONLY that commit's files) must roll up to the same
+    // manifest a from-scratch full-lake pass builds
+    val incremental = sources.Lake.manifestRollup(
+      commits.map(fs => sources.Lake.perFileStats(spark, root, fs))
+        .reduce(_ unionByName _))
+      .orderBy(col("p_date")).collect().map(_.toSeq).toSeq
+    val full = sources.Lake.manifestRollup(sources.Lake.perFileStats(spark, root))
+      .orderBy(col("p_date")).collect().map(_.toSeq).toSeq
+    assert(incremental == full,
+      "per-batch incremental manifest must equal the full recompute")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }

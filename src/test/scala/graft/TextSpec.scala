@@ -294,6 +294,29 @@ class TextSpec extends GraftSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"LM must broadcast:\n$plan")
   }
 
+  test("integer half-away µ-rounding law (t21/x27/x28): property-equal to BigDecimal HALF_UP") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      s <- Gen.chooseNum(-2000000000L, 2000000000L)
+      n <- Gen.chooseNum(1L, 5000000L)
+    } yield (s, n)
+    val prop = Prop.forAll(gen) { case (s, n) =>
+      // the law as spelled in the operators: sign-split trunc-div
+      val q = (math.abs(s) * 2000 + n) / (2 * n)
+      val got = if (s < 0) -q else q
+      // reference: exact rational s·1000/n rounded HALF_UP (=
+      // half-away-from-zero in java.math) to 0 decimals
+      val want = new java.math.BigDecimal(s)
+        .multiply(new java.math.BigDecimal(1000))
+        .divide(new java.math.BigDecimal(n), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20000), prop)
+    assert(res.passed, s"µ-rounding law diverged from the reference: ${res.status}")
+  }
+
   test("t21 classifier: integer score law, sigmoid bounds, both labels fire, narrow plan") {
     import spark.implicits._
     val df = text.TextAnalysis.hashedQualityClassifier(Tables.documents(spark, sf))
