@@ -1092,14 +1092,17 @@ object Curation {
       .withColumn("__hs",
         graft.functions.GraftFunctions.shingle_hashes(col(textCol), 1, distinct = false))
       .filter(size(col("__hs")) > 0)
-    def dist(df: DataFrame): Array[Long] = {
-      val counts = df.select(explode(col("__hs")).as("h"))
-        .groupBy((col("h").bitwiseAND(lit(mask))).as("b")).count()
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      Array.tabulate(buckets)(b => counts.getOrElse(b, 0L))
-    }
-    val tgt = dist(toks.filter(targetPred))
-    val raw = dist(toks)
+    // BOTH distributions in ONE corpus pass: the target counts ride
+    // the same bucket aggregation as a conditional sum — at 100 TB
+    // this halves the distribution-building scans
+    val counts = toks
+      .select(explode(col("__hs")).as("h"),
+        when(targetPred, lit(1L)).otherwise(lit(0L)).as("__t"))
+      .groupBy((col("h").bitwiseAND(lit(mask))).as("b"))
+      .agg(count(lit(1)).as("__raw"), sum(col("__t")).as("__tgt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = Array.tabulate(buckets)(b => counts.get(b).map(_._1).getOrElse(0L))
+    val tgt = Array.tabulate(buckets)(b => counts.get(b).map(_._2).getOrElse(0L))
     val (tTot, rTot) = (tgt.sum, raw.sum)
     def halfAway(x: Double): Long = {
       val q = math.floor(math.abs(x) * 1000.0 + 0.5).toLong
