@@ -224,6 +224,7 @@ object SparkEntry {
     "p28_time_travel" -> ((s, d) => sources.Lake.p28TimeTravel(s, d)),
     "x28_tokenizer_fertility" -> ((s, d) => text.Curation.x28TokenizerFertility(s, d)),
     "m11_clip_dedup" -> ((s, d) => multimodal.Multimodal.m11(s, d)),
+    "p29_vacuum_orphans" -> ((s, d) => sources.Lake.p29VacuumOrphans(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3365,6 +3366,23 @@ object SparkEntry {
         |SELECT chunk_md5, n_copies, n_docs, chunk_toks, first_doc,
         | (n_copies - 1) * chunk_toks AS saved_toks
         |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
+    // p29: both report sides replayed from the raw table — tracked =
+    // the full day, orphans = the commit-0 slice of the two first
+    // days (the planted copies ARE that slice's files)
+    "p29_vacuum_orphans" ->
+      """WITH d AS (
+        | SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+        |  count(*) AS tracked_rows,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS base_rows
+        | FROM events GROUP BY 1),
+        |r AS (
+        | SELECT p_date, tracked_rows, base_rows,
+        |  row_number() OVER (ORDER BY p_date) AS rk
+        | FROM d)
+        |SELECT p_date, tracked_rows,
+        | CASE WHEN rk <= 2 THEN base_rows ELSE 0 END AS orphan_rows,
+        | tracked_rows + CASE WHEN rk <= 2 THEN base_rows ELSE 0 END AS naive_reader_rows
+        |FROM r ORDER BY p_date""".stripMargin,
     // x28: t2's token-count laws aggregated per source, ratios via
     // the t21 integer half-away µ-law (no double rounding)
     "x28_tokenizer_fertility" ->

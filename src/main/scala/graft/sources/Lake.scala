@@ -749,4 +749,84 @@ object Lake {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .orderBy(col("event_type"))
   }
+
+  /** The manifest lake with ORPHANS planted: in each of the two
+    * lexicographically-first day dirs, the day's BASE file (known
+    * from the commit log, so content is deterministic) is copied to a
+    * `stray-` name — exactly what a failed task attempt or an
+    * interrupted rewrite leaves behind. Returns (root, tracked files,
+    * orphan paths).
+    */
+  private val orphanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String], Seq[String])]()
+
+  private[graft] def orphanLake(spark: SparkSession, dir: String): (String, Seq[String], Seq[String]) =
+    orphanCache.computeIfAbsent(dir, { _ =>
+      val (root, baseFiles, newFiles) = manifestLake(spark, dir)
+      val tracked = baseFiles ++ newFiles
+      val byDay = baseFiles
+        .map(p => new Path(p).toUri.getPath) // strip the file: scheme for java.nio
+        .groupBy(p => new java.io.File(p).getParentFile.getName)
+      val orphans = byDay.keys.toSeq.sorted.take(2).map { day =>
+        val src = java.nio.file.Paths.get(byDay(day).min)
+        val dst = src.getParent.resolve(s"stray-${src.getFileName}")
+        if (!java.nio.file.Files.exists(dst))
+          java.nio.file.Files.copy(src, dst)
+        dst.toString
+      }
+      (root, tracked, orphans)
+    })
+
+  /** Orphan files = on-disk listing minus the manifest's tracked
+    * set. Deleting them is VACUUM; nothing the manifest tracks is
+    * touched (spec-asserted byte-identical).
+    */
+  private[graft] def findOrphans(spark: SparkSession, root: String,
+                                 tracked: Seq[String]): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = tracked.map(p => new Path(p).toUri.getPath).toSet
+    fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.getPath))
+      .filterNot(live)
+  }
+
+  private[graft] def vacuum(spark: SparkSession, root: String,
+                            tracked: Seq[String]): Seq[String] = {
+    val orphans = findOrphans(spark, root, tracked)
+    orphans.foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    orphans
+  }
+
+  /** Verified entry (SURVEY §2 p29): VACUUM report — the GC primitive
+    * that closes the table-format story (p26 stats → p27 commits →
+    * p28 time travel → p29 garbage collection): per day, the rows the
+    * MANIFEST tracks vs the rows a naive directory reader would see
+    * (tracked + orphaned duplicates from failed attempts). The
+    * planted orphans are copies of each day's base file, so every
+    * reported number ties to real data: orphan_rows = that day's
+    * commit-0 slice — the oracle replays both sides from the raw
+    * table and a wrong orphan set cannot reproduce them. This
+    * DOUBLE-COUNT is precisely the bug unvacuumed orphans cause in
+    * any reader that trusts the directory instead of the manifest
+    * (p25's `_staging` layout dodges it for in-flight writes; vacuum
+    * handles what crashes leave behind).
+    */
+  def p29VacuumOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val (root, tracked, _) = orphanLake(spark, dir)
+    val orphanSet = findOrphans(spark, root, tracked)
+    val trackedRows = perFileStats(spark, root, tracked)
+      .groupBy(col("p_date")).agg(sum(col("n_rows")).as("tracked_rows"))
+    val orphanRows =
+      if (orphanSet.isEmpty) trackedRows.select(col("p_date"), lit(0L).as("orphan_rows")).limit(0)
+      else perFileStats(spark, root, orphanSet)
+        .groupBy(col("p_date")).agg(sum(col("n_rows")).as("orphan_rows"))
+    trackedRows.join(orphanRows, Seq("p_date"), "left")
+      .withColumn("orphan_rows", coalesce(col("orphan_rows"), lit(0L)))
+      .withColumn("naive_reader_rows", col("tracked_rows") + col("orphan_rows"))
+      .select(col("p_date"), col("tracked_rows"), col("orphan_rows"),
+        col("naive_reader_rows"))
+      .orderBy(col("p_date"))
+  }
 }

@@ -267,6 +267,44 @@ class SourcesSpec extends GraftSpecBase {
       "snapshot row count must equal the commit-0 slice, not the live table")
   }
 
+  test("p29 vacuum: removes exactly the orphans, tracked bytes untouched, naive reader healed") {
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    def md5(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(norm(p))))
+        .map("%02x".format(_)).mkString
+    }
+    val (root, tracked, orphans) = sources.Lake.orphanLake(spark, sf)
+    assert(orphans.size == 2)
+    assert(sources.Lake.findOrphans(spark, root, tracked).map(norm).toSet ==
+      orphans.map(norm).toSet, "detector must find exactly the planted strays")
+    // a directory-trusting reader double-counts the orphaned days
+    val trackedRows = spark.read.option("basePath", root)
+      .parquet(tracked: _*).count()
+    assert(spark.read.parquet(root).count() > trackedRows,
+      "orphans must be visible to a naive reader (that is the bug)")
+    val trackedMd5 = tracked.map(p => norm(p) -> md5(p)).toMap
+    val orphanBytes = orphans.map(p =>
+      p -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(norm(p)))).toMap
+    val removed = sources.Lake.vacuum(spark, root, tracked)
+    try {
+      assert(removed.map(norm).toSet == orphans.map(norm).toSet,
+        "vacuum must delete exactly the orphan set")
+      assert(sources.Lake.findOrphans(spark, root, tracked).isEmpty)
+      assert(tracked.forall(p => md5(p) == trackedMd5(norm(p))),
+        "vacuum must never touch a manifest-tracked byte")
+      assert(spark.read.parquet(root).count() == trackedRows,
+        "after vacuum the naive reader sees the manifest truth")
+    } finally {
+      // restore the strays: the lake is a JVM-wide memoized fixture
+      // and other consumers (the p29 entry) expect the planted state
+      orphanBytes.foreach { case (p, bytes) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(norm(p)), bytes)
+      }
+    }
+  }
+
   test("streaming commit loop: per-micro-batch incremental manifest equals full recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
