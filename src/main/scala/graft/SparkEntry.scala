@@ -225,6 +225,8 @@ object SparkEntry {
     "x28_tokenizer_fertility" -> ((s, d) => text.Curation.x28TokenizerFertility(s, d)),
     "m11_clip_dedup" -> ((s, d) => multimodal.Multimodal.m11(s, d)),
     "p29_vacuum_orphans" -> ((s, d) => sources.Lake.p29VacuumOrphans(s, d)),
+    "p30_optimistic_commit" -> ((s, d) => sources.Lake.p30OptimisticCommit(s, d)),
+    "p31_manifest_pruned_read" -> ((s, d) => sources.Lake.p31ManifestPrunedRead(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3383,6 +3385,40 @@ object SparkEntry {
         | CASE WHEN rk <= 2 THEN base_rows ELSE 0 END AS orphan_rows,
         | tracked_rows + CASE WHEN rk <= 2 THEN base_rows ELSE 0 END AS naive_reader_rows
         |FROM r ORDER BY p_date""".stripMargin,
+    // p30: SERIAL replay of the two racing merges in commit order
+    // (A then B) — the OCC outcome must be serializable, so the
+    // committed state hash-matches iff B's rebase re-applied its
+    // day-2 merge on top of A's corrections (lost updates and
+    // phantom pre-rebase files both change a day's sum)
+    "p30_optimistic_commit" ->
+      """WITH ev AS (SELECT event_id, ts, value, CAST(ts AS DATE) AS d FROM events),
+        |dd AS (SELECT d, row_number() OVER (ORDER BY d) AS rk
+        |       FROM (SELECT DISTINCT d FROM ev)),
+        |a AS (SELECT event_id, ts, round(value * 3, 2) AS value, d FROM ev
+        |      WHERE d IN (SELECT d FROM dd WHERE rk <= 2) AND event_id % 11 = 4),
+        |b AS (SELECT event_id, ts, round(value * 7, 2) AS value, d FROM ev
+        |      WHERE d IN (SELECT d FROM dd WHERE rk IN (2, 3)) AND event_id % 13 = 6),
+        |s1 AS (SELECT event_id, ts, value FROM ev
+        |        WHERE event_id NOT IN (SELECT event_id FROM a)
+        |       UNION ALL SELECT event_id, ts, value FROM a),
+        |s2 AS (SELECT event_id, ts, value FROM s1
+        |        WHERE event_id NOT IN (SELECT event_id FROM b)
+        |       UNION ALL SELECT event_id, ts, value FROM b)
+        |SELECT strftime(ts, '%Y-%m-%d') AS p_date, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s2 GROUP BY 1 ORDER BY p_date""".stripMargin,
+    // p31: the UNPRUNED window filter over the raw table — pruning
+    // must be invisible to results (drop only never-matching files)
+    "p31_manifest_pruned_read" ->
+      """WITH b AS (
+        | SELECT epoch_us(CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)) AS t0
+        | FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE epoch_us(ts) >= (SELECT t0 + 86400000000 FROM b)
+        | AND epoch_us(ts) <= (SELECT t0 + 3 * 86400000000 - 1 FROM b)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // x28: t2's token-count laws aggregated per source, ratios via
     // the t21 integer half-away µ-law (no double rounding)
     "x28_tokenizer_fertility" ->
@@ -3398,9 +3434,9 @@ object SparkEntry {
         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens
         | FROM t GROUP BY 1)
         |SELECT source, n_docs, n_chars, ws_tokens, bpe_tokens,
-        | (n_chars * 2000000 + ws_tokens) // (2 * ws_tokens) AS chars_per_ws_micro,
-        | (n_chars * 2000000 + bpe_tokens) // (2 * bpe_tokens) AS chars_per_bpe_micro,
-        | (bpe_tokens * 2000000 + ws_tokens) // (2 * ws_tokens) AS bpe_per_ws_micro
+        | CAST((CAST(n_chars AS HUGEINT) * 2000000 + ws_tokens) // (2 * ws_tokens) AS BIGINT) AS chars_per_ws_micro,
+        | CAST((CAST(n_chars AS HUGEINT) * 2000000 + bpe_tokens) // (2 * bpe_tokens) AS BIGINT) AS chars_per_bpe_micro,
+        | CAST((CAST(bpe_tokens AS HUGEINT) * 2000000 + ws_tokens) // (2 * ws_tokens) AS BIGINT) AS bpe_per_ws_micro
         |FROM g ORDER BY source""".stripMargin,
     // m11: m3's frame-index replay (byte-fold dims → stride) keyed by
     // t3's content fingerprint per frame, grouped across docs
@@ -3511,12 +3547,12 @@ object SparkEntry {
         | SELECT c_custkey, c_nationkey,
         |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal
         | FROM customer),
-        |a AS (SELECT sum(bal) / count(*) AS avg_cents FROM c WHERE bal > 0),
+        |a AS (SELECT CAST(sum(bal) AS BIGINT) AS s, count(*) AS n FROM c WHERE bal > 0),
         |cut AS (SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 24 MONTH AS d FROM orders)
         |SELECT n.n_name, count(*) AS n_custs,
         | CAST(sum(c.bal) AS BIGINT) AS total_bal_cents
         |FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |WHERE CAST(c.bal AS DOUBLE) > (SELECT avg_cents FROM a)
+        |WHERE c.bal * (SELECT n FROM a) > (SELECT s FROM a)
         | AND NOT EXISTS (SELECT 1 FROM orders o
         |   WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= (SELECT d FROM cut))
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -54,24 +54,28 @@ object Verify {
     // advice): the sf dir this sweep actually ran against, a
     // timestamp, and the git HEAD — so a CORRECTNESS artifact can
     // never silently claim a different scale factor than it ran at.
-    val head =
+    def git(args: String*): Option[String] =
       try {
-        val p = new ProcessBuilder("git", "-C", "/root/repo", "rev-parse", "HEAD").start()
+        val p = new ProcessBuilder(("git" +: args): _*).start()
         val out = new String(p.getInputStream.readAllBytes()).trim
-        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
-      } catch { case _: Throwable => "unknown" }
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Throwable => None }
+    val head = git("rev-parse", "HEAD").getOrElse("unknown")
     // LEAKCHECK.json is driver-owned and carries no stamp of its own;
     // fingerprinting its content here ties each round's leak scan to
     // this commit + timestamp, so a round bump is distinguishable
-    // from a rerun (r6 advice item 2).
-    val leakMd5 =
-      try {
-        val lp = Paths.get("/root/repo/LEAKCHECK.json")
-        if (Files.exists(lp))
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(Files.readAllBytes(lp)).map("%02x".format(_)).mkString
-        else "absent"
-      } catch { case _: Throwable => "unreadable" }
+    // from a rerun (r6 advice item 2). Resolved against the repo root
+    // git discovers from the working directory (never a hardcoded
+    // checkout path), with "absent" ≠ "unreadable" distinguished.
+    val leakMd5 = {
+      val root = git("rev-parse", "--show-toplevel").getOrElse(".")
+      val lp = Paths.get(root).resolve("LEAKCHECK.json")
+      if (!Files.exists(lp)) "absent"
+      else
+        try java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(lp)).map("%02x".format(_)).mkString
+        catch { case _: Throwable => "unreadable" }
+    }
     val manifest =
       s"""{"queries": ${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")},
          | "failed": ${failed.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")},

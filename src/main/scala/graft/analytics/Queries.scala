@@ -1414,7 +1414,8 @@ object Queries {
     val c = Tables.customer(spark, dir)
       .withColumn("__bal_cents", round(col("c_acctbal") * 100).cast("long"))
     val avgPos = c.filter(col("__bal_cents") > 0)
-      .agg((sum(col("__bal_cents")) / count(lit(1))).as("__avg_cents"))
+      .agg(sum(col("__bal_cents")).as("__sum_cents"),
+        count(lit(1)).as("__n_pos"))
     val o = Tables.orders(spark, dir)
     val cutoff = o.agg(
       add_months(max(col("o_orderdate")).cast("date"), -24).as("__cut"))
@@ -1422,8 +1423,12 @@ object Queries {
       .crossJoin(broadcast(cutoff))
       .filter(col("o_orderdate") >= col("__cut"))
       .select(col("o_custkey"))
+    // bal > sum/n spelled integer-exact as bal*n > sum (d18/a36's
+    // compare-integers law; no FP boundary to drift cross-engine).
+    // Headroom: bal ≤ 1e6 cents, so bal*n overflows only past ~9e12
+    // positive-balance customers.
     c.crossJoin(broadcast(avgPos))
-      .filter(col("__bal_cents").cast("double") > col("__avg_cents"))
+      .filter(col("__bal_cents") * col("__n_pos") > col("__sum_cents"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))

@@ -308,10 +308,10 @@ object Lake {
     * is partition-LOCAL by construction: only the batch's days are
     * read, merged (existing rows whose key the batch replaces drop
     * via a LEFT ANTI against the broadcast batch key set —
-    * delete-then-insert, the dialect-portable MERGE spelling), and
-    * re-written via per-write dynamic overwrite. Every other day's
-    * files are never opened, listed, or re-written (spec-asserted
-    * byte-identical).
+    * delete-then-insert, the dialect-portable MERGE spelling), staged
+    * under `_staging/merge`, and swapped in per day by rename. Every
+    * other day's files are never opened, listed, or re-written
+    * (spec-asserted byte-identical).
     *
     * Scale shape: the touched-day list is calendar-bounded (a
     * driver-side collect of DISTINCT dates — p19's contract), the
@@ -333,11 +333,27 @@ object Lake {
     val survivors = existing
       .join(broadcast(keys), Seq(keyCol), "left_anti")
       .drop("p_date")
+    // Stage-then-swap (p25's `_staging` pattern): the merged days
+    // materialize fully under an underscore dir — invisible to root
+    // readers, and the self-read of `existing` completes BEFORE any
+    // destination file is touched (no read-while-overwriting-the-
+    // same-path coupling). Each touched day then swaps in via one
+    // delete + one rename; a crash leaves a day either whole-old or
+    // whole-new (the delete→rename gap is the only window, vs
+    // dynamic overwrite's all-days-at-job-commit window).
+    val fs = new Path(lakePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(lakePath, "_staging/merge")
     survivors.unionByName(batch.select(survivors.columns.map(col): _*))
       .withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("p_date").parquet(lakePath)
+      .partitionBy("p_date").parquet(staging.toString)
+    touched.foreach { day =>
+      val src = new Path(staging, s"p_date=$day")
+      val dest = new Path(lakePath, s"p_date=$day")
+      fs.delete(dest, true)
+      if (fs.exists(src)) fs.rename(src, dest)
+    }
+    fs.delete(staging, true)
   }
 
   private val mergeCache =
@@ -440,7 +456,13 @@ object Lake {
     *
     * Scale shape: the audit is Checks.run's single aggregation pass
     * over the staged batch (not the lake); publish is one metadata
-    * rename. @return whether the batch published.
+    * rename, whose result is part of the contract: a `true` return
+    * means the batch IS visible at the root. Re-publishing a batchId
+    * that already published throws — an orchestrator retrying a
+    * batchId whose content may have changed must not silently
+    * clobber (or silently no-op on) a batch readers already saw;
+    * the retry path is a new batchId or an explicit un-publish.
+    * @return whether the batch published.
     */
   def writeAuditPublish(spark: SparkSession, batch: DataFrame, root: String,
                         batchId: String,
@@ -451,12 +473,13 @@ object Lake {
     val verdict = graft.quality.Checks.run(
       spark.read.parquet(staging.toString), checks)
     val ok = verdict.filter(!col("passed")).isEmpty
-    if (ok) {
-      val dest = new Path(root, s"batch=$batchId")
-      fs.mkdirs(dest.getParent)
-      fs.rename(staging, dest)
-    }
-    ok
+    if (!ok) return false
+    val dest = new Path(root, s"batch=$batchId")
+    if (fs.exists(dest))
+      throw new IllegalStateException(
+        s"batch $batchId already published at $dest — re-publish must use a new batchId")
+    fs.mkdirs(dest.getParent)
+    fs.rename(staging, dest)
   }
 
   private val wapCache =
@@ -794,8 +817,9 @@ object Lake {
 
   private[graft] def vacuum(spark: SparkSession, root: String,
                             tracked: Seq[String]): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orphans = findOrphans(spark, root, tracked)
-    orphans.foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    orphans.foreach(p => fs.delete(new Path(p), false))
     orphans
   }
 
@@ -828,5 +852,332 @@ object Lake {
       .select(col("p_date"), col("tracked_rows"), col("orphan_rows"),
         col("naive_reader_rows"))
       .orderBy(col("p_date"))
+  }
+
+  // -----------------------------------------------------------------
+  // Optimistic concurrency control (p30) — the one table-format
+  // primitive p26–p29 still lacked: a versioned commit LOG whose
+  // version file is the atomic commit point, with conflict detection
+  // and loser-rebases-and-retries, the Iceberg/Delta protocol
+  // re-expressed over the plain parquet lake.
+  // -----------------------------------------------------------------
+
+  /** One log entry: a file the commit Added or Removed, with its day. */
+  private[graft] final case class LogEntry(action: String, day: String, file: String)
+
+  private def logFile(root: String, v: Int) = new Path(root, f"_log/v$v%05d.txt")
+
+  /** Highest committed version, −1 if the log is empty. The listing
+    * is O(|commits|) — metadata, never data.
+    */
+  private[graft] def logVersion(spark: SparkSession, root: String): Int = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, "_log")
+    if (!fs.exists(dir)) return -1
+    val V = """v(\d+)\.txt""".r
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case V(n) => n.toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  private[graft] def logEntries(spark: SparkSession, root: String, v: Int): Seq[LogEntry] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(logFile(root, v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(a, d, f) = line.split("\t", 3)
+      LogEntry(a, d, f)
+    }
+  }
+
+  /** Table state at version `asOf` (default: current): fold the log —
+    * adds minus later removes, exactly how Iceberg reconstructs a
+    * snapshot. State is a FILE LIST; the directory is not consulted.
+    */
+  private[graft] def tableState(spark: SparkSession, root: String,
+                                asOf: Int = Int.MaxValue): Seq[LogEntry] = {
+    val cur = math.min(logVersion(spark, root), asOf)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, LogEntry]
+    (0 to cur).foreach { v =>
+      logEntries(spark, root, v).foreach {
+        case e if e.action == "A" => live(e.file) = e
+        case e                    => live.remove(e.file)
+      }
+    }
+    live.values.toSeq
+  }
+
+  /** Attempt to commit version `v`. The log file is created with
+    * `create(overwrite = false)` — one winner per version (atomic on
+    * HDFS; object stores without atomic create front this exact
+    * protocol with a catalog/lock service). @return whether this
+    * writer won the version.
+    */
+  private[graft] def tryCommit(spark: SparkSession, root: String, v: Int,
+                               entries: Seq[LogEntry]): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root, "_log"))
+    val f = logFile(root, v)
+    if (fs.exists(f)) return false
+    try {
+      val out = fs.create(f, false)
+      try out.write(entries.map(e => s"${e.action}\t${e.day}\t${e.file}")
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** An in-flight merge transaction: the snapshot it read, the days
+    * it touches, its already-written data files (per day), and the
+    * batch (kept for rebase).
+    */
+  private[graft] final case class MergeTxn(root: String, writerId: String,
+                                           snapshot: Int, days: Seq[String],
+                                           adds: Map[String, String],
+                                           batch: DataFrame, keyCol: String,
+                                           tsCol: String)
+
+  /** Write the merged content of `days` against the state at
+    * `snapshot` into the lake's day dirs under txn-unique names.
+    * The files are INVISIBLE until a log commit references them
+    * (manifest-trusting readers never list directories — p29's law);
+    * if the txn ultimately loses they become orphans for vacuum().
+    */
+  private def stageMergeDays(spark: SparkSession, root: String, writerId: String,
+                             snapshot: Int, days: Seq[String], batch: DataFrame,
+                             keyCol: String, tsCol: String): Map[String, String] = {
+    if (days.isEmpty) return Map.empty
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stateFiles = tableState(spark, root, snapshot)
+      .filter(e => days.contains(e.day)).map(_.file)
+    val existing =
+      if (stateFiles.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(stateFiles: _*)
+        .drop("p_date"))
+    val dayBatch = batch
+      .filter(date_format(col(tsCol), "yyyy-MM-dd").isin(days: _*))
+    val keys = dayBatch.select(col(keyCol)).distinct()
+    val survivors = existing.map(
+      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+    val merged = survivors match {
+      case Some(s) => s.unionByName(dayBatch.select(s.columns.map(col): _*))
+      case None    => dayBatch
+    }
+    val staging = new Path(root, s"_staging/txn-$writerId-s$snapshot")
+    // hash-repartition on the day: each day lands WHOLE in exactly one
+    // task (days parallelize across tasks) → exactly one data file per
+    // committed day, the unit the log tracks
+    merged.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(staging.toString)
+    val moved = days.flatMap { day =>
+      val src = new Path(staging, s"p_date=$day")
+      if (!fs.exists(src)) None
+      else {
+        val f = fs.listStatus(src).toSeq
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet")).get
+        val destDir = new Path(root, s"p_date=$day")
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, s"txn-$writerId-s$snapshot-${f.getPath.getName}")
+        fs.rename(f.getPath, dest)
+        Some(day -> dest.toString)
+      }
+    }.toMap
+    fs.delete(staging, true)
+    moved
+  }
+
+  /** Begin a keyed-upsert merge (mergeApply semantics) as an OCC
+    * transaction: read the current version as the snapshot, stage the
+    * merged days' data files. No log mutation happens here — two
+    * writers may begin from the SAME snapshot.
+    */
+  private[graft] def beginMerge(spark: SparkSession, root: String, batch: DataFrame,
+                                writerId: String, keyCol: String = "event_id",
+                                tsCol: String = "ts"): MergeTxn = {
+    val snapshot = logVersion(spark, root)
+    val days = batch
+      .select(date_format(col(tsCol), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val adds = stageMergeDays(spark, root, writerId, snapshot, days, batch,
+      keyCol, tsCol)
+    MergeTxn(root, writerId, snapshot, days, adds, batch, keyCol, tsCol)
+  }
+
+  /** Commit an OCC transaction; returns (committed version, whether a
+    * rebase was needed). The loop: aim at current+1; any intervening
+    * commit whose DAY set overlaps ours invalidates the staged merge
+    * for those days (it was computed against a superseded snapshot) —
+    * restage ONLY the conflicted days against the new state, abandon
+    * the stale files (vacuum's job), and retry. Disjoint intervening
+    * commits need no restage — the staged files are still exact, only
+    * the version number moves. Removes are resolved at commit time
+    * from the CURRENT state so a rebased commit supersedes the
+    * winner's files, never the already-removed base.
+    */
+  private[graft] def commitMerge(spark: SparkSession, txn: MergeTxn,
+                                 maxAttempts: Int = 10): (Int, Boolean) = {
+    var t = txn
+    var rebased = false
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val current = logVersion(spark, t.root)
+      val conflictDays = ((t.snapshot + 1) to current)
+        .flatMap(v => logEntries(spark, t.root, v))
+        .map(_.day).distinct.filter(t.days.contains)
+      if (conflictDays.nonEmpty) {
+        rebased = true
+        val restaged = stageMergeDays(spark, t.root, t.writerId, current,
+          conflictDays, t.batch, t.keyCol, t.tsCol)
+        t = t.copy(snapshot = current, adds = t.adds ++ restaged)
+      }
+      val removes = tableState(spark, t.root)
+        .filter(e => t.days.contains(e.day))
+        .map(e => LogEntry("R", e.day, e.file))
+      val adds = t.adds.toSeq.sortBy(_._1)
+        .map { case (day, f) => LogEntry("A", day, f) }
+      if (tryCommit(spark, t.root, current + 1, removes ++ adds))
+        return (current + 1, rebased)
+    }
+    throw new IllegalStateException(
+      s"writer ${txn.writerId} lost $maxAttempts commit races on ${txn.root}")
+  }
+
+  /** Read the lake at its CURRENT committed version — the manifest-
+    * trusting reader every entry above (p28/p29) argues for.
+    */
+  private[graft] def readCommitted(spark: SparkSession, root: String): DataFrame = {
+    val files = tableState(spark, root).map(_.file)
+    spark.read.option("basePath", root).parquet(files: _*)
+  }
+
+  /** p30 lake: base commit v0, then TWO writers racing mergeApply-
+    * style keyed upserts from the SAME v0 snapshot — A corrects
+    * days {1,2} (value ×3 on event_id % 11 = 4), B corrects days
+    * {2,3} (value ×7 on event_id % 13 = 6). A commits first and wins
+    * v1 cleanly. B's staged day-2 merge was computed against v0 —
+    * superseded by A's v1 on their shared day — so B's commit
+    * detects the overlap, restages day 2 against A's state, and
+    * lands v2. Keys divisible by both 11·4 and 13·6 patterns get
+    * B's value: last-committer-wins, exactly the serial A-then-B
+    * replay the oracle computes. Returns (root, vA, vB, bRebased).
+    */
+  private val occCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Int, Boolean)]()
+
+  private[graft] def occLake(spark: SparkSession, dir: String): (String, Int, Int, Boolean) =
+    occCache.computeIfAbsent(dir, { _ =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val root = tempLakeRoot("graft_occ")
+      writeDatePartitioned(ev, root)
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v0 = fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("p_date="))
+        .flatMap { d =>
+          val day = d.getPath.getName.stripPrefix("p_date=")
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => LogEntry("A", day, f.getPath.toString))
+        }
+      require(tryCommit(spark, root, 0, v0), "base commit must win v0")
+      val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .distinct().orderBy(col("d")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def corrections(dayList: Seq[String], modBase: Int, modVal: Int, mult: Int) =
+        ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(dayList: _*))
+          .filter(pmod(col("event_id"), lit(modBase)) === modVal)
+          .withColumn("value", round(col("value") * mult, 2))
+      val batchA = corrections(days.take(2), 11, 4, 3)
+      val batchB = corrections(days.drop(1), 13, 6, 7)
+      // Both writers read snapshot v0 BEFORE either commits — the race.
+      val txnA = beginMerge(spark, root, batchA, "A")
+      val txnB = beginMerge(spark, root, batchB, "B")
+      val (vA, aReb) = commitMerge(spark, txnA)
+      val (vB, bReb) = commitMerge(spark, txnB)
+      require(vA == 1 && !aReb, s"writer A must win v1 cleanly, got v$vA rebased=$aReb")
+      require(vB == 2 && bReb, s"writer B must rebase then land v2, got v$vB rebased=$bReb")
+      (root, vA, vB, bReb)
+    })
+
+  /** Verified entry (SURVEY §2 p30): OPTIMISTIC CONCURRENCY — per-day
+    * rows + exact cent sums over the committed state after the two-
+    * writer race. The oracle replays the two merges SERIALLY (A then
+    * B) from the raw table: the committed state hash-matches iff the
+    * loser's rebase produced exactly the serializable outcome — a
+    * lost update (B clobbering A's day-2 corrections with its v0-
+    * based merge) or a phantom (B's abandoned pre-rebase file leaking
+    * into state) cannot reproduce it.
+    */
+  def p30OptimisticCommit(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, _, _) = occLake(spark, dir)
+    readCommitted(spark, root)
+      .groupBy(col("p_date").cast("string").as("p_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("p_date"))
+  }
+
+  /** Manifest-PRUNED read (p31): p26 decides `would_scan` from stats;
+    * this DRIVES the scan with that decision — the reader consults
+    * the per-file manifest, keeps only files whose [min,max] ts range
+    * intersects the window, and opens NOTHING else (the basePath
+    * mechanism p28 proved keeps the partition column). The residual
+    * filter still applies on the surviving files (stats admit whole
+    * files; rows inside still need the predicate). At 100 TB this is
+    * the Iceberg/Delta read path: planning touches |files| manifest
+    * rows, execution touches only surviving bytes.
+    *
+    * Scale shape: the stats frame collapses to |files| rows before
+    * the driver collects the surviving PATHS (bounded by the file
+    * count, the same driver-side budget any format's planner pays);
+    * the data scan then reads only those files, with the window
+    * pushed down as a residual parquet filter.
+    */
+  def manifestPrunedRead(spark: SparkSession, root: String,
+                         loUs: Long, hiUs: Long): DataFrame = {
+    val surviving = perFileStats(spark, root)
+      .filter(!(col("max_ts_us") < loUs || col("min_ts_us") > hiUs))
+      .select(col("__f")).collect().map(_.getString(0)).toSeq
+    spark.read.option("basePath", root).parquet(surviving: _*)
+      .filter(unix_micros(col("ts")).between(loUs, hiUs))
+  }
+
+  /** Surviving-file prediction for the spec's `inputFiles ⊆
+    * predicted` assertion — the same stats pass manifestPrunedRead
+    * plans from.
+    */
+  private[graft] def predictedFiles(spark: SparkSession, root: String,
+                                    loUs: Long, hiUs: Long): Seq[String] =
+    perFileStats(spark, root)
+      .filter(!(col("max_ts_us") < loUs || col("min_ts_us") > hiUs))
+      .select(col("__f")).collect().map(_.getString(0)).toSeq
+
+  /** Verified entry (SURVEY §2 p31): the pruned read composed end to
+    * end — p26's probe window (days [1,3) after the corpus min, data-
+    * derived), the manifest-driven file selection, and the residual
+    * window filter, rolled up per type. The oracle replays the
+    * UNPRUNED filter over the raw table: the hash matches iff pruning
+    * dropped only files the predicate could never match — a manifest
+    * that over-prunes loses rows, one that under-prunes double-counts
+    * nothing (residual filter), so the entry pins exactly the
+    * correctness half of pruning; the files-actually-opened half is
+    * spec-asserted on inputFiles.
+    */
+  def p31ManifestPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val (path, _) = eventsLake(spark, dir)
+    val w = graft.Tables.events(spark, dir)
+      .agg(unix_micros(to_timestamp(to_date(min(col("ts"))))).as("t0"))
+      .select((col("t0") + lit(86400000000L)).as("lo"),
+        (col("t0") + lit(3L * 86400000000L) - lit(1L)).as("hi"))
+      .head()
+    manifestPrunedRead(spark, path, w.getLong(0), w.getLong(1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
   }
 }

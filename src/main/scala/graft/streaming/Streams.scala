@@ -346,10 +346,16 @@ object Streams {
     */
   def p6StreamGold(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    // nanosAsLong must be live at schema inference AND at the
+    // streaming scan — scope it to a cloned session instead of
+    // mutating the shared session conf (the concurrent-writer race
+    // class ADVICE r6 flagged; same mechanism as runToMemory's
+    // statePartitions scope).
+    val scoped = org.apache.spark.sql.GraftBridge.scopedSession(spark,
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    val schema = scoped.read.parquet(path).schema
     val stream = graft.Tables.normalizeEventTs(
-      fileStream(spark, dir, schema, globFilter = Some("events.parquet")))
+      fileStream(scoped, dir, schema, globFilter = Some("events.parquet")))
     val silver = Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
     val gold = Medallion.goldWindow(silver, "ts", "event_type")
     runToMemory(gold, statePartitions = Some(8))

@@ -1148,8 +1148,12 @@ object Curation {
     * arithmetic on the aggregated frame.
     */
   def tokenizerFertility(docs: DataFrame): DataFrame = {
+    // num rides a decimal(38,0): in Long, num * 2e6 overflows once a
+    // source's summed chars passes ~4.6e12 (~4.6 TB of text) — real
+    // at the 100 TB design point. `div` on decimals still lands on
+    // the exact integer grid and returns BIGINT.
     def microRatio(num: String, den: String): org.apache.spark.sql.Column =
-      expr(s"($num * 2000000 + $den) div (2 * $den)")
+      expr(s"(cast($num as decimal(38,0)) * 2000000 + $den) div (2 * $den)")
     TextAnalysis.tokenCounts(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -24,7 +24,12 @@ object ScaleSoak {
 
   def deriveCorpus(spark: SparkSession, sfDir: String, outRoot: String,
                    factor: Int): Unit = {
-    if (Files.exists(Paths.get(s"$outRoot/documents.parquet"))) return
+    // Gate on a _DONE marker written AFTER the last table, not on the
+    // first table's existence: an interrupted derivation (documents
+    // written, the rest missing) must re-derive, not half-skip
+    // forever (ADVICE r7 item 5).
+    val done = Paths.get(s"$outRoot/_DERIVED_DONE")
+    if (Files.exists(done)) return
     val docs = Tables.documents(spark, sfDir)
     (0 until factor).map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
@@ -44,6 +49,21 @@ object ScaleSoak {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outRoot/lineitem.parquet")
+    // Embeddings: re-keyed copies with small DETERMINISTIC component
+    // jitter (murmur3 of (vec_id, component, copy) → ±1%) so copies
+    // land near — but not on — their original: cells grow denser
+    // without collapsing duplicates into single points, the realistic
+    // shape for IVF cell-size skew at scale (VERDICT r7 lead item).
+    val emb = Tables.embeddings(spark, sfDir)
+    (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> cast(" +
+            s"x + (pmod(hash(vec_id, j, $i), 1024) - 512) / 51200.0 as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outRoot/embeddings.parquet")
+    Files.writeString(done, "ok")
   }
 
   private def timed[T](f: => T): (T, Double) = {

@@ -29,6 +29,19 @@ object GraftBridge {
     classic.Dataset.ofRows(scoped, cdf.queryExecution.logical)
   }
 
+  /** A cloned session carrying conf overrides, for paths where the
+    * override must be live at FRAME CONSTRUCTION (e.g. parquet schema
+    * inference reads `nanosAsLong` before any plan exists, so
+    * [[withConfScope]]'s rebind-after-the-fact is too late). Same
+    * isolation contract: writes on the clone never leak to the
+    * original session or to concurrent queries on it.
+    */
+  def scopedSession(spark: SparkSession, conf: (String, String)*): SparkSession = {
+    val scoped = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    conf.foreach { case (k, v) => scoped.conf.set(k, v) }
+    scoped
+  }
+
   /** Function names an extensions instance would inject at session
     * build (`registerFunctions` is `private[sql]`) — lets specs pin
     * surface parity without building a second SparkSession.

@@ -305,6 +305,83 @@ class SourcesSpec extends GraftSpecBase {
     }
   }
 
+  test("p30 OCC: version race has one winner, loser never clobbers, rebase converges, stale files are orphans") {
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val (root, vA, vB, bRebased) = sources.Lake.occLake(spark, sf)
+    assert(vA == 1 && vB == 2 && bRebased,
+      "A wins v1 cleanly; B must rebase and land v2")
+    // a committed version can never be re-won — the atomic commit point
+    assert(!sources.Lake.tryCommit(spark, root, 2,
+      Seq(sources.Lake.LogEntry("A", "9999-01-01", "bogus"))),
+      "tryCommit on a taken version must lose")
+    val v1adds = sources.Lake.logEntries(spark, root, 1).filter(_.action == "A")
+    val v2 = sources.Lake.logEntries(spark, root, 2)
+    val state = sources.Lake.tableState(spark, root).map(e => norm(e.file)).toSet
+    val d1 = v1adds.map(_.day).min // A's non-conflicted day
+    // loser never clobbers: A's day-1 file is still live, and B's
+    // commit removed nothing on that day
+    assert(state.contains(norm(v1adds.find(_.day == d1).get.file)),
+      "A's non-conflicted file must survive B's commit")
+    assert(v2.filter(_.action == "R").forall(_.day != d1),
+      "B must not remove files on days it does not touch")
+    // B's day-2 add was RESTAGED against A's state (snapshot 1, not 0)
+    val bConflictAdd = v2.filter(e => e.action == "A" && e.day != d1)
+      .map(_.file).filter(_.contains("txn-B-"))
+    assert(bConflictAdd.exists(_.contains("-s1-")),
+      s"B's conflicted-day file must come from the rebased snapshot: $bConflictAdd")
+    // convergence: committed state == serial A-then-B replay in-Spark
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy(col("d")).limit(3).collect().map(_.getString(0)).toSeq
+    def corr(dayList: Seq[String], m: Int, r: Int, mult: Int) =
+      ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(dayList: _*))
+        .filter(pmod(col("event_id"), lit(m)) === r)
+        .withColumn("value", round(col("value") * mult, 2))
+    def applySerial(base: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      base.join(b.select("event_id"), Seq("event_id"), "left_anti").unionByName(b)
+    val expected = applySerial(applySerial(ev, corr(days.take(2), 11, 4, 3)),
+      corr(days.drop(1), 13, 6, 7))
+    val got = sources.Lake.readCommitted(spark, root)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "committed state must equal the serial two-merge replay")
+    // orphan accounting: everything removed by v1/v2 plus B's abandoned
+    // pre-rebase file is on disk but untracked — exactly vacuum's input
+    val removed = (1 to 2).flatMap(v =>
+      sources.Lake.logEntries(spark, root, v).filter(_.action == "R"))
+      .map(e => norm(e.file)).toSet
+    val orphans = sources.Lake.findOrphans(spark, root,
+      sources.Lake.tableState(spark, root).map(_.file)).map(norm).toSet
+    assert(removed.subsetOf(orphans), "superseded files must be orphans")
+    val stale = orphans -- removed
+    assert(stale.nonEmpty && stale.forall(_.contains("txn-B-s0")),
+      s"the only non-superseded orphans are B's abandoned v0-based files: $stale")
+  }
+
+  test("p31 pruned read: opens only manifest-predicted files, strictly fewer than the lake, equals unpruned filter") {
+    def norm(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val (path, _) = sources.Lake.eventsLake(spark, sf)
+    val w = Tables.events(spark, sf)
+      .agg(unix_micros(to_timestamp(to_date(min(col("ts"))))).as("t0")).head()
+    val (lo, hi) = (w.getLong(0) + 86400000000L, w.getLong(0) + 3L * 86400000000L - 1L)
+    val predicted = sources.Lake.predictedFiles(spark, path, lo, hi).map(norm).toSet
+    val pruned = sources.Lake.manifestPrunedRead(spark, path, lo, hi)
+    val opened = pruned.inputFiles.map(norm).toSet
+    assert(opened.nonEmpty && opened.subsetOf(predicted),
+      s"scan must open only predicted files: ${opened -- predicted}")
+    val lakeFiles = spark.read.parquet(path).inputFiles.map(norm).toSet
+    assert(predicted.size < lakeFiles.size,
+      s"the window must actually prune (${predicted.size} of ${lakeFiles.size})")
+    val unpruned = spark.read.parquet(path).drop("p_date")
+      .filter(unix_micros(col("ts")).between(lo, hi))
+    val got = pruned.drop("p_date")
+    assert(got.exceptAll(unpruned).isEmpty && unpruned.exceptAll(got).isEmpty,
+      "pruning must be invisible to results")
+  }
+
   test("streaming commit loop: per-micro-batch incremental manifest equals full recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
