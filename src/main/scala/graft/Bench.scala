@@ -128,9 +128,20 @@ object Bench {
     val queriesLine = s"""{"metric":"queries","sf":"$sfDir","queries":$qs}"""
     val slowest = perQuery.filter(_._3).sortBy(-_._2).take(8)
       .map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"n_queries":${names.size},"errors":$errors,"slowest":$slowest,"full":"bench_last.json","total_sec":${f2(total)}}"""
+    // "subset":true marks a SPARK_GRAFT_ONLY iteration run — the
+    // inventory invariant (InventorySpec) only holds full sweeps to
+    // the every-registered-key-is-benched contract.
+    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"n_queries":${names.size},"subset":${only.nonEmpty},"errors":$errors,"slowest":$slowest,"full":"bench_last.json","total_sec":${f2(total)}}"""
+    // Artifact lands at the git repo root (never a hardcoded checkout
+    // path — the same portability rule Verify's leakcheck stamp follows).
+    val repoRoot =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--show-toplevel").start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "."
+      } catch { case _: Throwable => "." }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      java.nio.file.Paths.get(repoRoot, "bench_last.json"),
       s"""{"total":$totalLine,\n "queries":$queriesLine,\n "diag":$diagLine}\n""")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     println(diagLine)

@@ -402,4 +402,65 @@ object StatefulTwins {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // ------------------------------------------------------------ LOCF resample
+
+  final case class LocfEv(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+  final case class LocfState(openSlot: Long, openValue: Double,
+                             lastTs: Long, lastId: Long)
+  final case class GridSlot(user_id: Long, grid_slot: Long,
+                            filled_value: Double, is_observed: Boolean)
+
+  /** Streaming twin of st7's grid LOCF (Resample.locfResample): state
+    * is ONLY the key's open slot — its latest (ts, id)-winning value.
+    * An observation landing in the open slot refines it in place; an
+    * observation in a LATER slot closes it (append-emit), emits the
+    * carried-forward gap slots between them (is_observed = false,
+    * filled with the closed slot's value — closed too, because a
+    * later observation now bounds them), and opens the new slot. The
+    * key's last observed slot stays open unemitted: a next batch
+    * could still bring a later observation inside it (st1's gap law —
+    * no close without evidence beyond the slot).
+    *
+    * O(1) state per key vs the batch spelling's per-key span window;
+    * this is the continuous form of the same fold, so the emitted
+    * rows are exactly the batch grid minus each key's final (still
+    * open) slot — proven in StreamingSpec.
+    */
+  def locfResampleStream(obs: Dataset[LocfEv], gridUs: Long): Dataset[GridSlot] = {
+    import obs.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[LocfEv],
+           state: GroupState[LocfState]): Iterator[GridSlot] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[GridSlot]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        val s = Math.floorDiv(e.ts_us, gridUs)
+        if (st == null) st = LocfState(s, e.value, e.ts_us, e.event_id)
+        else if (s == st.openSlot) {
+          // same slot: (ts, id) winner refines the open fill — the
+          // batch row_number((ts desc, id desc)) law
+          if (e.ts_us > st.lastTs || (e.ts_us == st.lastTs && e.event_id > st.lastId))
+            st = LocfState(s, e.value, e.ts_us, e.event_id)
+        } else if (s > st.openSlot) {
+          out += GridSlot(userId, st.openSlot, st.openValue, is_observed = true)
+          var g = st.openSlot + 1
+          while (g < s) {
+            out += GridSlot(userId, g, st.openValue, is_observed = false)
+            g += 1
+          }
+          st = LocfState(s, e.value, e.ts_us, e.event_id)
+        }
+        // s < openSlot: late beyond the ordering contract — dropped,
+        // the same row a watermarked stream would discard
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
 }

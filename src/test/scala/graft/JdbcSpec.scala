@@ -111,4 +111,45 @@ class JdbcSpec extends GraftSpecBase {
     assert(rows.toSeq == Seq(("a", 4.0, 2L), ("b", 2.0, 1L)),
       s"grain must be replaced in place: ${rows.toSeq}")
   }
+
+  test("postgres dialect canary: real upsert round-trip the day a driver + server land (auto-skips offline)") {
+    // The reference's gold sink is Postgres (spark_streaming_job.py:
+    // 124-140); offline this environment ships neither the pgjdbc jar
+    // nor a server, so the upsert's delete-then-insert spelling is
+    // proven dialect-portable only on Derby. Mirror of the Kafka
+    // canary: cancel with the precise missing piece now, and the day
+    // a Postgres jar/container lands this test starts running the
+    // REAL keyed-upsert idempotence contract against it with zero
+    // code change.
+    val pgDriver = "org.postgresql.Driver"
+    val loaded = try { Class.forName(pgDriver); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(loaded, s"$pgDriver absent from the classpath (expected offline)")
+    val pgUrl = sys.env.getOrElse("GRAFT_PG_URL",
+      "jdbc:postgresql://localhost:5432/postgres?user=postgres")
+    val conn = try Right(java.sql.DriverManager.getConnection(pgUrl))
+      catch { case e: Throwable => Left(e) }
+    conn match {
+      case Left(e) =>
+        assume(false, s"pgjdbc present but no reachable server at $pgUrl: ${e.getMessage}")
+      case Right(c) =>
+        try c.createStatement().execute("DROP TABLE IF EXISTS graft_pg_canary")
+        finally c.close()
+        val writer = streaming.Streams.jdbcUpsertWriter(
+          pgUrl, "graft_pg_canary", keyCols = Seq("station_id"),
+          user = "", password = "", driver = pgDriver)
+        val b1 = Seq(("a", 1.0, 1L), ("b", 2.0, 1L)).toDF("station_id", "total", "n")
+        writer(b1, 0L)
+        writer(b1, 0L) // replayed batch must be a no-op (idempotence)
+        val b2 = Seq(("a", 4.0, 2L)).toDF("station_id", "total", "n")
+        writer(b2, 1L)
+        val rows = spark.read.format("jdbc")
+          .option("url", pgUrl).option("dbtable", "graft_pg_canary")
+          .option("driver", pgDriver).load()
+          .orderBy(col("station_id"))
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        assert(rows.toSeq == Seq(("a", 4.0, 2L), ("b", 2.0, 1L)),
+          s"postgres upsert must replace by key, never append: ${rows.toSeq}")
+    }
+  }
 }

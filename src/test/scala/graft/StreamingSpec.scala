@@ -681,6 +681,38 @@ class StreamingSpec extends GraftSpecBase {
     assert(batchClosed.nonEmpty, "fixture must close some islands")
   }
 
+  test("streaming LOCF resample emits exactly the batch grid minus each user's open slot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{LocfEv, GridSlot}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[LocfEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[LocfEv]
+    val q = streaming.StatefulTwins.locfResampleStream(mem.toDS(), gridUs = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("locf_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("locf_twin").as[GridSlot].collect()
+      .map(g => (g.user_id, g.grid_slot, g.filled_value, g.is_observed)).toSet
+    val batchAll = operators.Resample.st7(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // each user's max grid slot is the still-open one (st1's gap law:
+    // a later observation could yet land inside it); all earlier
+    // slots — observed and carried alike — must match bit-for-bit
+    val openSlot = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batchAll.filterNot(t => t._2 == openSlot(t._1)).toSet
+    assert(streamed == batchClosed,
+      s"stream-only: ${(streamed -- batchClosed).take(3)}; batch-only: ${(batchClosed -- streamed).take(3)}")
+    assert(batchClosed.exists(!_._4), "fixture must contain carried-forward gap slots")
+    assert(batchClosed.exists(_._4), "fixture must contain closed observed slots")
+  }
+
   test("streaming dwell credits aggregate to exactly the batch per-state dwell rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{DwellEv, DwellCredit}
