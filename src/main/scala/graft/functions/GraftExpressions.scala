@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   * for the re-group), which is unusable at 100 TB. As native
   * expressions they run inside the scan stage with zero shuffle.
   *
-  * CodegenFallback here costs one virtual call per ROW (the inner
-  * loops are plain JVM arrays) — unlike a Scala UDF there is no
-  * ser/de of the array through the encoder boundary.
+  * The hot-path expressions (ShingleHashes, MinHashSignature,
+  * WordShingles, TermFrequencies) generate a single static-kernel
+  * call (doGenCode → ShingleSupport), so they stay inside the scan's
+  * whole-stage codegen with no per-row boxed eval; model-carrying
+  * rarities (PqEncode, TextStats, …) keep CodegenFallback — one
+  * virtual call per row, with the inner loops still plain JVM arrays
+  * (unlike a Scala UDF there is no encoder ser/de either way).
   */
 object MixConstants {
   // splitmix64 finalizer — the standard public-domain bit mixer.
@@ -37,8 +41,9 @@ object MixConstants {
   * seeded odd multipliers (a 64-bit multiply-shift universal hash).
   */
 case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
-    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes {
   import MixConstants.mix64
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -47,21 +52,15 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
   private lazy val as: Array[Long] = Array.tabulate(numPerms)(i => mix64(seed + 2L * i) | 1L)
   private lazy val bs: Array[Long] = Array.tabulate(numPerms)(i => mix64(seed + 2L * i + 1L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toLongArray()
-    val sig = Array.fill(numPerms)(-1L) // unsigned max
-    var i = 0
-    while (i < arr.length) {
-      val x = arr(i)
-      var p = 0
-      while (p < numPerms) {
-        val h = as(p) * x + bs(p)
-        if (java.lang.Long.compareUnsigned(h, sig(p)) < 0) sig(p) = h
-        p += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+  override def nullSafeEval(input: Any): Any =
+    ShingleSupport.minhash(input.asInstanceOf[ArrayData], as, bs)
+  // Static kernel call with the permutation tables passed once as
+  // codegen references — not CodegenFallback's per-row boxed eval.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSupport.minhash($c, $asRef, $bsRef)")
   }
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
@@ -107,29 +106,18 @@ case class SimHash64(child: Expression)
   * element; this expression scans the text exactly once.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ShingleSupport.tokenize(input.toString)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i <= toks.length - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleSupport.wordShingles(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSupport.wordShingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
@@ -139,45 +127,22 @@ case class WordShingles(child: Expression, n: Int)
   * (the SimHash input).
   */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
-  import MixConstants.mix64
+    extends UnaryExpression with GraftExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ShingleSupport.tokenize(input.toString)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val tokHash = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) {
-      var h = 1469598103934665603L // FNV-1a 64 over UTF-16 code units
-      val s = toks(i)
-      var c = 0
-      while (c < s.length) { h = (h ^ s.charAt(c)) * 1099511628211L; c += 1 }
-      tokHash(i) = mix64(h)
-      i += 1
-    }
-    val m = toks.length - n + 1
-    val raw = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var h = 0L
-      var j = 0
-      while (j < n) { h = mix64(h ^ tokHash(i + j)); j += 1 }
-      raw(i) = h
-      i += 1
-    }
-    if (!distinct) return new GenericArrayData(raw)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
-    while (i < m) { seen.add(raw(i)); i += 1 }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleSupport.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
+  // One static kernel call instead of CodegenFallback's boxed
+  // references[i].eval(row): keeps the scan's whole-stage codegen
+  // span intact and skips the per-row InternalRow copy (delta
+  // measured on the 10x corpus in SCALE.md).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSupport.shingleHashes($c, $n, $distinct)")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
@@ -218,7 +183,7 @@ case class Mix64(child: Expression)
   * this walks the tokens exactly once regardless of term count.
   */
 case class TermFrequencies(child: Expression, terms: Seq[String])
-    extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with GraftExpectsInputTypes {
   override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("dl", LongType, nullable = false),
@@ -237,16 +202,16 @@ case class TermFrequencies(child: Expression, terms: Seq[String])
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ShingleSupport.tokenize(input.toString)
-    val tfs = new Array[Long](terms.size)
-    var t = 0
-    while (t < toks.length) {
-      val i = index.get(toks(t))
-      if (i != null) tfs(i.intValue()) += 1L
-      t += 1
-    }
-    InternalRow(toks.length.toLong, new GenericArrayData(tfs))
+  override def nullSafeEval(input: Any): Any =
+    ShingleSupport.termFrequencies(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], index, terms.size)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val idxRef = ctx.addReferenceObj("termIndex", index, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSupport.termFrequencies($c, $idxRef, ${terms.size})")
   }
   override protected def withNewChildInternal(c: Expression): TermFrequencies = copy(child = c)
 }
@@ -395,6 +360,8 @@ case class TextStats(child: Expression, stopwords: Seq[String], punct: String)
 }
 
 object ShingleSupport {
+  import MixConstants.mix64
+
   /** Whitespace tokenizer (any run of whitespace splits; no regex). */
   def tokenize(s: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -407,6 +374,106 @@ object ShingleSupport {
       if (i > start) out += s.substring(start, i)
     }
     out.toArray
+  }
+
+  // Static kernels below are the eval bodies of the text expressions,
+  // hoisted so doGenCode can emit ONE static call (the Mix64 pattern)
+  // instead of CodegenFallback's per-row `references[i].eval(row)` —
+  // which boxes the input through an InternalRow copy and blocks the
+  // scan's whole-stage codegen from keeping the value in a register.
+  // Scala objects emit static forwarders, so Janino-generated Java
+  // calls these directly.
+
+  /** [[ShingleHashes]] kernel. */
+  def shingleHashes(input: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int, distinct: Boolean): ArrayData = {
+    val toks = tokenize(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val tokHash = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 1469598103934665603L // FNV-1a 64 over UTF-16 code units
+      val s = toks(i)
+      var c = 0
+      while (c < s.length) { h = (h ^ s.charAt(c)) * 1099511628211L; c += 1 }
+      tokHash(i) = mix64(h)
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val raw = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = mix64(h ^ tokHash(i + j)); j += 1 }
+      raw(i) = h
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(raw)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < m) { seen.add(raw(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[MinHashSignature]] kernel (as/bs arrive as codegen references). */
+  def minhash(input: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val arr = input.toLongArray()
+    val numPerms = as.length
+    val sig = Array.fill(numPerms)(-1L) // unsigned max
+    var i = 0
+    while (i < arr.length) {
+      val x = arr(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = as(p) * x + bs(p)
+        if (java.lang.Long.compareUnsigned(h, sig(p)) < 0) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [[WordShingles]] kernel. */
+  def wordShingles(input: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[TermFrequencies]] kernel (index arrives as a codegen reference). */
+  def termFrequencies(input: org.apache.spark.unsafe.types.UTF8String,
+                      index: java.util.HashMap[String, Integer],
+                      nTerms: Int): InternalRow = {
+    val toks = tokenize(input.toString)
+    val tfs = new Array[Long](nTerms)
+    var t = 0
+    while (t < toks.length) {
+      val i = index.get(toks(t))
+      if (i != null) tfs(i.intValue()) += 1L
+      t += 1
+    }
+    InternalRow(toks.length.toLong, new GenericArrayData(tfs))
   }
 }
 
