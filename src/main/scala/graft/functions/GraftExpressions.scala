@@ -230,6 +230,132 @@ case class TermFrequencies(child: Expression, terms: Seq[String])
   * a SQL replay that folds the same order reproduces codes exactly
   * (centroids are float32, exact in double).
   */
+/** Static kernels for the IVF coarse-quantizer expressions. The
+  * cosine accumulation is bit-for-bit [[CosineSimilarity]]'s loop
+  * (double, index-ascending), so these reproduce the composed
+  * array(struct(cosine_sim(...)))/array_max/array_sort spelling they
+  * replace EXACTLY — including its null laws (zero-norm → the
+  * struct-comparison null-first order) — and the DuckDB oracles that
+  * replay that math keep hashing identically.
+  */
+object CentroidSupport {
+  private def cos(emb: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(emb.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble; val y = c(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  /** argmax-cosine cell id, ties → smallest id; zero-norm (null)
+    * cosines never win, and the all-null row lands on cell 0 — the
+    * array_max(struct(cos, -cid)) null-first law.
+    */
+  def best(emb: ArrayData, cents: Array[Array[Float]]): Int = {
+    var bestId = 0
+    var bestCos = Double.NegativeInfinity
+    var seen = false
+    var c = 0
+    while (c < cents.length) {
+      val s = cos(emb, cents(c))
+      if (!s.isNaN && (!seen || s > bestCos)) { bestCos = s; bestId = c; seen = true }
+      c += 1
+    }
+    bestId
+  }
+
+  /** The nprobe nearest cell ids (cos desc, id asc). Zero-norm (null)
+    * cosines sort FIRST — array_sort's struct-comparison null-first
+    * law for the (negcos, cell) spelling this replaces.
+    */
+  def nearest(emb: ArrayData, cents: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val k = cents.length
+    val neg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val s = cos(emb, cents(c))
+      neg(c) = if (s.isNaN) Double.NegativeInfinity else -s
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var slot = 0
+    while (slot < m) {
+      var bi = -1
+      var bv = Double.PositiveInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && neg(c) < bv) { bv = neg(c); bi = c }
+        c += 1
+      }
+      taken(bi) = true
+      out(slot) = bi
+      slot += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Best (max-cosine) centroid id for a float vector against a
+  * literal centroid matrix — the IVF assignment map as ONE compact
+  * codegen expression. The composed spelling (array of k
+  * struct(cosine_sim, -cid) literals + array_max) grows a per-row
+  * expression tree linear in k that falls out of whole-stage codegen
+  * past a few dozen cells and drags the surrounding stage with it
+  * (measured 0.25 ms/row at k=40 — 20× the kernel); this keeps
+  * assignment a register-friendly static call at any k.
+  */
+case class BestCell(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with GraftExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "best_cell"
+  require(centroids.nonEmpty, "k >= 1")
+
+  @transient private lazy val cmat: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidSupport.best(v.asInstanceOf[ArrayData], cmat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cmat, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CentroidSupport.best($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BestCell = copy(child = c)
+}
+
+/** The nprobe nearest centroid ids (cos desc, id asc) — [[BestCell]]'s
+  * multi-probe sibling for the IVF query side.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], nprobe: Int)
+    extends UnaryExpression with GraftExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  require(centroids.nonEmpty && nprobe >= 1, "k >= 1, nprobe >= 1")
+
+  @transient private lazy val cmat: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidSupport.nearest(v.asInstanceOf[ArrayData], cmat, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cmat, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CentroidSupport.nearest($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+}
+
 case class PqEncode(child: Expression, centroids: Seq[Seq[Seq[Float]]])
     extends UnaryExpression with GraftExpectsInputTypes with CodegenFallback {
   override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))

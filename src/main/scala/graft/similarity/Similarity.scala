@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -69,10 +69,10 @@ object Similarity {
     * the quantizer is k×dim and the corpus is 100 TB.
     */
   private[graft] def assignBest(embCol: Column, cents: Array[(Int, Array[Float])]): Column = {
-    val scored = array(cents.toSeq.map { case (cid, e) =>
-      struct(cosine_sim(embCol, typedlit(e.toSeq)).as("cos"), lit(-cid).as("ncell"))
-    }: _*)
-    -array_max(scored).getField("ncell")
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be their array positions")
+    GraftBridge.column(graft.functions.BestCell(
+      GraftBridge.expression(embCol), cents.toSeq.map(_._2.toSeq)))
   }
 
   /** The `nprobe` nearest cell ids for a query vector (cos desc, id
@@ -80,10 +80,10 @@ object Similarity {
     */
   private def probeCells(embCol: Column, cents: Array[(Int, Array[Float])],
                          nprobe: Int): Column = {
-    val scored = array(cents.toSeq.map { case (cid, e) =>
-      struct((-cosine_sim(embCol, typedlit(e.toSeq))).as("negcos"), lit(cid).as("cell"))
-    }: _*)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be their array positions")
+    GraftBridge.column(graft.functions.NearestCells(
+      GraftBridge.expression(embCol), cents.toSeq.map(_._2.toSeq), nprobe))
   }
 
   /** Lloyd k-means coarse quantizer (cosine geometry), deterministic

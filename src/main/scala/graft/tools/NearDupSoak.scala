@@ -1,0 +1,147 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.dedup.Dedup
+
+/** Mutated-copy near-dup soak (VERDICT r7 item 2): ScaleSoak's
+  * byte-identical copies measure the d4 valve's ARITHMETIC at scale
+  * but find zero near-dup pairs under a binding cap (every shingle's
+  * df is multiplied by the copy count, and recall honestly defers to
+  * sf0.1). This derives a REALISTIC rung: copy i of every document
+  * gets token-level edits at a fixed deterministic rate (token j of
+  * copy i mutates iff murmur3(doc_id, j, i) % editMod == 0 — no
+  * Date/random), so planted (original, copy) pairs sit at a known
+  * jaccard band (~0.7 at editMod=16 with 3-gram shingles: shingle
+  * survival (1−1/16)³ ≈ 0.82, j ≈ 0.82/1.18) instead of 1.0, and
+  * recall at scale is a real measurement:
+  *
+  *  1. planted truth = exact shingle jaccard of every (original,
+  *     copy) pair — n·(factor−1) pairs, computed by a keyed
+  *     same-origin join (never all-pairs) — filtered to ≥ 0.5;
+  *  2. d2 minhash-LSH and d2b joinback recall vs that truth + walls
+  *     (+ pairwise parity between the two spellings);
+  *  3. d4 exact-jaccard recall under the df-cap ladder — the
+  *     recall-vs-candidate-mass price list the cap buys at scale;
+  *  4. d15's calibration (est vs exact jaccard within tol) and d19's
+  *     threshold sweep re-run on the mutated corpus.
+  *
+  * Usage: runMain graft.tools.NearDupSoak [sfDir] [outRoot] [factor] [editMod] [caps…]
+  */
+object NearDupSoak {
+
+  private val copyShift = 10000000L
+
+  def deriveMutated(spark: SparkSession, sfDir: String, outRoot: String,
+                    factor: Int, editMod: Int): Unit = {
+    val done = Paths.get(s"$outRoot/_MUTATED_DONE")
+    if (Files.exists(done)) return
+    val docs = Tables.documents(spark, sfDir)
+    (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * copyShift))
+        .withColumn("source", concat(col("source"), lit(s"_$i")))
+        .withColumn("text", array_join(
+          expr(s"transform(split(text, '\\\\s+'), (t, j) -> " +
+            s"IF(pmod(hash(doc_id, j, $i), $editMod) = 0, concat(t, 'q$i'), t))"),
+          " "))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outRoot/documents.parquet")
+    Files.createDirectories(Paths.get(outRoot))
+    Files.writeString(done, "ok")
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "target/mutated10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val editMod = if (args.length > 3) args(3).toInt else 16
+    val caps = if (args.length > 4) args.drop(4).map(_.toLong).toSeq
+               else Seq(250L, 1000L, 4000L)
+    val spark = GraftSession.get("graft-neardup-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    val (_, dS) = timed(deriveMutated(spark, sfDir, outRoot, factor, editMod))
+    println(f"""{"check":"derive_mutated","factor":$factor,"edit_mod":$editMod,"wall_s":$dS%.2f}""")
+
+    val docs = Tables.documents(spark, outRoot)
+    val nDocs = docs.count()
+
+    // -- 1. planted truth: exact jaccard of (original, copy) pairs --
+    val sh = docs
+      .withColumn("sh", graft.functions.GraftFunctions.shingle_hashes(col("text")))
+      .filter(size(col("sh")) > 0)
+      .select(pmod(col("doc_id"), lit(copyShift)).as("orig"),
+        col("doc_id"), col("sh"))
+    val base = sh.filter(col("doc_id") < copyShift)
+      .select(col("orig"), col("doc_id").as("a_id"), col("sh").as("sha"))
+    val copies = sh.filter(col("doc_id") >= copyShift)
+      .select(col("orig"), col("doc_id").as("b_id"), col("sh").as("shb"))
+    val planted = base.join(copies, Seq("orig"))
+      .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("true_j", col("__shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("__shared")))
+      .select(col("a_id"), col("b_id"), col("true_j"))
+      .persist()
+    val nPlanted = planted.count()
+    val truth = planted.filter(col("true_j") >= 0.5).persist()
+    val nTruth = truth.count()
+    val jStats = planted.agg(min(col("true_j")), avg(col("true_j")),
+      max(col("true_j"))).head()
+    println(f"""{"check":"planted_truth","planted":$nPlanted,"true_pairs_ge_05":$nTruth,""" +
+      f""""j_min":${jStats.getDouble(0)}%.4f,"j_avg":${jStats.getDouble(1)}%.4f,"j_max":${jStats.getDouble(2)}%.4f,"docs":$nDocs}""")
+
+    // restrict a found pair frame to the planted (original, copy) key
+    // subset and count hits against truth
+    def plantedRecall(found: DataFrame): Long =
+      truth.select(col("a_id"), col("b_id"))
+        .join(found.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
+        .count()
+
+    // -- 2. d2 / d2b recall + walls ----------------------------------
+    val (d2N, d2S) = timed(Dedup.minhashLshPairs(docs).count())
+    val d2Hits = plantedRecall(Dedup.minhashLshPairs(docs))
+    println(f"""{"check":"d2_recall","pairs":$d2N,"planted_hits":$d2Hits,"truth":$nTruth,""" +
+      f""""recall":${d2Hits.toDouble / nTruth}%.4f,"wall_s":$d2S%.2f}""")
+    val (d2bN, d2bS) = timed(Dedup.minhashLshPairsJoinback(docs).count())
+    val d2bHits = plantedRecall(Dedup.minhashLshPairsJoinback(docs))
+    val parity = d2N == d2bN &&
+      Dedup.minhashLshPairs(docs).select("a_id", "b_id")
+        .exceptAll(Dedup.minhashLshPairsJoinback(docs).select("a_id", "b_id")).isEmpty
+    println(f"""{"check":"d2b_recall","pairs":$d2bN,"planted_hits":$d2bHits,""" +
+      f""""recall":${d2bHits.toDouble / nTruth}%.4f,"wall_s":$d2bS%.2f,"parity_with_d2":$parity}""")
+
+    // -- 3. d4 df-cap ladder: recall vs cap --------------------------
+    caps.foreach { cap =>
+      val (n, s) = timed(Dedup.exactJaccardPairs(docs, maxDf = cap).count())
+      val hits = plantedRecall(Dedup.exactJaccardPairs(docs, maxDf = cap))
+      println(f"""{"check":"d4_cap_recall","cap":$cap,"pairs":$n,"planted_hits":$hits,""" +
+        f""""recall":${hits.toDouble / nTruth}%.4f,"wall_s":$s%.2f}""")
+    }
+
+    // -- 4. d15 calibration + d19 sweep on the mutated corpus --------
+    val calib = Dedup.minhashCalibration(docs)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("within_tol"), 1L).otherwise(0L)).as("ok"),
+        avg(abs(col("est_jaccard") - col("exact_jaccard"))).as("mae")).head()
+    println(f"""{"check":"d15_calibration","pairs":${calib.getLong(0)},"within_tol":${calib.getLong(1)},"mae":${calib.getDouble(2)}%.4f}""")
+    val sweep = Dedup.thresholdSweep(
+      Dedup.exactJaccardPairs(docs, maxDf = caps.max), docs)
+      .orderBy(col("threshold")).collect()
+    sweep.foreach { r =>
+      println(f"""{"check":"d19_sweep","threshold":${r.getDouble(0)}%.2f,"n_pairs":${r.getLong(1)},"n_docs":${r.getLong(2)},"affected_share":${r.getDouble(3)}%.4f}""")
+    }
+
+    planted.unpersist(); truth.unpersist()
+    spark.stop()
+  }
+}
