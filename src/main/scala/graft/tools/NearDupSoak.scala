@@ -108,24 +108,52 @@ object NearDupSoak {
         .count()
 
     // -- 2. d2 / d2b recall + walls ----------------------------------
-    val (d2N, d2S) = timed(Dedup.minhashLshPairs(docs).count())
-    val d2Hits = plantedRecall(Dedup.minhashLshPairs(docs))
+    // each pair frame persists once: the timed count materializes it,
+    // the recall join reads the cache (never re-runs the LSH/join)
+    val d2P = Dedup.minhashLshPairs(docs).persist()
+    val (d2N, d2S) = timed(d2P.count())
+    val d2Hits = plantedRecall(d2P)
     println(f"""{"check":"d2_recall","pairs":$d2N,"planted_hits":$d2Hits,"truth":$nTruth,""" +
       f""""recall":${d2Hits.toDouble / nTruth}%.4f,"wall_s":$d2S%.2f}""")
-    val (d2bN, d2bS) = timed(Dedup.minhashLshPairsJoinback(docs).count())
-    val d2bHits = plantedRecall(Dedup.minhashLshPairsJoinback(docs))
+    val d2bP = Dedup.minhashLshPairsJoinback(docs).persist()
+    val (d2bN, d2bS) = timed(d2bP.count())
+    val d2bHits = plantedRecall(d2bP)
     val parity = d2N == d2bN &&
-      Dedup.minhashLshPairs(docs).select("a_id", "b_id")
-        .exceptAll(Dedup.minhashLshPairsJoinback(docs).select("a_id", "b_id")).isEmpty
+      d2P.select("a_id", "b_id").exceptAll(d2bP.select("a_id", "b_id")).isEmpty
     println(f"""{"check":"d2b_recall","pairs":$d2bN,"planted_hits":$d2bHits,""" +
       f""""recall":${d2bHits.toDouble / nTruth}%.4f,"wall_s":$d2bS%.2f,"parity_with_d2":$parity}""")
+    d2bP.unpersist()
 
     // -- 3. d4 df-cap ladder: recall vs cap --------------------------
-    caps.foreach { cap =>
-      val (n, s) = timed(Dedup.exactJaccardPairs(docs, maxDf = cap).count())
-      val hits = plantedRecall(Dedup.exactJaccardPairs(docs, maxDf = cap))
-      println(f"""{"check":"d4_cap_recall","cap":$cap,"pairs":$n,"planted_hits":$hits,""" +
-        f""""recall":${hits.toDouble / nTruth}%.4f,"wall_s":$s%.2f}""")
+    // price each cap's candidate mass Σ df·(df−1)/2 from ONE postings
+    // aggregation first; caps whose join the valve exists to forbid
+    // (mass > budget) are reported and skipped, not ground through —
+    // that skip IS the valve's decision at scale
+    val massBudget = 500000000L
+    val dfs = sh.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).count().persist()
+    // df·(df−1) is always even, so the shift IS the /2 — and stays
+    // in Long (the `/` operator would promote to double)
+    val massAggs = caps.map(c => sum(when(col("count") <= c,
+      shiftright(col("count") * (col("count") - 1), 1)).otherwise(0L)).as(s"c$c"))
+    val massRow = dfs.agg(massAggs.head, massAggs.tail: _*).head()
+    dfs.unpersist()
+    val masses = caps.indices.map(i => massRow.getLong(i))
+    var sweepSource: DataFrame = null
+    caps.zip(masses).foreach { case (cap, mass) =>
+      if (mass > massBudget) {
+        println(s"""{"check":"d4_cap_recall","cap":$cap,"candidate_mass":$mass,"skipped":"mass over local budget $massBudget"}""")
+      } else {
+        val f = Dedup.exactJaccardPairs(docs, maxDf = cap).persist()
+        val (n, s) = timed(f.count())
+        val hits = plantedRecall(f)
+        println(f"""{"check":"d4_cap_recall","cap":$cap,"candidate_mass":$mass,"pairs":$n,"planted_hits":$hits,""" +
+          f""""recall":${hits.toDouble / nTruth}%.4f,"wall_s":$s%.2f}""")
+        // caps ascend, so the last feasible frame = largest cap; it
+        // feeds the d19 sweep below
+        if (sweepSource != null) sweepSource.unpersist()
+        sweepSource = f
+      }
     }
 
     // -- 4. d15 calibration + d19 sweep on the mutated corpus --------
@@ -134,12 +162,23 @@ object NearDupSoak {
         sum(when(col("within_tol"), 1L).otherwise(0L)).as("ok"),
         avg(abs(col("est_jaccard") - col("exact_jaccard"))).as("mae")).head()
     println(f"""{"check":"d15_calibration","pairs":${calib.getLong(0)},"within_tol":${calib.getLong(1)},"mae":${calib.getDouble(2)}%.4f}""")
-    val sweep = Dedup.thresholdSweep(
-      Dedup.exactJaccardPairs(docs, maxDf = caps.max), docs)
+    d2P.unpersist()
+    // d19 sweep source: the largest feasible d4 frame; when the
+    // binding cap leaves it empty (the 50× regime), fall back to the
+    // LSH-generate → exact-confirm pair set (minhashCalibration's
+    // exact_jaccard) — the pipeline a production sweep runs anyway
+    // when the uncapped exact join is cluster-only work
+    val (sweepPairs, sweepVia) =
+      if (sweepSource != null && !sweepSource.isEmpty) (sweepSource, "d4_exact")
+      else (Dedup.minhashCalibration(docs)
+        .select(col("a_id"), col("b_id"), col("exact_jaccard").as("jaccard")),
+        "lsh_confirmed")
+    val sweep = Dedup.thresholdSweep(sweepPairs, docs)
       .orderBy(col("threshold")).collect()
     sweep.foreach { r =>
-      println(f"""{"check":"d19_sweep","threshold":${r.getDouble(0)}%.2f,"n_pairs":${r.getLong(1)},"n_docs":${r.getLong(2)},"affected_share":${r.getDouble(3)}%.4f}""")
+      println(f"""{"check":"d19_sweep","via":"$sweepVia","threshold":${r.getDouble(0)}%.2f,"n_pairs":${r.getLong(1)},"n_docs":${r.getLong(2)},"affected_share":${r.getDouble(3)}%.4f}""")
     }
+    if (sweepSource != null) sweepSource.unpersist()
 
     planted.unpersist(); truth.unpersist()
     spark.stop()

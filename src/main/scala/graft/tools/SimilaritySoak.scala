@@ -93,7 +93,10 @@ object SimilaritySoak {
     val qMod = math.max(1L, n / 400)
     val queries = emb.filter(col("vec_id") % qMod === 0)
     val nQ = queries.count()
-    val nprobe = math.max(4, numCells / 8)
+    // probe-budget ladder (s20's shape): recall is a function of the
+    // probed-cell fraction — report it per rung instead of pinning one
+    // nprobe, so the ≥0.9 gate names the budget that buys it
+    val ladder = Seq(16, 8, 4, 2).map(d => math.max(2, numCells / d)).distinct
 
     // -- 3. filtered search (s10's shape) at scale -------------------
     val pred = col("label") % 2 === 0
@@ -101,34 +104,44 @@ object SimilaritySoak {
       val d = Similarity.bruteForceKnn(queries, emb.filter(pred), k = 10).persist()
       d.count(); d
     }
-    val (ivfF, ivFS) = timed {
-      val d = Similarity.ivfKnn(queries, emb, k = 10, numCells = numCells,
-        nprobe = nprobe, cacheKey = cacheKey, corpusPredicate = Some(pred)).persist()
-      d.count(); d
+    ladder.foreach { nprobe =>
+      val (ivfF, ivFS) = timed {
+        val d = Similarity.ivfKnn(queries, emb, k = 10, numCells = numCells,
+          nprobe = nprobe, cacheKey = cacheKey, corpusPredicate = Some(pred)).persist()
+        d.count(); d
+      }
+      val (fHits, fTruth) = recall(ivfF, exactF)
+      println(f"""{"check":"s10_filtered_recall","queries":$nQ,"nprobe":$nprobe,""" +
+        f""""num_cells":$numCells,"recall":${fHits.toDouble / fTruth}%.4f,""" +
+        f""""ivf_s":$ivFS%.2f,"brute_s":$exFS%.2f}""")
+      ivfF.unpersist()
     }
-    val (fHits, fTruth) = recall(ivfF, exactF)
-    println(f"""{"check":"s10_filtered_recall","queries":$nQ,"nprobe":$nprobe,""" +
-      f""""recall":${fHits.toDouble / fTruth}%.4f,"ivf_s":$ivFS%.2f,"brute_s":$exFS%.2f}""")
-    exactF.unpersist(); ivfF.unpersist()
+    exactF.unpersist()
 
     // -- 4. s3 vs s1: unfiltered IVF recall + wall -------------------
     val (exact, exS) = timed {
       val d = Similarity.bruteForceKnn(queries, emb, k = 10).persist()
       d.count(); d
     }
-    val (ivf, ivS) = timed {
-      val d = Similarity.ivfKnn(queries, emb, k = 10, numCells = numCells,
-        nprobe = nprobe, cacheKey = cacheKey).persist()
-      d.count(); d
-    }
-    val (hits, truthN) = recall(ivf, exact)
     // sibling concentration: what share of the exact top-10 are the
     // query's own jittered copies (same origin id mod the copy shift)
     val orig = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L))
-    val sib = exact.filter(orig(col("q_id")) === orig(col("n_id"))).count()
-    println(f"""{"check":"s3_vs_s1","queries":$nQ,"nprobe":$nprobe,"num_cells":$numCells,""" +
-      f""""recall":${hits.toDouble / truthN}%.4f,"sibling_share":${sib.toDouble / truthN}%.4f,""" +
-      f""""ivf_s":$ivS%.2f,"brute_s":$exS%.2f}""")
+    val sibShare = {
+      val t = exact.count()
+      exact.filter(orig(col("q_id")) === orig(col("n_id"))).count().toDouble / t
+    }
+    ladder.foreach { nprobe =>
+      val (ivf, ivS) = timed {
+        val d = Similarity.ivfKnn(queries, emb, k = 10, numCells = numCells,
+          nprobe = nprobe, cacheKey = cacheKey).persist()
+        d.count(); d
+      }
+      val (hits, truthN) = recall(ivf, exact)
+      println(f"""{"check":"s3_vs_s1","queries":$nQ,"nprobe":$nprobe,"num_cells":$numCells,""" +
+        f""""recall":${hits.toDouble / truthN}%.4f,"sibling_share":$sibShare%.4f,""" +
+        f""""ivf_s":$ivS%.2f,"brute_s":$exS%.2f}""")
+      ivf.unpersist()
+    }
 
     emb.unpersist()
     spark.stop()
