@@ -158,17 +158,59 @@ object Dedup {
     * single shuffle, no all-pairs — then verify hamming exactly with
     * bit_count(xor).
     */
+  /** Identity-collapsed simhash banding: duplicated corpora put many
+    * documents on ONE 64-bit signature, and an identical-sig family
+    * of B docs collides in ALL four band chunks — the naive banding
+    * expands its B²/2 pairs four times over, inside single bucket
+    * rows (the 10× soak measured this as a 4-task 16 s stage: a
+    * hot-bucket detonator, d4's boilerplate problem keyed on
+    * signature chunks). So: band over DISTINCT signatures only.
+    *  1. families = groupBy(sim): ids + representative;
+    *  2. identical-sig pairs are hamming 0 BY CONSTRUCTION — triangle
+    *     expansion per family, no banding, generated once not 4×;
+    *  3. bucketPairs runs on one representative per signature, so
+    *     bucket sizes track signature DIVERSITY, not corpus
+    *     duplication (at 10× byte-identical copies: same buckets as
+    *     1×);
+    *  4. surviving rep pairs fan back out to member pairs via two
+    *     id-keyed equi-joins — output-bound work, the part that is
+    *     genuinely quadratic in the answer.
+    * Pair set is bit-identical to the direct spelling (DedupSpec
+    * pins it). Corpora with huge identical-text families should d1
+    * first — the documented division of labor; step 2's in-row
+    * expansion is quadratic in the family size because the ANSWER is.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = Tables.spread(docs)
       .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
       .withColumn("sim", simhash64(col("tok_hashes")))
       .select(col("doc_id"), col("sim"))
-    val chunked = sigs
+    val families = sigs.groupBy(col("sim"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        min(col("doc_id")).as("rep"))
+      .persist()
+    val identical = families.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), lit(0).as("hamming"))
+    val reps = families.select(col("rep").as("doc_id"), col("sim"))
+    val chunked = reps
       .select(col("doc_id"), col("sim"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sim >> (c * 16)) & 65535"))
-    bucketPairs(chunked, Seq("c", "chunk"), "doc_id", "sim")
+    val repPairs = bucketPairs(chunked, Seq("c", "chunk"), "doc_id", "sim")
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= maxHamming)
+    val fam = families.select(col("sim"), col("ids"))
+    val expanded = repPairs
+      .join(fam.select(col("sim").as("sa"), col("ids").as("ids_a")), Seq("sa"))
+      .join(fam.select(col("sim").as("sb"), col("ids").as("ids_b")), Seq("sb"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
+    identical.unionByName(expanded)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 

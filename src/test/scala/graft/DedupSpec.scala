@@ -96,6 +96,40 @@ class DedupSpec extends GraftSpecBase {
       "token-multiset-identical docs must collide exactly")
   }
 
+  test("identity-collapsed simhash banding equals the direct banding bit-for-bit") {
+    // the direct spelling: band every doc (not every distinct sig) —
+    // the quadratic-in-duplication plan the collapse replaces; on a
+    // corpus WITH planted identical-sig families the two must agree
+    import graft.functions.GraftFunctions._
+    val docs = Tables.documents(spark, sf)
+    // plant identical-text copies so the identical-sig path is exercised
+    val copies = docs.limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val corpus = docs.unionByName(copies)
+    val direct = {
+      val sigs = Tables.spread(corpus)
+        .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
+        .withColumn("sim", simhash64(col("tok_hashes")))
+        .select(col("doc_id"), col("sim"))
+      val a = sigs.select(col("doc_id").as("a_id"), col("sim").as("sa"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk", expr("(sa >> (c * 16)) & 65535"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("sim").as("sb"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk", expr("(sb >> (c * 16)) & 65535"))
+      a.join(b, Seq("c", "chunk")).filter(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+    }
+    val collapsed = dedup.Dedup.simhashPairs(corpus)
+    assert(collapsed.exceptAll(direct).isEmpty && direct.exceptAll(collapsed).isEmpty,
+      "collapsed and direct simhash pair sets must be identical")
+    assert(collapsed.filter(col("hamming") === 0).count() >= 20L,
+      "planted identical copies must appear as hamming-0 pairs")
+  }
+
   test("LSH embedding near-dup: exact-precision subset of the brute-force pairs") {
     val emb = Tables.embeddings(spark, sf)
     val exact = dedup.Dedup.embeddingNearDups(emb, threshold = 0.4)
