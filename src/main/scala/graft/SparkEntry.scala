@@ -227,6 +227,10 @@ object SparkEntry {
     "p29_vacuum_orphans" -> ((s, d) => sources.Lake.p29VacuumOrphans(s, d)),
     "p30_optimistic_commit" -> ((s, d) => sources.Lake.p30OptimisticCommit(s, d)),
     "p31_manifest_pruned_read" -> ((s, d) => sources.Lake.p31ManifestPrunedRead(s, d)),
+    "a46_product_profit" -> ((s, d) => analytics.Queries.a46(s, d)),
+    "p32_partition_skew" -> ((s, d) => sources.Lake.p32PartitionSkew(s, d)),
+    "d22_shingle_df_profile" -> ((s, d) => dedup.Dedup.d22(s, d)),
+    "s24_ivf_convergence" -> ((s, d) => similarity.Similarity.s24(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -3486,6 +3490,29 @@ object SparkEntry {
         |   / (count(DISTINCT t.q_id) * 10), 4) AS recall
         |FROM topk t LEFT JOIN f ON t.q_id = f.q_id AND t.n_id = f.n_id
         |GROUP BY t.dim ORDER BY 1""".stripMargin,
+    // s24: per-rung sample assignment under cents0..3 (the trainer's
+    // own CTE ladder) with the cosine kept; means ride the exact-e6
+    // integer grid, one final double division of two exact longs
+    "s24_ivf_convergence" -> ("WITH " + ivfCorpusCtes + "," + Seq(0, 1, 2, 3).map { r =>
+      s"""rung$r AS (
+         | SELECT vid, cell, cs FROM (
+         |  SELECT s.vec_id AS vid, c.cell, (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) AS cs,
+         |   row_number() OVER (PARTITION BY s.vec_id
+         |     ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
+         |  FROM sample s CROSS JOIN cents$r c) WHERE rn = 1),
+         |cell$r AS (
+         | SELECT cell, count(*) AS n,
+         |  CAST(sum(CAST(round(cs * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+         | FROM rung$r GROUP BY 1),
+         |stat$r AS (
+         | SELECT $r AS iter, CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  count(*) AS cells_used,
+         |  CAST(round(CAST(sum(sum_e6) AS DOUBLE) / sum(n)) AS BIGINT) AS mean_cos_e6,
+         |  CAST(min(n) AS BIGINT) AS min_cell_n,
+         |  CAST(max(n) AS BIGINT) AS max_cell_n
+         | FROM cell$r)""".stripMargin
+    }.mkString(",\n") +
+      "\nSELECT * FROM stat0 UNION ALL SELECT * FROM stat1 UNION ALL SELECT * FROM stat2 UNION ALL SELECT * FROM stat3 ORDER BY iter"),
     // p28: the as-of-commit-0 slice replayed from the raw table — a
     // file-pinning bug cannot produce this rollup
     "p28_time_travel" ->
@@ -3567,6 +3594,68 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, q.promo_qty
         |FROM supplier s JOIN q ON s.s_suppkey = q.l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    // a46: Q9 profit replay in the same exact 1e-4 integer units —
+    // identical double expression tree before the round, so both
+    // engines land on the same (never-halfway) integral value
+    "a46_product_profit" ->
+      """WITH m AS (
+        | SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents
+        | FROM part WHERE p_name LIKE '%bolt%')
+        |SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+        |   - m.retail_cents * 60 * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_e4,
+        | CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem l
+        | JOIN m ON l.l_partkey = m.p_partkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin,
+    // p32: same lower+upper-middle median law and rounded decimal-DIV
+    // ppm spelling — integers end to end, so the hash can only match
+    // if the median selection and both ppm roundings agree exactly
+    "p32_partition_skew" ->
+      """WITH byday AS (
+        | SELECT CAST(ts AS DATE) AS p_date, count(*) AS n_rows,
+        |  CAST(sum(length(props) + 16) AS BIGINT) AS n_bytes
+        | FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(n_rows) AS BIGINT) AS total FROM byday),
+        |r AS (SELECT p_date, n_rows, row_number() OVER (ORDER BY n_rows, p_date) AS rn FROM byday),
+        |med AS (
+        | SELECT CAST(sum(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+        |   THEN n_rows * 2 ELSE n_rows END) AS BIGINT) AS median_x2
+        | FROM r CROSS JOIN tot WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+        |SELECT p_date, n_rows, n_bytes,
+        | CAST((CAST(n_rows AS HUGEINT) * 2000000 + total) // (2 * total) AS BIGINT) AS share_ppm,
+        | CAST((CAST(n_rows AS HUGEINT) * 4000000 + median_x2) // (2 * median_x2) AS BIGINT) AS ratio_vs_median_ppm,
+        | n_rows * 2 > 2 * median_x2 AS skewed
+        |FROM byday CROSS JOIN tot CROSS JOIN med
+        |ORDER BY p_date""".stripMargin,
+    // d22: d4's text-shingle spelling (hash-free replay — distinct
+    // shingles per doc agree with the hashed spelling, d4's law),
+    // DF per shingle, bucket fold with HUGEINT pair mass
+    "d22_shingle_df_profile" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 3),
+        |d AS (SELECT s, count(*) AS df FROM g GROUP BY 1),
+        |b AS (
+        | SELECT df,
+        |  CASE WHEN df <= 1 THEN 1 WHEN df <= 5 THEN 2 WHEN df <= 25 THEN 6
+        |       WHEN df <= 100 THEN 26 WHEN df <= 1000 THEN 101 ELSE 1001 END AS df_lo,
+        |  CASE WHEN df <= 1 THEN 1 WHEN df <= 5 THEN 5 WHEN df <= 25 THEN 25
+        |       WHEN df <= 100 THEN 100 WHEN df <= 1000 THEN 1000
+        |       ELSE 9223372036854775807 END AS df_hi,
+        |  CAST(CAST(df AS HUGEINT) * (df - 1) // 2 AS BIGINT) AS cand
+        | FROM d)
+        |SELECT CAST(df_lo AS BIGINT) AS df_lo, CAST(df_hi AS BIGINT) AS df_hi,
+        | count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS posting_mass,
+        | CAST(sum(cand) AS BIGINT) AS cand_pairs
+        |FROM b GROUP BY 1, 2 ORDER BY df_lo""".stripMargin,
     // m10: m2's HUGEINT stub-dims replay fanned into the tile grid —
     // edge tiles carry their true short extent
     "m10_image_tiles" ->

@@ -1467,4 +1467,52 @@ object Queries {
   /** Verified entry (a45). Sort is oracle-determinism only. */
   def a45(spark: SparkSession, dir: String): DataFrame =
     promoSuppliers(spark, dir).orderBy(col("s_suppkey"))
+
+  /** a46 (TPC-H Q9's product-type-profit shape, adapted — no
+    * partsupp, so unit cost proxies as 60% of p_retailprice): profit
+    * on name-matched parts by (supplier nation, order year). All
+    * arithmetic is exact integer 1e-4 units: extendedprice and
+    * discount both carry ≤2 decimals, so revenue
+    * `round(extprice·(1−disc)·10⁴)` is integral before rounding
+    * (never a halfway case — a44's integer-compare law applied to
+    * money), and cost `retail_cents·60·qty` never divides at all.
+    * Join order is selectivity-first (a21's contract): the
+    * name-substring filter shrinks part BEFORE lineitem meets it, so
+    * the fact's one orderkey exchange carries only matched lines;
+    * supplier→nation decorates via broadcast chain; orders ships
+    * only (orderkey, year). One agg shuffle on the tiny
+    * (nation, year) key.
+    */
+  def productProfit(spark: SparkSession, dir: String,
+                    nameToken: String = "bolt"): DataFrame = {
+    val matched = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("__retail_cents"))
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("__qty"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(matched, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__rev_e4",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long"))
+      .withColumn("__cost_e4", col("__retail_cents") * lit(60L) * col("__qty"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("__rev_e4") - col("__cost_e4")).as("profit_e4"),
+        sum(col("__rev_e4")).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Verified entry (a46). Sort is oracle-determinism only. */
+  def a46(spark: SparkSession, dir: String): DataFrame =
+    productProfit(spark, dir).orderBy(col("n_name"), col("o_year"))
 }

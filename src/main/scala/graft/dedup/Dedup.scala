@@ -662,4 +662,48 @@ object Dedup {
   def d16(spark: SparkSession, dir: String): DataFrame =
     dupDegreeHistogram(cachedJaccardPairs(spark, dir), Tables.documents(spark, dir))
       .orderBy(col("degree"))
+
+  /** Shingle document-frequency profile (d22): how shingle DF mass
+    * distributes across a bucket ladder — the evidence table behind
+    * d4/d11's `maxDf` cap. Each bucket reports its shingle count,
+    * its posting mass (rows the posting-list shuffle carries), and
+    * its CANDIDATE-PAIR mass Σ df·(df−1)/2 — the actual cost the
+    * inverted-index self-join pays, quadratic per shingle. The 50×
+    * soak measured the cliff (3.48G candidate pairs uncapped → 59.6M
+    * at cap 250); this report shows WHERE on the DF axis that mass
+    * sits for a given corpus, so the cap is chosen from evidence,
+    * not folklore. High-DF shingles are boilerplate (d20's finding)
+    * — dropping them loses near-dup recall only on templated text.
+    *
+    * Scale shape: one shingle explode into a map-side-combined
+    * (shingle → df) agg — the same single pass d4's posting build
+    * does — then the bucket fold groups a vocabulary-sized frame on
+    * a ≤|ladder| key. Per-shingle pair mass cross-multiplies through
+    * DECIMAL(38,0) (x28's overflow law: df² overflows Long once
+    * df > 3e9 — real at the 100 TB design point) and lands back on
+    * the exact BIGINT grid.
+    */
+  def shingleDfProfile(docs: DataFrame,
+                       edges: Seq[Long] = Seq(1L, 5L, 25L, 100L, 1000L)): DataFrame = {
+    val dfFrame = withShingleHashes(docs)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("cand",
+        expr("cast(df as decimal(38,0)) * (df - 1) div 2"))
+    val bounds = (1L +: edges.map(_ + 1L)).zip(edges :+ Long.MaxValue)
+    def bucket(f: ((Long, Long)) => Long) =
+      bounds.tail.foldLeft(
+        when(col("df") <= bounds.head._2, lit(f(bounds.head)))) {
+        case (acc, b) => acc.when(col("df") <= b._2, lit(f(b)))
+      }
+    dfFrame
+      .groupBy(bucket(_._1).as("df_lo"), bucket(_._2).as("df_hi"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("posting_mass"),
+        sum(col("cand")).as("cand_pairs"))
+  }
+
+  /** Verified entry (d22). Sort is oracle-determinism only. */
+  def d22(spark: SparkSession, dir: String): DataFrame =
+    shingleDfProfile(Tables.documents(spark, dir)).orderBy(col("df_lo"))
 }

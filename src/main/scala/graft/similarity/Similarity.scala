@@ -1132,4 +1132,61 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     mrlRecall(querySet(emb), emb).orderBy(col("dim"))
   }
+
+  /** IVF trainer convergence report (s24): for each Lloyd iteration
+    * rung 0..iters, the quantizer's quality ON ITS OWN TRAINING
+    * SAMPLE — mean cosine to the assigned centroid (does another
+    * iteration still buy anything?), cells actually used (did init
+    * or a collapse strand empty cells?), and the min/max cell
+    * occupancy (IVF probe cost is governed by the fattest cell —
+    * SCALE.md's cell-size-skew finding made a per-corpus report).
+    * This is the evidence behind the `iters = 3` default every IVF
+    * entry inherits: the curve flattens where marginal inertia gain
+    * dies, and a report beats folklore when a new corpus arrives.
+    *
+    * Scale shape: everything is model/sample-sized — each rung is
+    * the same bounded deterministic TakeOrdered sample the trainer
+    * itself sees (s3's bounded-collect contract; the corpus is never
+    * scanned beyond the sample filter), assignment is the BestCell
+    * static kernel with rung-r centroids as literals, and the
+    * 16-row centroid frame broadcast-joins back for the cosine. The
+    * mean ships as an exact-integer e6 sum divided once (d18's law:
+    * per-row `round(cos·10⁶)` lands both engines on the same integer
+    * grid, the final single division of two exact longs is one IEEE
+    * op — no summation-order drift can flip a rounding boundary).
+    */
+  def ivfConvergence(corpus: DataFrame, k: Int = 16, iters: Int = 3,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val sample = corpus
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .orderBy(col("vec_id")).limit(20000)
+      .select(col("vec_id"), col("embedding"))
+    (0 to iters).map { r =>
+      val cents = cachedCentroids(corpus, k, r, cacheKey)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cdf = cents.toSeq.map { case (cid, e) => (cid, e.toSeq) }
+        .toDF("cell", "cell_emb")
+      sample
+        .select(assignBest(col("embedding"), cents).as("cell"), col("embedding"))
+        .join(broadcast(cdf), Seq("cell"))
+        .select(col("cell"),
+          round(cosine_sim(col("embedding"), col("cell_emb")) * 1000000)
+            .cast("long").as("cos_e6"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_e6")).as("sum_e6"))
+        .agg(count(lit(1)).as("cells_used"), sum(col("n")).as("n_vecs"),
+          sum(col("sum_e6")).as("__sum_e6"),
+          min(col("n")).as("min_cell_n"), max(col("n")).as("max_cell_n"))
+        .select(lit(r).as("iter"), col("n_vecs"), col("cells_used"),
+          round(col("__sum_e6").cast("double") / col("n_vecs")).cast("long")
+            .as("mean_cos_e6"),
+          col("min_cell_n"), col("max_cell_n"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Verified entry (s24). Sort is oracle-determinism only. */
+  def s24(spark: SparkSession, dir: String): DataFrame =
+    ivfConvergence(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+      .orderBy(col("iter"))
 }

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Parquet-lake layout utilities: partitioned writes and retention
   * housekeeping (the reference runs housekeeping as a cron `find
@@ -567,6 +568,57 @@ object Lake {
   def p19RetentionPlan(spark: SparkSession, dir: String): DataFrame =
     retentionPlan(graft.Tables.events(spark, dir))
       .orderBy(col("retention_days"))
+
+  /** Partition-skew audit (p32): per-day row and byte mass of the
+    * date-partitioned layout, each day's corpus share and its ratio
+    * to the MEDIAN day, and a `skewed` verdict at `skewMultiple`× the
+    * median — the diagnostic run BEFORE reaching for salting or AQE
+    * skew hints (operators/Skew.scala): salt every join blind and you
+    * pay the fan-out on the 99% of partitions that never needed it;
+    * this prices WHERE the skew actually lives. Median, not mean — a
+    * single hot day drags the mean toward itself and then vouches
+    * for its own normality.
+    *
+    * Scale shape: ONE map-side-combined day aggregation collapses
+    * the fact to a calendar-sized frame (p19's shape; on a
+    * date-partitioned lake it prunes to partition listings); the
+    * median rides a row_number over THAT tiny frame (single-task
+    * sort of ~10³ rows, never the fact — p19's broadcast-max law),
+    * and both 1-row summaries broadcast back onto the day frame. All
+    * ratios are integer ppm via the rounded decimal-DIV spelling
+    * (x28's overflow lesson: DECIMAL(38,0) cross-multiplication, no
+    * Long overflow at any corpus size, no FP boundary); the skew
+    * verdict is an integer cross-multiply, never a division.
+    */
+  def partitionSkew(events: DataFrame, skewMultiple: Long = 2L,
+                    tsCol: String = "ts",
+                    weight: Column = length(col("props")) + lit(16L)): DataFrame = {
+    val byDay = events.groupBy(to_date(col(tsCol)).as("p_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(weight.cast("long")).as("n_bytes"))
+    val tot = byDay.agg(count(lit(1)).as("__n"),
+      sum(col("n_rows")).as("__total"))
+    // Lower/upper middle by (n_rows, p_date) rank: their sum is 2×
+    // the median — exact integers, no interpolation, engine-portable.
+    val ranked = byDay.withColumn("__rn",
+      row_number().over(Window.orderBy(col("n_rows"), col("p_date"))))
+    val medianX2 = ranked.crossJoin(broadcast(tot))
+      .filter(col("__rn") === expr("(__n + 1) DIV 2") ||
+        col("__rn") === expr("(__n + 2) DIV 2"))
+      .agg(sum(when(expr("(__n + 1) DIV 2") === expr("(__n + 2) DIV 2"),
+          col("n_rows") * 2).otherwise(col("n_rows"))).as("__median_x2"))
+    byDay.crossJoin(broadcast(tot)).crossJoin(broadcast(medianX2))
+      .select(col("p_date"), col("n_rows"), col("n_bytes"),
+        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * 2000000 + __total) DIV (2 * __total) AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * 4000000 + __median_x2) DIV (2 * __median_x2) AS BIGINT)")
+          .as("ratio_vs_median_ppm"),
+        (col("n_rows") * 2 > lit(skewMultiple) * col("__median_x2")).as("skewed"))
+  }
+
+  /** Verified entry (p32). Sort is oracle-determinism only. */
+  def p32PartitionSkew(spark: SparkSession, dir: String): DataFrame =
+    partitionSkew(graft.Tables.events(spark, dir)).orderBy(col("p_date"))
 
   /** Morton/Z-order key over two non-negative integer dimensions
     * (the OPTIMIZE ZORDER primitive): interleaves the low `bits`

@@ -404,6 +404,33 @@ class DedupSpec extends GraftSpecBase {
     assert(r(65) == ((1L, 2L, 0.2)) && r(85) == ((1L, 2L, 0.2)), s"got $r")
   }
 
+  test("d22 shingle DF profile: planted buckets exact, posting and pair mass conserve on the corpus") {
+    import spark.implicits._
+    // docs 1-2 identical ("a b c","b c d" each df=2); doc 3 contributes
+    // three singleton shingles
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val r = dedup.Dedup.shingleDfProfile(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((1L, 3L, 3L, 0L)), s"df=1 bucket: ${r(1L)}")
+    assert(r(2L) == ((5L, 2L, 4L, 2L)), s"df 2-5 bucket: ${r(2L)}")
+    assert(r.size == 2, s"empty buckets emit no row: $r")
+    // corpus: buckets partition the vocabulary; masses reconcile with
+    // an independent recount of the same shingle stream
+    val full = dedup.Dedup.d22(spark, sf).collect()
+    val sh = Tables.documents(spark, sf)
+      .select(explode(
+        graft.functions.GraftFunctions.shingle_hashes(col("text"), 3)).as("s"))
+      .groupBy("s").count().select("count").as[Long].collect()
+    assert(full.map(_.getLong(2)).sum == sh.length.toLong,
+      "bucket shingle counts must partition the vocabulary")
+    assert(full.map(_.getLong(3)).sum == sh.sum,
+      "bucket posting mass must equal total postings")
+    assert(full.map(_.getLong(4)).sum == sh.map(d => d * (d - 1) / 2).sum,
+      "bucket pair mass must equal the exact quadratic sum")
+  }
+
   test("d16 degree histogram: planted triple-dup family, degree-0 population kept") {
     import spark.implicits._
     // docs 1-3 identical (3 pairs, degree 2 each); 4-5 unique (degree 0)

@@ -290,6 +290,37 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r == Map("1-URGENT" -> ((1L, 2L)), "2-HIGH" -> ((0L, 1L))), s"got $r")
   }
 
+  test("a46 product profit: exact e4 money on planted lines, name filter excludes, nation x year grain") {
+    val path = java.nio.file.Files.createTempDirectory("graft_a46").toString
+    Seq((1L, "red bolt", 10.0), (2L, "red widget", 99.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+      .write.parquet(s"$path/part.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$path/supplier.parquet")
+    Seq((1L, "N_A"), (2L, "N_B")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$path/nation.parquet")
+    Seq((1L, "1995-03-01"), (2L, "1996-07-01"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .write.parquet(s"$path/orders.parquet")
+    Seq(
+      // rev = 30.00*(1-0.10) = 27.00 → 270000 e4; cost = 1000c*60*2 = 120000
+      (1L, 1L, 1L, 2.0, 30.0, 0.10),
+      // rev = 15.50 → 155000 e4; cost = 1000c*60*1 = 60000
+      (2L, 1L, 2L, 1.0, 15.5, 0.00),
+      // widget line: excluded by the name filter entirely
+      (1L, 2L, 1L, 5.0, 500.0, 0.00))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .write.parquet(s"$path/lineitem.parquet")
+    val r = analytics.Queries.a46(spark, path).collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      ("N_A", 1995) -> ((150000L, 270000L, 1L)),
+      ("N_B", 1996) -> ((95000L, 155000L, 1L))), s"got $r")
+  }
+
   test("a28 spend deciles: equal-population cut, monotone spend bands, full coverage") {
     val r = analytics.Queries.a28(spark, sf).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))

@@ -263,6 +263,9 @@ class PlanShapeSpec extends GraftSpecBase {
       // p19 cross-joins the single-row corpus-max day onto the TINY
       // day-grain frame (st11's pattern)
       "p19_retention_plan",
+      // p32 cross-joins its two single-row summaries (day total +
+      // median) onto the same tiny day-grain frame (p19's pattern)
+      "p32_partition_skew",
       // p22 cross-joins three single-row stage counts
       "p22_stage_reconcile",
       // p26 cross-joins the single-row probe window (corpus-min

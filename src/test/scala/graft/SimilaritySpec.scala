@@ -374,4 +374,33 @@ class SimilaritySpec extends GraftSpecBase {
     val mean = r.map(_._3).sum / r.length
     assert(mean >= 0.9, s"mean recall $mean under the 0.9 gate")
   }
+
+  test("s24 convergence: planted 2-cluster init is already optimal; corpus curve is monotone") {
+    import spark.implicits._
+    // sample filter keeps ids 0 and 4 — one per planted direction, so
+    // init (= the sample itself) is the optimum: every rung reports
+    // mean cosine exactly 1.0 over 2 fully-separated 1-member cells
+    val planted = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val p = similarity.Similarity.ivfConvergence(planted, k = 2, iters = 2)
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(p.keySet == Set(0, 1, 2), s"one row per rung: $p")
+    p.values.foreach(v =>
+      assert(v == ((2L, 2L, 1000000L, 1L, 1L)), s"optimal from init: $v"))
+    // real corpus: rungs measure the same sample, Lloyd never regresses
+    // (cosine is scale-invariant, so the mean update IS the spherical
+    // update), cells stay within k, occupancy brackets hold
+    val r = similarity.Similarity.s24(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(r.map(_._2).distinct.length == 1, "every rung measures the same sample")
+    assert(r.forall(x => x._3 >= 1 && x._3 <= 16), "cells within k")
+    assert(r.forall(x => x._5 <= x._6), "min occupancy <= max")
+    val curve = r.sortBy(_._1).map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+      s"Lloyd must not regress on its own sample: ${curve.toSeq}")
+  }
 }

@@ -84,6 +84,29 @@ class SourcesSpec extends GraftSpecBase {
     assert(r(7L) == ((9L, 1L)), s"keep ages 0-6: ${r(7L)}")
   }
 
+  test("p32 partition skew: even/odd median law, ppm rounding, hot day flagged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000000L
+    def ev(counts: Seq[(Long, Int)]) = counts.flatMap {
+      case (d, n) => Seq.fill(n)(d * day)
+    }.toDF("ts_us").withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("props", lit("{}"))
+    // even day count: counts [1,2,3,10] → middles 2,3 → median 2.5
+    val r4 = sources.Lake.partitionSkew(ev(Seq((1L, 1), (2L, 2), (3L, 3), (4L, 10))))
+      .collect().map(x => x.getLong(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    // props "{}" → weight 2+16=18 bytes/row
+    assert(r4(10L) == ((180L, 625000L, 4000000L, true)), s"hot day: ${r4(10L)}")
+    assert(r4(1L) == ((18L, 62500L, 400000L, false)), s"cold day: ${r4(1L)}")
+    assert(r4(3L)._4 == false, "3 rows vs median 2.5 is not 2x-skewed")
+    // odd day count: counts [1,2,10] → median 2 exactly
+    val r3 = sources.Lake.partitionSkew(ev(Seq((1L, 1), (2L, 2), (3L, 10))))
+      .collect().map(x => x.getLong(1) -> ((x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r3(10L) == ((5000000L, true)), s"odd-n median must be the middle: ${r3(10L)}")
+    assert(r3(2L) == ((1000000L, false)), s"median day sits at exactly 1x: ${r3(2L)}")
+  }
+
   test("p20 dynamic overwrite: re-writing one day replaces it in place, other days survive") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
