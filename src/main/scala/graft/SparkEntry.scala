@@ -97,6 +97,7 @@ object SparkEntry {
     "a17_small_qty_revenue" -> ((s, d) => analytics.Queries.smallQtyRevenue(s, d)),
     "d11_containment" -> ((s, d) => dedup.Dedup.d11(s, d)),
     "st7_locf_resample" -> ((s, d) => operators.Resample.st7(s, d)),
+    "st28_linear_interp" -> ((s, d) => operators.Resample.st28(s, d)),
     "p12_fk_orphans" -> ((s, d) => quality.Checks.p12FkOrphans(s, d)),
     "st8_rolling_active" -> ((s, d) => operators.Activity.st8(s, d)),
     "st8b_rolling_sketch" -> ((s, d) => operators.Activity.st8b(s, d)),
@@ -228,9 +229,12 @@ object SparkEntry {
     "p30_optimistic_commit" -> ((s, d) => sources.Lake.p30OptimisticCommit(s, d)),
     "p31_manifest_pruned_read" -> ((s, d) => sources.Lake.p31ManifestPrunedRead(s, d)),
     "a46_product_profit" -> ((s, d) => analytics.Queries.a46(s, d)),
+    "a47_pagerank3" -> ((s, d) => analytics.Queries.a47(s, d)),
     "p32_partition_skew" -> ((s, d) => sources.Lake.p32PartitionSkew(s, d)),
     "d22_shingle_df_profile" -> ((s, d) => dedup.Dedup.d22(s, d)),
     "s24_ivf_convergence" -> ((s, d) => similarity.Similarity.s24(s, d)),
+    "s25_anisotropy" -> ((s, d) => similarity.Similarity.s25(s, d)),
+    "m12_audio_chunks" -> ((s, d) => multimodal.Multimodal.m12(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1712,6 +1716,40 @@ object SparkEntry {
         |JOIN nu ub ON ub.item = pairs.item_v
         |CROSS JOIN tot
         |ORDER BY item_u, item_v""".stripMargin,
+    // a47: the same capped pair graph, three unrolled power-iteration
+    // CTEs on the integer micro-mass grid — a floor-div disagreement
+    // or a missed dangling base breaks every downstream rank hash
+    "a47_pagerank3" ->
+      """WITH it AS (
+        | SELECT user_id, CAST(json_extract(props, '$.k') AS INTEGER) AS item, count(*) AS c
+        | FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        | GROUP BY user_id, item),
+        |cap AS (
+        | SELECT user_id, item FROM (
+        |  SELECT user_id, item, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, item) AS rn
+        |  FROM it) WHERE rn <= 20),
+        |und AS (
+        | SELECT DISTINCT a.item AS src, b.item AS dst
+        | FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item),
+        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT item FROM cap),
+        |r0 AS (SELECT item, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |i1 AS (SELECT e.dst AS item, sum(r.r // d.deg) AS s
+        |       FROM edges e JOIN r0 r ON e.src = r.item JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.item, CAST(150000000 + (85 * CAST(coalesce(i.s, 0) AS HUGEINT)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i1 i ON n.item = i.item),
+        |i2 AS (SELECT e.dst AS item, sum(r.r // d.deg) AS s
+        |       FROM edges e JOIN r1 r ON e.src = r.item JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.item, CAST(150000000 + (85 * CAST(coalesce(i.s, 0) AS HUGEINT)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i2 i ON n.item = i.item),
+        |i3 AS (SELECT e.dst AS item, sum(r.r // d.deg) AS s
+        |       FROM edges e JOIN r2 r ON e.src = r.item JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.item, CAST(150000000 + (85 * CAST(coalesce(i.s, 0) AS HUGEINT)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i3 i ON n.item = i.item)
+        |SELECT r3.item, r3.r AS rank_e9, CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+        |FROM r3 LEFT JOIN deg d ON d.src = r3.item
+        |ORDER BY item""".stripMargin,
     // m4: m2's fold → dims, integer-exact box fit, then the fake
     // resize hash = ((31·(31·u + out_w) + out_h) mod 2^64) signed —
     // the corpus never hits the real-BMP pixel path (m2's oracle
@@ -2542,6 +2580,43 @@ object SparkEntry {
         | l.value IS NOT NULL AS is_observed
         |FROM grid g LEFT JOIN latest l ON l.user_id = g.user_id AND l.slot = g.slot
         |ORDER BY g.user_id, grid_slot""".stripMargin,
+    // st28: same union-then-bracket construction — the interpolation
+    // itself is one sign-restored half-away integer division, so the
+    // hash can only match if both engines bracket AND round identically
+    "st28_linear_interp" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |span AS (
+        | SELECT user_id, (min(ts_us) + 86399999999) // 86400000000 AS lo,
+        |  max(ts_us) // 86400000000 AS hi FROM e GROUP BY 1),
+        |grid AS (
+        | SELECT user_id, unnest(generate_series(lo, hi)) AS slot
+        | FROM span WHERE lo <= hi),
+        |u AS (
+        | SELECT user_id, ts_us AS ts, 0 AS is_grid, event_id AS id, v,
+        |  ts_us AS ots, CAST(NULL AS BIGINT) AS slot FROM e
+        | UNION ALL
+        | SELECT user_id, slot * 86400000000, 1, 0, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), slot FROM grid),
+        |w AS (
+        | SELECT user_id, ts, is_grid, slot,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(ots IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid, id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(ots IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid, id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nts
+        | FROM u)
+        |SELECT user_id, slot AS grid_slot,
+        | CAST(CASE WHEN nts IS NULL OR nts = pts THEN pv
+        |  ELSE pv + CAST(sign(nv - pv) AS BIGINT) *
+        |   CAST((2 * abs(CAST(nv - pv AS HUGEINT) * (ts - pts)) + (nts - pts))
+        |        // (2 * (nts - pts)) AS BIGINT) END AS BIGINT) AS interp_e6,
+        | CAST(CASE WHEN nts IS NULL THEN NULL ELSE nts - pts END AS BIGINT) AS bracket_us
+        |FROM w WHERE is_grid = 1 ORDER BY user_id, grid_slot""".stripMargin,
     // p12: per-relation anti-join counts (null child keys reported
     // separately, never folded into the orphan count)
     "p12_fk_orphans" ->
@@ -2951,6 +3026,32 @@ object SparkEntry {
         | n_samples * 1000 // 16000 AS duration_ms,
         | round(CAST(k * 8 AS DOUBLE), 4) AS rms, peak
         |FROM s ORDER BY doc_id""".stripMargin,
+    // m12: m7's duration fold fanned into the chunk grid — the ceil
+    // spelling and the last-chunk clamp must both agree exactly
+    "m12_audio_chunks" ->
+      """WITH h AS (
+        | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  (1 + CAST((u // 8192) % 65536 AS BIGINT)) * 1000 // 16000 AS duration_ms
+        | FROM h),
+        |n AS (
+        | SELECT doc_id, duration_ms,
+        |  CAST(CASE WHEN duration_ms <= 1000 THEN 1
+        |   ELSE 1 + (duration_ms - 1000 + 799) // 800 END AS BIGINT) AS n_chunks
+        | FROM d),
+        |g AS (
+        | SELECT doc_id, duration_ms, n_chunks,
+        |  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        | FROM n)
+        |SELECT doc_id, FALSE AS is_pcm, duration_ms, n_chunks,
+        | CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(chunk_idx * 800 AS BIGINT) AS start_ms,
+        | CAST(least(chunk_idx * 800 + 1000, duration_ms) AS BIGINT) AS end_ms
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     // a38: the oracle replays the correlated NOT-IN spelling the
     // operator decorrelates into a LEFT ANTI join
     "a38_supplier_diversity" ->
@@ -3513,6 +3614,32 @@ object SparkEntry {
          | FROM cell$r)""".stripMargin
     }.mkString(",\n") +
       "\nSELECT * FROM stat0 UNION ALL SELECT * FROM stat1 UNION ALL SELECT * FROM stat2 UNION ALL SELECT * FROM stat3 ORDER BY iter"),
+    // s25: per-dimension moment replay on the same e6 integer grid —
+    // HUGEINT where Spark rides decimal(38,0); the one sqrt is an
+    // IEEE op on an exact integer (never a .5 boundary)
+    "s25_anisotropy" ->
+      """WITH comp AS (
+        | SELECT t.i AS dim,
+        |  CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS c_e6
+        | FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t),
+        |d AS (
+        | SELECT dim, count(*) AS n, CAST(sum(c_e6) AS BIGINT) AS s,
+        |  sum(CAST(c_e6 AS HUGEINT) * c_e6) AS ssq
+        | FROM comp GROUP BY 1),
+        |m AS (
+        | SELECT dim,
+        |  CAST(sign(s) AS BIGINT) *
+        |   CAST((2 * abs(CAST(s AS HUGEINT)) + n) // (2 * n) AS BIGINT) AS mean_e6,
+        |  CAST((n * ssq - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
+        | FROM d),
+        |tot AS (
+        | SELECT CAST(sum(var_e12) AS HUGEINT) AS tv,
+        |  CAST(round(sqrt(CAST(sum(CAST(mean_e6 AS HUGEINT) * mean_e6) AS DOUBLE))) AS BIGINT) AS cnorm
+        | FROM m)
+        |SELECT CAST(dim AS BIGINT) AS dim, mean_e6, var_e12,
+        | CAST((CAST(var_e12 AS HUGEINT) * 2000000 + tv) // (2 * tv) AS BIGINT) AS var_share_ppm,
+        | cnorm AS centroid_norm_e6
+        |FROM m CROSS JOIN tot ORDER BY dim""".stripMargin,
     // p28: the as-of-commit-0 slice replayed from the raw table — a
     // file-pinning bug cannot produce this rollup
     "p28_time_travel" ->

@@ -695,4 +695,46 @@ object Multimodal {
   /** Verified entry (m8). Sort is oracle-determinism only. */
   def m8(spark: SparkSession, dir: String): DataFrame =
     byteEntropy(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** m12: ASR chunk plan — the segmentation step between raw audio
+    * and a transcription fleet (Whisper-style models take fixed
+    * windows; overlap preserves words that straddle a boundary, and
+    * the plan is what a scheduler fans out, so it must be exact and
+    * reproducible BEFORE any codec runs). Windows of `winMs` every
+    * `strideMs` over each payload's duration: a clip at or under one
+    * window is a single chunk; otherwise 1 + ceil((dur−win)/stride)
+    * chunks, the last truncated to the clip end — x25's
+    * doc-chunking law applied to time instead of tokens.
+    *
+    * Durations come from [[audioStats]] (m7): the REAL PCM-WAV
+    * kernel where payloads admit it, the deterministic content fold
+    * elsewhere — so the plan is oracle-replayable end to end, and
+    * the decode stub swaps out for a codec without touching the
+    * plan math. All integers: the ceil is `(x + stride−1) div
+    * stride` on non-negative operands (Spark div ≡ DuckDB floor-//),
+    * starts/ends are pure multiplies with a `least` clamp.
+    *
+    * Scale shape: m7's narrow mapPartitions pass, then a bounded
+    * `sequence` explode (fan-out = duration/stride per clip — the
+    * clip's own length, never a global constant), zero shuffles,
+    * O(total chunks) output.
+    */
+  def audioChunkPlan(docs: DataFrame, winMs: Long = 1000L,
+                     strideMs: Long = 800L): DataFrame =
+    audioStats(docs)
+      .select(col("doc_id"), col("is_pcm"), col("duration_ms"))
+      .withColumn("n_chunks",
+        when(col("duration_ms") <= winMs, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(duration_ms - $winMs + ${strideMs - 1}) div $strideMs")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("is_pcm"), col("duration_ms"), col("n_chunks"),
+        col("chunk_idx"),
+        (col("chunk_idx") * strideMs).as("start_ms"),
+        least(col("chunk_idx") * strideMs + winMs, col("duration_ms")).as("end_ms"))
+
+  /** Verified entry (m12). Sort is oracle-determinism only. */
+  def m12(spark: SparkSession, dir: String): DataFrame =
+    audioChunkPlan(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 }

@@ -1189,4 +1189,69 @@ object Similarity {
   def s24(spark: SparkSession, dir: String): DataFrame =
     ivfConvergence(Tables.embeddings(spark, dir), cacheKey = Some(dir))
       .orderBy(col("iter"))
+
+  /** Embedding-space anisotropy profile (s25) — the health check run
+    * BEFORE trusting any cosine machinery on a new embedding table
+    * (Ethayarajh, EMNLP 2019: contextual embeddings concentrate in a
+    * narrow cone; a few rogue dimensions can carry most of the
+    * variance and silently dominate every dot product s1–s23
+    * compute). Per dimension: exact mean and variance on the integer
+    * grid, plus the dimension's share of TOTAL variance in ppm — a
+    * flat profile ≈ isotropic space; a spiked profile names the
+    * dimensions to whiten/center first. The centroid norm rides
+    * along (repeated, p32's cross-broadcast pattern): a far-from-
+    * origin centroid is the other anisotropy signature and prices
+    * how much mean-centering would move every cosine.
+    *
+    * Integer discipline end to end: components land on the e6 grid
+    * per row (`round(c·10⁶)` — d18's law), so the cross-row sums are
+    * exact; variance = (n·Σx² − (Σx)²) div n² never goes negative
+    * (Cauchy–Schwarz) and floor-div agrees across engines on
+    * non-negative operands; the signed mean uses the sign-restored
+    * half-away spelling; Σx² rides decimal(38,0) so a trillion-row
+    * corpus cannot overflow. The ONE floating op is `sqrt` of an
+    * exact integer — whose result can never land on a .5 boundary
+    * (an odd square over 4 is never integral), so the final round is
+    * drift-free.
+    *
+    * Scale shape: ONE corpus pass — posexplode fans each row to
+    * |dims| components in the map stage, but partial aggregation
+    * collapses every partition to ≤|dims| rows BEFORE the exchange,
+    * so the shuffle carries dims × partitions rows, not n × dims;
+    * everything downstream (share, centroid norm) is arithmetic on
+    * the |dims|-row frame with a 1-row broadcast. No sampling — this
+    * is the exact profile, cheap because the reduction is total.
+    */
+  def anisotropyProfile(corpus: DataFrame): DataFrame = {
+    val comp = corpus
+      .select(posexplode(col("embedding")).as(Seq("__pos", "__c")))
+      .select((col("__pos") + 1).as("dim"),
+        expr("cast(round(cast(__c as double) * 1000000) as bigint)").as("__c_e6"))
+    val d = comp.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c_e6")).as("__s"),
+        sum(expr("cast(__c_e6 as decimal(38,0)) * __c_e6")).as("__ssq"))
+      .select(col("dim"),
+        expr("""cast(sign(__s) as bigint) *
+          | cast((2 * abs(cast(__s as decimal(38,0))) + __n) div (2 * __n) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("mean_e6"),
+        expr("""cast((__n * __ssq - cast(__s as decimal(38,0)) * __s)
+          | div (cast(__n as decimal(38,0)) * __n) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("var_e12"))
+      // |dims| rows; persisted so the total-variance broadcast reads
+      // the cached frame instead of re-scanning the corpus
+      .persist()
+    val tot = d.agg(
+      sum(col("var_e12")).as("__tv"),
+      expr("cast(round(sqrt(cast(sum(cast(mean_e6 as decimal(38,0)) * mean_e6) as double))) as bigint)")
+        .as("centroid_norm_e6"))
+    d.crossJoin(broadcast(tot))
+      .select(col("dim").cast("long").as("dim"), col("mean_e6"), col("var_e12"),
+        expr("cast((cast(var_e12 as decimal(38,0)) * 2000000 + __tv) div (2 * __tv) as bigint)")
+          .as("var_share_ppm"),
+        col("centroid_norm_e6"))
+  }
+
+  /** Verified entry (s25). Sort is oracle-determinism only. */
+  def s25(spark: SparkSession, dir: String): DataFrame =
+    anisotropyProfile(Tables.embeddings(spark, dir)).orderBy(col("dim"))
 }

@@ -262,4 +262,33 @@ class MultimodalSpec extends GraftSpecBase {
       assert(ts.forall(t => t.px_h == 64 || t.tile_y == ts.map(_.tile_y).max))
     }
   }
+
+  test("m12 chunk plan: coverage to the clip end, stride spacing, overlap, n_chunks law") {
+    val rows = multimodal.Multimodal.audioChunkPlan(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      val dur = cs.head._2
+      val n = cs.head._3
+      assert(cs.length == n, s"doc $id: ${cs.length} rows for n_chunks=$n")
+      val exp = if (dur <= 1000) 1L else 1L + (dur - 1000 + 799) / 800
+      assert(n == exp, s"doc $id: n_chunks $n != law $exp for dur $dur")
+      val sorted = cs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until n),
+        s"doc $id: chunk indices must be dense")
+      assert(sorted.map(_._5).toSeq == (0L until n).map(_ * 800L),
+        s"doc $id: starts must land on the stride grid")
+      assert(sorted.last._6 == dur, s"doc $id: the plan must cover to the clip end")
+      assert(sorted.forall(c => c._6 - c._5 <= 1000L),
+        s"doc $id: no chunk may exceed the window")
+      if (n > 1) {
+        assert(sorted.sliding(2).forall(w => w(1)._5 < w(0)._6),
+          s"doc $id: consecutive chunks must overlap (stride < window)")
+        assert(sorted.last._5 < dur, s"doc $id: the tail chunk must be non-empty")
+      }
+    }
+    assert(byDoc.values.exists(_.length > 1),
+      "the corpus must exercise multi-chunk clips")
+  }
 }

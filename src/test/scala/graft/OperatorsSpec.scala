@@ -167,6 +167,54 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r.size == 5, s"grid spans per-key min..max only: ${r.keys.toSeq.sorted}")
   }
 
+  test("st28 linear resample: bracketing, exact hits, sign-aware half-away rounding, empty grids") {
+    import spark.implicits._
+    val g = 100L
+    val obs = Seq(
+      // key 1: straight line 1e6 -> 3e6 over ts 50..250; grid 100, 200
+      (1L, 50L, 1L, 1000000L), (1L, 250L, 2L, 3000000L),
+      // key 2: two obs AT the grid point (largest id wins), then exact end hit
+      (2L, 100L, 1L, 5000000L), (2L, 100L, 2L, 7000000L), (2L, 300L, 3L, 9000000L),
+      // key 4: half-away rounding UP on a rise (5 e6-units over 1000 us)
+      (4L, 0L, 1L, 0L), (4L, 1000L, 2L, 5L),
+      // key 5: half-away rounding DOWN on a fall (mirror of key 4)
+      (5L, 0L, 1L, 0L), (5L, 1000L, 2L, -5L),
+      // key 6: single obs off-grid -> ceil(550)=6 > floor(550)=5, no rows
+      (6L, 550L, 1L, 42L)).toDF("k", "ts", "id", "v")
+    val r = operators.Resample.linearResample(obs, "k", "ts", "id", col("v"), g)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    assert(r((1L, 1L)) == ((1500000L, 200L)), "quarter-way point time-weights 1/4")
+    assert(r((1L, 2L)) == ((2500000L, 200L)), "three-quarter point time-weights 3/4")
+    assert(r((2L, 1L)) == ((7000000L, 200L)),
+      "exact hit returns the observed value, largest id among simultaneous obs")
+    assert(r((2L, 2L)) == ((8000000L, 200L)), "midpoint averages the bracket")
+    assert(r((2L, 3L)) == ((9000000L, -1L)), "span-end exact hit has no next bracket")
+    assert(r((4L, 1L))._1 == 1L && r((4L, 5L))._1 == 3L,
+      s"rising .5 cases round away from zero: ${r((4L, 1L))} ${r((4L, 5L))}")
+    assert(r((5L, 1L))._1 == -1L && r((5L, 5L))._1 == -3L,
+      s"falling .5 cases round away from zero: ${r((5L, 1L))} ${r((5L, 5L))}")
+    assert(!r.keys.exists(_._1 == 6L), "a key whose span brackets no grid point emits nothing")
+    assert(r((4L, 0L)) == ((0L, 1000L)) && r((4L, 10L))._1 == 5L)
+  }
+
+  test("a47 PageRank: three integer power rounds match the hand-computed ranks; dangling keeps base") {
+    import spark.implicits._
+    // graph 1-2, 2-3 (u3 duplicates 1-2: edges must be DISTINCT), 9 isolated
+    val ev = Seq(
+      (1L, """{"k": 1}"""), (1L, """{"k": 2}"""),
+      (2L, """{"k": 2}"""), (2L, """{"k": 3}"""),
+      (3L, """{"k": 1}"""), (3L, """{"k": 2}"""),
+      (4L, """{"k": 9}"""))
+      .toDF("user_id", "props")
+    val r = analytics.Queries.pageRank(ev)
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1) == ((629187500L, 1L)), s"leaf rank after 3 rounds: ${r(1)}")
+    assert(r(2) == ((1741625000L, 2L)), s"hub rank after 3 rounds: ${r(2)}")
+    assert(r(3) == ((629187500L, 1L)), "symmetric leaf matches")
+    assert(r(9) == ((150000000L, 0L)), "dangling node keeps exactly the base term")
+  }
+
   test("funnel: step order is enforced strictly, out-of-order steps don't count") {
     val ev = Seq(
       // u1 completes in order

@@ -276,7 +276,10 @@ class PlanShapeSpec extends GraftSpecBase {
       "a44_sales_opportunity",
       // s23 broadcasts the explicit query subset into the non-equi
       // exact scan — s1's bounded brute-force baseline contract
-      "s23_mrl_recall")
+      "s23_mrl_recall",
+      // s25 cross-joins the single-row total-variance/centroid-norm
+      // summary onto the |dims|-row cached frame (p19's pattern)
+      "s25_anisotropy")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -988,5 +991,47 @@ class PlanShapeSpec extends GraftSpecBase {
     // scan reads only ts
     assert(plan.contains("ReadSchema: struct<ts:"),
       s"events scan must prune to the ts column:\n$plan")
+  }
+
+  test("st28: all four bracket functions ride ONE Window over one user-keyed sort") {
+    val plan = finalPlan(operators.Resample.linearResample(
+      Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id",
+      expr("cast(round(value * 1000000) as bigint)"), gridUs = 86400L * 1000000L))
+    val windows = "\\bWindow \\[".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"prev+next brackets must share a single Window op, got $windows:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library resample must not global-sort:\n$plan")
+    val nonKey = "Exchange hashpartitioning\\((?!user_id)".r.findAllIn(plan).length
+    assert(nonKey == 0, s"every exchange must be keyed on user_id:\n$plan")
+  }
+
+  test("s25: one corpus pass — the total-variance broadcast reads the cached dim frame") {
+    val plan = finalPlan(similarity.Similarity.s25(spark, sf))
+    // both consumers (the per-dim output and the 1-row total) must
+    // read the persisted frame; the parquet scans remaining in the
+    // plan string sit INSIDE the printed InMemoryRelation subtree,
+    // so the cache count is the runtime single-pass evidence
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 2,
+      s"both the output and the total must read the persisted dim frame:\n$plan")
+    // partial aggregation must collapse the posexplode fan-out before
+    // the exchange: the dim shuffle carries dims x partitions rows
+    assert(plan.contains("partial_sum"),
+      s"component sums must map-side combine under the Generate:\n$plan")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"embeddings scan must prune to the embedding column:\n$plan")
+  }
+
+  test("a47: power rounds reuse the persisted edge frame; no cross joins anywhere") {
+    val plan = finalPlan(analytics.Queries.pageRank(Tables.events(spark, sf)))
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 6,
+      s"3 rounds x (edges + nodes) must read the cache, got $cached:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"every round is a keyed equi-join:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library ranks are unordered:\n$plan")
   }
 }

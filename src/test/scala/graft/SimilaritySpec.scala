@@ -403,4 +403,34 @@ class SimilaritySpec extends GraftSpecBase {
     assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
       s"Lloyd must not regress on its own sample: ${curve.toSeq}")
   }
+
+  test("s25 anisotropy: exact hand-computed moments, signed means, share grid, corpus invariants") {
+    import spark.implicits._
+    // two orthogonal unit vectors: symmetric dims, each with exactly
+    // half the variance mass; centroid (.5, .5) has norm sqrt(5e11)
+    val ortho = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val o = similarity.Similarity.anisotropyProfile(ortho)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(o(1L) == ((500000L, 250000000000L, 500000L, 707107L)), s"dim1: ${o(1L)}")
+    assert(o(2L) == o(1L), "orthogonal pair is dimension-symmetric")
+    // negative-mean dim: components -1, -3 -> mean -2e6, var 1e12 and
+    // ALL the variance mass; constant dim2 contributes zero
+    val neg = Seq((0L, Seq(-1f, 1f)), (1L, Seq(-3f, 1f))).toDF("vec_id", "embedding")
+    val n = similarity.Similarity.anisotropyProfile(neg)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(n(1L) == ((-2000000L, 1000000000000L, 1000000L, 2236068L)),
+      s"signed mean rides the sign-restored half-away spelling: ${n(1L)}")
+    assert(n(2L) == ((1000000L, 0L, 0L, 2236068L)), s"constant dim: ${n(2L)}")
+    // real corpus: 64 dims, variance non-negative, shares sum to ~1e6
+    // (floor-div leaves at most |dims| ppm on the table)
+    val r = similarity.Similarity.s25(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.map(_._1).toSeq == (1L to 64L), "one row per dimension")
+    assert(r.forall(_._3 >= 0L), "variance is non-negative")
+    val shareSum = r.map(_._4).sum
+    assert(math.abs(shareSum - 1000000L) <= 64L, s"shares partition the mass: $shareSum")
+    assert(r.map(_._5).distinct.length == 1, "centroid norm is corpus-level")
+  }
 }
