@@ -5,14 +5,21 @@ import graft.{GraftSession, SparkEntry}
 
 /** Local profiling aid: run one SparkEntry query and print per-stage
   * wall times (name, tasks, ms) to find scheduler-vs-compute skew.
-  * Usage: runMain graft.tools.Profile <queryKey> <sfDir> [reps]
+  * Usage: runMain graft.tools.Profile <queryKey> <sfDir> [reps] [sqlConf=value ...]
+  * Trailing key=value args are applied as runtime SQL confs (e.g.
+  * spark.sql.autoBroadcastJoinThreshold=-1 to A/B a join strategy).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 2
+    val reps = if (args.length > 2 && !args(2).contains("=")) args(2).toInt else 2
     val spark = GraftSession.get("graft-profile")
+    args.drop(2).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[profile] conf $k=$v")
+    }
     spark.sparkContext.setLogLevel("WARN")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
