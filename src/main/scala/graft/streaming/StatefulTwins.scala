@@ -463,4 +463,83 @@ object StatefulTwins {
     obs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // -------------------------------------------------- linear-interp resample
+
+  final case class LinEv(user_id: Long, ts_us: Long, event_id: Long, v_e6: Long)
+  final case class LinState(lastTs: Long, lastWinVal: Long, lastWinId: Long)
+  final case class LinSlot(user_id: Long, grid_slot: Long,
+                           interp_e6: Long, bracket_us: Long)
+
+  /** Streaming twin of st28's linear interpolation
+    * (Resample.linearResample): state is ONLY the key's latest
+    * observation — its (ts, max-event_id-winner value). A new
+    * observation at a LATER ts closes everything it brackets: the
+    * pending exact-hit at the state's own ts (if it sits on the
+    * grid — its value was final, but its `bracket_us` needed this
+    * arrival), then every interior grid point strictly between the
+    * two timestamps, interpolated with the batch spelling's exact
+    * integer arithmetic (the same sign-restored half-away division,
+    * on BigInt so diff·num cannot overflow). An equal-ts observation
+    * only refines the winner (batch's max-id tiebreak); the interior
+    * next-side uses the FIRST (min-id) value at the new ts — which
+    * in (ts, id)-sorted processing is exactly the arrival that
+    * triggers the emission, so both bracket conventions match the
+    * batch windows by construction.
+    *
+    * The key's latest timestamp stays open unemitted (its exact-hit
+    * has no bracket yet) — so the emitted rows are exactly the batch
+    * output MINUS the rows batch marks `bracket_us IS NULL`: the
+    * open-slot law falls out of the schema itself. O(1) state per
+    * key; proven in StreamingSpec.
+    */
+  def linearResampleStream(obs: Dataset[LinEv], gridUs: Long): Dataset[LinSlot] = {
+    import obs.sparkSession.implicits._
+
+    def interp(prevTs: Long, prevV: Long, nextTs: Long, nextV: Long,
+               tau: Long): Long = {
+      val den = nextTs - prevTs
+      val diff = BigInt(nextV) - BigInt(prevV)
+      val num = BigInt(tau - prevTs)
+      val q = (2 * (diff * num).abs + den) / (2 * BigInt(den))
+      (BigInt(prevV) + diff.signum * q).toLong
+    }
+
+    def fn(userId: Long, evs: Iterator[LinEv],
+           state: GroupState[LinState]): Iterator[LinSlot] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[LinSlot]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        if (st == null) st = LinState(e.ts_us, e.v_e6, e.event_id)
+        else if (e.ts_us == st.lastTs) {
+          // same instant: max-id winner refines the stored value —
+          // the batch prev-window tiebreak
+          if (e.event_id > st.lastWinId) st = LinState(e.ts_us, e.v_e6, e.event_id)
+        } else if (e.ts_us > st.lastTs) {
+          // the pending exact-hit at the state's ts gains its bracket
+          if (st.lastTs % gridUs == 0)
+            out += LinSlot(userId, st.lastTs / gridUs, st.lastWinVal,
+              e.ts_us - st.lastTs)
+          // interior grid points are now double-bracketed and final
+          var s = Math.floorDiv(st.lastTs, gridUs) + 1
+          while (s * gridUs < e.ts_us) {
+            out += LinSlot(userId, s,
+              interp(st.lastTs, st.lastWinVal, e.ts_us, e.v_e6, s * gridUs),
+              e.ts_us - st.lastTs)
+            s += 1
+          }
+          st = LinState(e.ts_us, e.v_e6, e.event_id)
+        }
+        // e.ts < lastTs: late beyond the ordering contract — dropped,
+        // the same row a watermarked stream would discard
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
 }

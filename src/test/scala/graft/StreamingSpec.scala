@@ -713,6 +713,57 @@ class StreamingSpec extends GraftSpecBase {
     assert(batchClosed.exists(_._4), "fixture must contain closed observed slots")
   }
 
+  test("streaming linear interp emits exactly the batch grid minus the null-bracket open rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{LinEv, LinSlot}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("v_e6"))
+      .as[LinEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[LinEv]
+    val q = streaming.StatefulTwins.linearResampleStream(mem.toDS(), gridUs = 86400L * 1000000L)
+      .writeStream.format("memory").queryName("lin_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lin_twin").as[LinSlot].collect()
+      .map(s => (s.user_id, s.grid_slot, s.interp_e6, s.bracket_us)).toSet
+    val batchAll = operators.Resample.st28(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // the open-slot law IS the schema: batch rows with a null bracket
+    // are exactly each key's unemittable final exact-hit
+    val batchClosed = batchAll.filter(_._4 >= 0L).toSet
+    assert(streamed == batchClosed,
+      s"stream-only: ${(streamed -- batchClosed).take(3)}; batch-only: ${(batchClosed -- streamed).take(3)}")
+    assert(batchClosed.nonEmpty, "fixture must close interpolated rows")
+    // µs event timestamps never land exactly on the day grid, so the
+    // open-exact-hit law needs a grid-aligned synthetic: the state's
+    // own grid point must stay unemitted until a later arrival
+    // brackets it, then emit with the batch tiebreak value
+    val mem2 = MemoryStream[LinEv]
+    val q2 = streaming.StatefulTwins.linearResampleStream(mem2.toDS(), gridUs = 100L)
+      .writeStream.format("memory").queryName("lin_twin_synth")
+      .outputMode("append").start()
+    def synthRows(): Set[(Long, Long, Long, Long)] =
+      spark.table("lin_twin_synth").as[LinSlot].collect()
+        .map(s => (s.user_id, s.grid_slot, s.interp_e6, s.bracket_us)).toSet
+    try {
+      mem2.addData(LinEv(1L, 0L, 1L, 0L), LinEv(1L, 200L, 2L, 200L),
+        LinEv(1L, 200L, 3L, 999L)); q2.processAllAvailable()
+      assert(synthRows() == Set((1L, 0L, 0L, 200L), (1L, 1L, 100L, 200L)),
+        s"exact-hit at ts=200 must stay open: ${synthRows()}")
+      mem2.addData(LinEv(1L, 250L, 4L, 300L)); q2.processAllAvailable()
+      assert(synthRows() == Set((1L, 0L, 0L, 200L), (1L, 1L, 100L, 200L),
+        (1L, 2L, 999L, 50L)),
+        s"the bracketing arrival must close it with the max-id winner: ${synthRows()}")
+    } finally q2.stop()
+  }
+
   test("streaming dwell credits aggregate to exactly the batch per-state dwell rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{DwellEv, DwellCredit}
