@@ -198,6 +198,46 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r((4L, 0L)) == ((0L, 1000L)) && r((4L, 10L))._1 == 5L)
   }
 
+  test("st28 randomized oracle: 60 random series match a direct Scala reference (HALF_UP rational)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val g = 100L
+    // duplicate timestamps allowed; values signed so both rounding
+    // directions and the sign-restored division get exercised
+    val obs: Seq[(Long, Long, Long, Long)] = (0 until 60).flatMap { k =>
+      val n = 2 + rnd.nextInt(10)
+      (0 until n).map(i =>
+        (k.toLong, rnd.nextInt(1000).toLong, i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+    }
+    val got = operators.Resample.linearResample(
+        obs.toDF("k", "ts", "id", "v"), "k", "ts", "id", col("v"), g)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    var expectedRows = 0
+    obs.groupBy(_._1).foreach { case (k, es) =>
+      val lo = (es.map(_._2).min + g - 1) / g
+      val hi = es.map(_._2).max / g
+      (lo to hi).foreach { s =>
+        val tau = s * g
+        val (_, pts, _, pv) = es.filter(_._2 <= tau).maxBy(e => (e._2, e._3))
+        val nexts = es.filter(_._2 > tau)
+        val want =
+          if (nexts.isEmpty) (pv, -1L)
+          else {
+            val (_, nts, _, nv) = nexts.minBy(e => (e._2, e._3))
+            val q = java.math.BigDecimal.valueOf(nv - pv)
+              .multiply(java.math.BigDecimal.valueOf(tau - pts))
+              .divide(java.math.BigDecimal.valueOf(nts - pts), 0,
+                java.math.RoundingMode.HALF_UP).longValueExact()
+            (pv + q, nts - pts)
+          }
+        assert(got((k, s)) == want, s"key $k slot $s: got ${got((k, s))}, want $want")
+        expectedRows += 1
+      }
+    }
+    assert(got.size == expectedRows, "no extra grid rows beyond the per-key spans")
+  }
+
   test("a47 PageRank: three integer power rounds match the hand-computed ranks; dangling keeps base") {
     import spark.implicits._
     // graph 1-2, 2-3 (u3 duplicates 1-2: edges must be DISTINCT), 9 isolated
