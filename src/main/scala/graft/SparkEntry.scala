@@ -235,6 +235,9 @@ object SparkEntry {
     "s24_ivf_convergence" -> ((s, d) => similarity.Similarity.s24(s, d)),
     "s25_anisotropy" -> ((s, d) => similarity.Similarity.s25(s, d)),
     "m12_audio_chunks" -> ((s, d) => multimodal.Multimodal.m12(s, d)),
+    "t22_keywords" -> ((s, d) => text.TextAnalysis.t22Keywords(s, d)),
+    "s26_incremental_ivf" -> ((s, d) => similarity.Similarity.s26(s, d)),
+    "st29_ewma" -> ((s, d) => operators.Activity.st29(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -451,11 +454,15 @@ object SparkEntry {
       |  round(exp(round(avg(-ln(p)), 4)), 4) AS ppl
       | FROM sc GROUP BY 1)""".stripMargin
 
-  private val ivfCorpusCtes: String =
-    """e AS (
+  /** The IVF trainer replay ladder (cents0..3 + full-corpus
+    * assignment), parameterized by the training-sample WHERE so
+    * index-maintenance oracles (s26) can train on a filtered corpus
+    * while replaying the identical Lloyd arithmetic. */
+  private def ivfCtesWith(sampleWhere: String): String =
+    s"""e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |sample AS (
-        | SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+        | SELECT vec_id, emb FROM e WHERE $sampleWhere ORDER BY vec_id LIMIT 20000),
         |cents0 AS (
         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
         | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
@@ -507,6 +514,8 @@ object SparkEntry {
         |    ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS rn
         | FROM e s CROSS JOIN cents3 c),
         |corpus AS (SELECT vid AS vec_id, emb, cell FROM corpus_rn WHERE rn = 1)""".stripMargin
+
+  private val ivfCorpusCtes: String = ivfCtesWith("vec_id % 4 = 0")
 
   private val sqKnnCtes: String =
     """e AS (
@@ -1062,6 +1071,26 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // t22: tf/df/N replay with the same ln-idf expression tree; the
+    // rank rides the 4dp-ROUNDED score (t10/t11's cross-engine
+    // contract) with the token-asc tiebreak
+    "t22_keywords" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        | SELECT tf.doc_id, tf.token, tf.tf, d.df,
+        |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS score
+        | FROM tf JOIN d USING (token) CROSS JOIN n),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, token) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, token, tf, df, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
     // t6: max sorted-run length == max token multiplicity, so the
     // oracle's per-distinct-token recount replays the Spark fold
     "t6_repetition" ->
@@ -2617,6 +2646,26 @@ object SparkEntry {
         |        // (2 * (nts - pts)) AS BIGINT) END AS BIGINT) AS interp_e6,
         | CAST(CASE WHEN nts IS NULL THEN NULL ELSE nts - pts END AS BIGINT) AS bracket_us
         |FROM w WHERE is_grid = 1 ORDER BY user_id, grid_slot""".stripMargin,
+    // st29: the same exact integer recursion — list_reduce uses the
+    // first element as init (= s0 = v0); DuckDB `//` TRUNCATES toward
+    // zero (measured: -10 // 4 = -2), so the mathematical floor is
+    // spelled pmod-style, mirroring the Spark side exactly
+    "st29_ewma" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |g AS (
+        | SELECT user_id, list(v ORDER BY ts_us, event_id, v) AS vs,
+        |  count(*) AS n FROM e GROUP BY 1),
+        |f AS (
+        | SELECT user_id, n, vs[-1] AS last_v,
+        |  list_reduce(vs, (acc, x) ->
+        |   acc + (x - acc - (((x - acc) % 4) + 4) % 4) // 4) AS ewma
+        | FROM g)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+        | last_v AS last_v_e6, ewma AS ewma_e6,
+        | last_v - ewma AS lag_e6
+        |FROM f ORDER BY user_id""".stripMargin,
     // p12: per-relation anti-join counts (null child keys reported
     // separately, never folded into the orphan count)
     "p12_fk_orphans" ->
@@ -3614,6 +3663,37 @@ object SparkEntry {
          | FROM cell$r)""".stripMargin
     }.mkString(",\n") +
       "\nSELECT * FROM stat0 UNION ALL SELECT * FROM stat1 UNION ALL SELECT * FROM stat2 UNION ALL SELECT * FROM stat3 ORDER BY iter"),
+    // s26: the ladder retrained on the existing side only (the
+    // parameterized sample WHERE), full-corpus assignment split by
+    // the batch mod, new-arrival cosines re-joined from cents3
+    "s26_incremental_ivf" -> ("WITH " +
+      ivfCtesWith("vec_id % 4 = 0 AND vec_id % 10 <> 7") + """,
+        |ex AS (
+        | SELECT cell, count(*) AS n_existing FROM corpus
+        | WHERE vec_id % 10 <> 7 GROUP BY 1),
+        |nw AS (
+        | SELECT x.cell, count(*) AS n_new,
+        |  CAST(sum(CAST(round(
+        |   (list_reduce(list_transform(generate_series(1, 64), i -> x.emb[i] * c.cemb[i]), (x0, y0) -> x0 + y0)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> x.emb[i] * x.emb[i]), (x0, y0) -> x0 + y0))
+        |       * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x0, y0) -> x0 + y0))))
+        |   * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+        | FROM corpus x JOIN cents3 c ON x.cell = c.cell
+        | WHERE x.vec_id % 10 = 7 GROUP BY 1)
+        |SELECT CAST(c.cell AS BIGINT) AS cell,
+        | CAST(coalesce(ex.n_existing, 0) AS BIGINT) AS n_existing,
+        | CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+        | CASE WHEN nw.n_new IS NOT NULL
+        |  THEN CAST(round(CAST(nw.sum_e6 AS DOUBLE) / nw.n_new) AS BIGINT)
+        |  ELSE NULL END AS mean_new_cos_e6,
+        | CASE WHEN coalesce(ex.n_existing, 0) > 0
+        |  THEN CAST((CAST(coalesce(nw.n_new, 0) AS HUGEINT) * 2000000 + ex.n_existing)
+        |            // (2 * ex.n_existing) AS BIGINT)
+        |  ELSE NULL END AS growth_ppm
+        |FROM cents3 c
+        |LEFT JOIN ex ON c.cell = ex.cell
+        |LEFT JOIN nw ON c.cell = nw.cell
+        |ORDER BY cell""".stripMargin),
     // s25: per-dimension moment replay on the same e6 integer grid —
     // HUGEINT where Spark rides decimal(38,0); the one sqrt is an
     // IEEE op on an exact integer (never a .5 boundary)

@@ -555,4 +555,54 @@ object Activity {
   /** Verified entry (st23). Sort is oracle-determinism only. */
   def st23(spark: SparkSession, dir: String): DataFrame =
     firstLastTouch(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  /** Integer EWMA state per key (st29) — the exponential smoother
+    * every monitoring/forecast stack keeps per series, spelled so the
+    * recursion is EXACT: s₀ = v₀, sᵢ = sᵢ₋₁ + ⌊(vᵢ − sᵢ₋₁)/2^shift⌋
+    * on the e6 value grid (α = 1/2^shift). The floor is the
+    * mathematical one — `(d − pmod(d, m)) div m` in Spark, plain
+    * `//` in DuckDB — so a falling series smooths bit-identically to
+    * a rising one on both engines; no float power, no summation
+    * order, no drift. Emitted per key: observation count, the last
+    * raw value, the smoothed state, and the signed smoother lag
+    * (last − ewma: how far the smoother trails the raw series — the
+    * st9/st12 anomaly inputs at O(keys) cost).
+    *
+    * Sequential state has no window spelling (infinite memory), so
+    * the fold runs over each key's sorted series via
+    * `aggregate(sort_array(collect_list(struct(…))))` — ONE
+    * user-keyed shuffle (map-combined collect), fold narrow, output
+    * |keys| rows. Per-key state is the series length: the same
+    * bounded contract the flatMapGroupsWithState twins buffer under
+    * — and this fold IS the batch form of that streaming state
+    * update.
+    */
+  def ewmaState(events: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, valE6: org.apache.spark.sql.Column,
+                shift: Int = 2): DataFrame = {
+    val m = 1 << shift
+    events
+      .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(idCol).cast("long").as("__id"), valE6.cast("long").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__id"), col("__v"))))
+        .as("__series"))
+      .select(col(keyCol),
+        size(col("__series")).cast("long").as("n_obs"),
+        expr("element_at(__series, -1).__v").as("last_v_e6"),
+        expr(
+          s"""aggregate(__series, cast(null as bigint),
+             | (acc, x) -> if(acc is null, x.__v,
+             |   acc + (x.__v - acc - pmod(x.__v - acc, $m)) div $m))"""
+            .stripMargin.replace("\n", " ")).as("ewma_e6"))
+      .withColumn("lag_e6", col("last_v_e6") - col("ewma_e6"))
+  }
+
+  /** Verified entry (st29). Sort is oracle-determinism only. */
+  def st29(spark: SparkSession, dir: String): DataFrame =
+    ewmaState(
+      Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id",
+      expr("cast(round(value * 1000000) as bigint)"))
+      .orderBy(col("user_id"))
 }

@@ -1254,4 +1254,65 @@ object Similarity {
   /** Verified entry (s25). Sort is oracle-determinism only. */
   def s25(spark: SparkSession, dir: String): DataFrame =
     anisotropyProfile(Tables.embeddings(spark, dir)).orderBy(col("dim"))
+
+  /** Incremental IVF maintenance report (s26) — the d10 pattern for
+    * vectors: a NEW batch arrives against an index trained WITHOUT
+    * it, and the question is never "retrain?" alone but "which cells
+    * absorb the arrivals, how well do they fit, and where does the
+    * index drift?". Per cell: existing corpus-wide occupancy, new
+    * arrivals routed there, the arrivals' mean cosine to the
+    * centroid (a falling fit flags distribution shift BEFORE recall
+    * decays — s24's e6 integer-mean law), and growth in ppm (the
+    * rounded DIV spelling, null for a previously-empty cell).
+    * Assignment of new vectors needs NO retrain and NO corpus
+    * rescan — that is the operational point.
+    *
+    * Scale shape: the trainer sees only the bounded existing-side
+    * sample (s3's bounded-collect contract); both assignment passes
+    * are the BestCell static-kernel narrow map (existing corpus once
+    * for occupancy, the new batch once) into map-combined ≤k-row
+    * aggs; the report is arithmetic on the k-row frame with the
+    * 16-row centroid broadcast. Nothing pairwise, nothing driver-side
+    * beyond the model.
+    */
+  def incrementalIvfReport(corpus: DataFrame, batchMod: Int = 10,
+                           batchRem: Int = 7, k: Int = 16,
+                           iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val existing = corpus.filter(pmod(col("vec_id"), lit(batchMod)) =!= batchRem)
+    val fresh = corpus.filter(pmod(col("vec_id"), lit(batchMod)) === batchRem)
+    val cents = centroidMatrix(existing, k, iters)
+    val cdf = cents.toSeq.map { case (cid, e) => (cid, e.toSeq) }
+      .toDF("cell", "cell_emb")
+    val exAsg = existing
+      .select(assignBest(col("embedding"), cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_existing"))
+    val newAsg = fresh
+      .select(assignBest(col("embedding"), cents).as("cell"), col("embedding"))
+      .join(broadcast(cdf), Seq("cell"))
+      .select(col("cell"),
+        round(cosine_sim(col("embedding"), col("cell_emb")) * 1000000)
+          .cast("long").as("cos_e6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("cos_e6")).as("__sum_e6"))
+    cdf.select(col("cell"))
+      .join(exAsg, Seq("cell"), "left")
+      .join(newAsg, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_new").isNotNull,
+          round(col("__sum_e6").cast("double") / col("n_new")).cast("long"))
+          .as("mean_new_cos_e6"),
+        expr("""case when coalesce(n_existing, 0) > 0
+          | then cast((cast(coalesce(n_new, 0) as decimal(38,0)) * 2000000 + n_existing)
+          |           div (2 * n_existing) as bigint)
+          | else null end""".stripMargin.replace("\n", " ")).as("growth_ppm"))
+  }
+
+  /** Verified entry (s26). Sort is oracle-determinism only. */
+  def s26(spark: SparkSession, dir: String): DataFrame =
+    incrementalIvfReport(Tables.embeddings(spark, dir))
+      .orderBy(col("cell"))
 }

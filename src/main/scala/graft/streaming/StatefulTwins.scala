@@ -464,6 +464,50 @@ object StatefulTwins {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
 
+  // ------------------------------------------------------------- EWMA state
+
+  final case class EwmaEv(user_id: Long, ts_us: Long, event_id: Long, v_e6: Long)
+  final case class EwmaState(n: Long, lastTs: Long, lastId: Long,
+                             lastV: Long, ewma: Long)
+  final case class EwmaOut(user_id: Long, n_obs: Long, last_v_e6: Long,
+                           ewma_e6: Long, lag_e6: Long)
+
+  /** Streaming twin of st29's integer EWMA (Activity.ewmaState): the
+    * per-key state IS the smoother — (count, last (ts, id), last raw
+    * value, smoothed value) — updated with the identical exact
+    * recursion (Math.floorDiv = the batch pmod floor), emitting each
+    * key's CURRENT row every batch (Update mode, the keyed-upsert
+    * sink contract funnelStream documents). The batch fold over the
+    * sorted series and this per-arrival update are literally the
+    * same computation — the fold's step function applied eventwise —
+    * so after any in-order ingest the final upserted row per key
+    * equals batch st29 exactly (StreamingSpec). In-batch disorder is
+    * repaired by the sort; an arrival at or before the state's
+    * (ts, id) is late beyond the ordering contract and drops.
+    */
+  def ewmaStream(events: Dataset[EwmaEv], shift: Int = 2): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val m = 1L << shift
+
+    def fn(userId: Long, evs: Iterator[EwmaEv],
+           state: GroupState[EwmaState]): EwmaOut = {
+      var st = state.getOption.orNull
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (st == null)
+          st = EwmaState(1L, e.ts_us, e.event_id, e.v_e6, e.v_e6)
+        else if (e.ts_us > st.lastTs ||
+                 (e.ts_us == st.lastTs && e.event_id > st.lastId))
+          st = EwmaState(st.n + 1L, e.ts_us, e.event_id, e.v_e6,
+            st.ewma + Math.floorDiv(e.v_e6 - st.ewma, m))
+      }
+      state.update(st)
+      EwmaOut(userId, st.n, st.lastV, st.ewma, st.lastV - st.ewma)
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+  }
+
   // -------------------------------------------------- linear-interp resample
 
   final case class LinEv(user_id: Long, ts_us: Long, event_id: Long, v_e6: Long)

@@ -852,4 +852,49 @@ object TextAnalysis {
   def t21QualityClassifier(spark: SparkSession, dir: String): DataFrame =
     hashedQualityClassifier(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  /** t22: per-document TF-IDF keywords — the labeling/topic-surrogate
+    * pass a curation pipeline runs to route documents (dedup anchors,
+    * cluster names, mixture diagnostics) without a model: top-k
+    * tokens per doc by tf·ln(N/df). Scoring rides the classic
+    * natural-log idf (a token in every doc scores exactly 0 — it can
+    * only surface when a doc has fewer than k scored tokens);
+    * ranking happens on the 4dp-ROUNDED score with a
+    * token-asc tiebreak, so the cross-engine contract is t10/t11's —
+    * agreement at 4dp, never a raw-double ordering race.
+    *
+    * Scale shape: ONE corpus tokenize into the (doc, token) tf agg
+    * (map-combined — the shuffle carries distinct (doc, token) pairs,
+    * not occurrences), persisted and reused by BOTH consumers: the
+    * vocabulary-sized df agg (token-keyed, tiny output) and the
+    * scoring join (token-keyed equi-join). N rides a 1-row broadcast
+    * (t7's corpus-stat pattern); top-k is a doc-keyed row_number
+    * window bounded by each doc's own distinct-token count. The
+    * corpus is tokenized once, shuffled on keys only.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      // one tokenize pass feeds both the df agg and the scoring join
+      .persist()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Verified entry (t22). Sort is oracle-determinism only. */
+  def t22Keywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("rank"))
 }

@@ -255,6 +255,38 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(9) == ((150000000L, 0L)), "dangling node keeps exactly the base term")
   }
 
+  test("st29 EWMA: exact integer fold, mathematical floor on falls, total order, one keyed exchange") {
+    import spark.implicits._
+    val ev = Seq(
+      // rise: 0 -> 10 smooths to floor(10/4) = 2
+      (1L, 1L, 1L, 0L), (1L, 2L, 2L, 10L),
+      // fall: 10 -> 0 smooths by floor(-10/4) = -3 (NOT trunc -2)
+      (2L, 1L, 1L, 10L), (2L, 2L, 2L, 0L),
+      // total order: (ts, id) sorts (1,1), (5,1), (5,2) -> 0, 0, +25
+      (3L, 5L, 2L, 100L), (3L, 5L, 1L, 0L), (3L, 1L, 1L, 0L),
+      // dead zone: a +3 step floors to 0 (stated quantization)
+      (4L, 1L, 1L, 0L), (4L, 2L, 2L, 3L),
+      // single obs: state is the observation itself
+      (5L, 9L, 1L, 42L)).toDF("k", "ts", "id", "v")
+    val lib = operators.Activity.ewmaState(ev, "k", "ts", "id", col("v"))
+    val r = lib.collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((2L, 10L, 2L, 8L)), s"rise: ${r(1L)}")
+    assert(r(2L) == ((2L, 0L, 7L, -7L)), s"fall floors toward -inf: ${r(2L)}")
+    assert(r(3L) == ((3L, 100L, 25L, 75L)), s"(ts, id) total order: ${r(3L)}")
+    assert(r(4L) == ((2L, 3L, 0L, 3L)), s"sub-step dead zone: ${r(4L)}")
+    assert(r(5L) == ((1L, 42L, 42L, 0L)), "s0 = v0")
+    val plan = lib.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"library EWMA must not global-sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"exactly one keyed exchange (the collect agg):\n$plan")
+  }
+
   test("funnel: step order is enforced strictly, out-of-order steps don't count") {
     val ev = Seq(
       // u1 completes in order

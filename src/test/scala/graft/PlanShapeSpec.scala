@@ -279,7 +279,9 @@ class PlanShapeSpec extends GraftSpecBase {
       "s23_mrl_recall",
       // s25 cross-joins the single-row total-variance/centroid-norm
       // summary onto the |dims|-row cached frame (p19's pattern)
-      "s25_anisotropy")
+      "s25_anisotropy",
+      // t22 cross-joins the single-row corpus doc count (t7's pattern)
+      "t22_keywords")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

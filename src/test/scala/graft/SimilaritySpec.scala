@@ -433,4 +433,39 @@ class SimilaritySpec extends GraftSpecBase {
     assert(math.abs(shareSum - 1000000L) <= 64L, s"shares partition the mass: $shareSum")
     assert(r.map(_._5).distinct.length == 1, "centroid norm is corpus-level")
   }
+
+  test("s26 incremental IVF: planted arrivals route perfectly; corpus counts conserve exactly") {
+    import spark.implicits._
+    // existing ids 0, 4 plant two orthogonal directions (the trainer
+    // sample); new arrivals (ids 7, 17 ≡ 7 mod 10) land EXACTLY on
+    // them — each cell absorbs one at cosine 1.0, growth 1e6 ppm
+    val planted = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(0f, 1f, 0f, 0f)),
+      (7L, Seq(2f, 0f, 0f, 0f)), (17L, Seq(0f, 3f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val p = similarity.Similarity.incrementalIvfReport(planted, k = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(p.keySet == Set(0L, 1L))
+    p.values.foreach(v => assert(v == ((1L, 1L, 1000000L, 1000000L)),
+      s"each cell absorbs its planted arrival at cosine 1: $v"))
+    // real corpus: every vector lands in exactly one cell on each side
+    val emb = Tables.embeddings(spark, sf)
+    val r = similarity.Similarity.s26(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)),
+        if (x.isNullAt(4)) None else Some(x.getLong(4))))
+    assert(r.length == 16, "one row per cell, absorbed or not")
+    assert(r.map(_._2).sum == emb.filter(col("vec_id") % 10 =!= 7).count(),
+      "existing occupancy partitions the existing corpus exactly")
+    assert(r.map(_._3).sum == emb.filter(col("vec_id") % 10 === 7).count(),
+      "new-batch routing partitions the arrivals exactly")
+    r.foreach { case (cell, nEx, nNew, mean, growth) =>
+      assert((nNew == 0L) == mean.isEmpty, s"cell $cell: mean iff arrivals")
+      assert((nEx == 0L) == growth.isEmpty, s"cell $cell: growth iff occupied")
+      growth.foreach(g => assert(g == (nNew * 2000000L + nEx) / (2L * nEx),
+        s"cell $cell: growth law"))
+      mean.foreach(m => assert(m >= -1000000L && m <= 1000000L))
+    }
+  }
 }

@@ -713,6 +713,34 @@ class StreamingSpec extends GraftSpecBase {
     assert(batchClosed.exists(_._4), "fixture must contain closed observed slots")
   }
 
+  test("streaming EWMA state upserts to exactly the batch per-key smoother rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{EwmaEv, EwmaOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("v_e6"))
+      .as[EwmaEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[EwmaEv]
+    val q = streaming.StatefulTwins.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_twin").outputMode("update").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    // update-mode upsert: the last row per key is the final state
+    val finalByUser = scala.collection.mutable.LinkedHashMap[Long, EwmaOut]()
+    spark.table("ewma_twin").as[EwmaOut].collect().foreach(r => finalByUser(r.user_id) = r)
+    val streamed = finalByUser.values
+      .map(r => (r.user_id, r.n_obs, r.last_v_e6, r.ewma_e6, r.lag_e6)).toSet
+    val batch = operators.Activity.st29(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming linear interp emits exactly the batch grid minus the null-bracket open rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{LinEv, LinSlot}

@@ -342,4 +342,39 @@ class TextSpec extends GraftSpecBase {
       .queryExecution.executedPlan.toString
     assert(!exec.contains("Exchange"), s"classifier must stay narrow:\n$exec\n$plan")
   }
+
+  test("t22 keywords: hand-computed tf-idf ranks, everywhere-token scores 0, short docs truncate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the apple apple banana"),
+      (2L, "the banana cherry"),
+      (3L, "the cherry cherry cherry date"),
+      (4L, "the banana")).toDF("doc_id", "text")
+    val r = text.TextAnalysis.tfidfKeywords(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    // df: apple 1, banana 3, cherry 2, date 1, the 4 (N = 4)
+    assert(r((1L, 1L)) == (("apple", 2L, 1L, 2.7726)), s"${r((1L, 1L))}")
+    assert(r((1L, 2L)) == (("banana", 1L, 3L, 0.2877)))
+    assert(r((1L, 3L)) == (("the", 1L, 4L, 0.0)),
+      "an everywhere-token scores exactly 0 and only fills leftover slots")
+    assert(r((2L, 1L)) == (("cherry", 1L, 2L, 0.6931)))
+    assert(r((3L, 1L)) == (("cherry", 3L, 2L, 2.0794)))
+    assert(r((3L, 2L)) == (("date", 1L, 1L, 1.3863)))
+    assert(r((4L, 1L)) == (("banana", 1L, 3L, 0.2877)))
+    assert(r((4L, 2L)) == (("the", 1L, 4L, 0.0)))
+    assert(!r.contains((4L, 3L)), "a two-token doc emits two rows, never padding")
+    assert(r.size == 11)
+    // corpus invariants: k rows max per doc, ranks dense from 1,
+    // scores non-increasing within a doc
+    val c = text.TextAnalysis.t22Keywords(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(5)))
+    c.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 3 && sorted.map(_._2).toSeq == (1L to sorted.length),
+        s"doc $id ranks must be dense 1..k")
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._3 >= w(1)._3),
+        s"doc $id scores must be non-increasing by rank")
+    }
+  }
 }
