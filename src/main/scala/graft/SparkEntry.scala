@@ -238,6 +238,8 @@ object SparkEntry {
     "t22_keywords" -> ((s, d) => text.TextAnalysis.t22Keywords(s, d)),
     "s26_incremental_ivf" -> ((s, d) => similarity.Similarity.s26(s, d)),
     "st29_ewma" -> ((s, d) => operators.Activity.st29(s, d)),
+    "a48_trailing_range" -> ((s, d) => analytics.Queries.a48(s, d)),
+    "st30_debounce" -> ((s, d) => operators.Activity.st30(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -2666,6 +2668,47 @@ object SparkEntry {
         | last_v AS last_v_e6, ewma AS ewma_e6,
         | last_v - ewma AS lag_e6
         |FROM f ORDER BY user_id""".stripMargin,
+    // a48: the same day-grain rollup with DuckDB's own RANGE frame —
+    // a missing-day miscount on either side breaks the trailing sums
+    "a48_trailing_range" ->
+      """WITH byday AS (
+        | SELECT o_orderpriority,
+        |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS epoch_day,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, epoch_day, day_cents, n_orders,
+        | CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY epoch_day
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents,
+        | CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY epoch_day
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_days
+        |FROM byday ORDER BY o_orderpriority, epoch_day""".stripMargin,
+    // st30: lag-gap + running-kept-run replay; the kept lead joins its
+    // run's aggregates (min-struct and join spellings are equivalent
+    // because the lead is the run's (ts, id) minimum by construction)
+    "st30_debounce" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        | SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts_us, event_id) AS prev FROM e),
+        |k AS (
+        | SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 600000000
+        |   THEN 1 ELSE 0 END AS kept FROM f),
+        |r AS (
+        | SELECT *, sum(kept) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM k),
+        |g AS (
+        | SELECT user_id, event_type, run, count(*) AS n,
+        |  max(ts_us) AS last_ts FROM r GROUP BY 1, 2, 3)
+        |SELECT kk.user_id, kk.event_type, kk.event_id, kk.ts_us,
+        | CAST(g.n - 1 AS BIGINT) AS n_suppressed,
+        | CAST(g.last_ts - kk.ts_us AS BIGINT) AS span_us
+        |FROM (SELECT * FROM r WHERE kept = 1) kk
+        |JOIN g ON kk.user_id = g.user_id AND kk.event_type = g.event_type
+        |      AND kk.run = g.run
+        |ORDER BY kk.user_id, kk.event_type, kk.ts_us""".stripMargin,
     // p12: per-relation anti-join counts (null child keys reported
     // separately, never folded into the orphan count)
     "p12_fk_orphans" ->

@@ -1581,4 +1581,42 @@ object Queries {
   /** Verified entry (a47). Sort is oracle-determinism only. */
   def a47(spark: SparkSession, dir: String): DataFrame =
     pageRank(Tables.events(spark, dir)).orderBy(col("item"))
+
+  /** Trailing-window daily revenue via a RANGE frame (a48) — the one
+    * window-frame KIND the surface lacked: every other window entry
+    * rides ROWS frames (a15) or unbounded spans; a trailing "last 7
+    * CALENDAR days" must be a RANGE frame over the date ordinal,
+    * because a ROWS frame silently miscounts whenever days are
+    * missing from the series (exactly the gap a calendar-day grain
+    * hits at every low-volume priority class). Emits per (priority,
+    * day): that day's exact cents, the 7-day trailing sum, and the
+    * number of days PRESENT in the frame — shipped as sum + count
+    * (never a pre-divided average), d18's law, so the reader divides
+    * at display time and the engines never round.
+    *
+    * Scale shape: the fact collapses to the (priority, day) grain in
+    * ONE map-combined agg (the shuffle carries groups, not orders);
+    * the RANGE window then sorts the tiny day-grain frame per
+    * priority — the window never touches fact rows (a34's rule:
+    * windows ride grains, not facts).
+    */
+  def trailingRevenue(orders: DataFrame, days: Int = 7): DataFrame = {
+    val byDay = orders
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+          .as("epoch_day"),
+        round(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .groupBy(col("o_orderpriority"), col("epoch_day"))
+      .agg(sum(col("__cents")).as("day_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    byDay
+      .withColumn("trail_cents", sum(col("day_cents")).over(w))
+      .withColumn("trail_days", count(lit(1)).over(w))
+  }
+
+  /** Verified entry (a48). Sort is oracle-determinism only. */
+  def a48(spark: SparkSession, dir: String): DataFrame =
+    trailingRevenue(Tables.orders(spark, dir))
+      .orderBy(col("o_orderpriority"), col("epoch_day"))
 }

@@ -605,4 +605,50 @@ object Activity {
       "user_id", "ts_us", "event_id",
       expr("cast(round(value * 1000000) as bigint)"))
       .orderBy(col("user_id"))
+
+  /** Debounce / gap-collapse (st30) — the event-cleaning pass run
+    * before any funnel/attribution/count consumes a click stream:
+    * rapid-fire repeats of the SAME (user, type) — double-clicks,
+    * retry storms, sensor chatter — collapse onto their lead event.
+    * An event is kept iff it follows its (user, type) predecessor by
+    * MORE than `gapUs` (st1's session-boundary law applied as a
+    * filter: the lag-gap spelling, stated — a last-KEPT-relative
+    * throttle is a different, sequential operator); each kept event
+    * reports how many repeats it absorbed and the span they covered,
+    * so the suppressed mass is auditable, never silently dropped.
+    *
+    * Scale shape: ONE (user, type)-keyed sort carries both windows
+    * (the lag and the running kept-count that names each run); the
+    * run agg collapses map-side BEFORE its exchange because a run
+    * lives inside one partition by construction. Per-key state is
+    * the series length; no joins, no range partition.
+    */
+  def debounce(events: DataFrame, gapUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("__prev", lag(col("ts_us"), 1).over(ord))
+      .withColumn("__kept",
+        col("__prev").isNull || col("ts_us") - col("__prev") > gapUs)
+      .withColumn("__run",
+        sum(when(col("__kept"), 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("__run"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("__lead"),
+        count(lit(1)).as("__n"), max(col("ts_us")).as("__last_ts"))
+      .select(col("user_id"), col("event_type"),
+        col("__lead.event_id").as("event_id"),
+        col("__lead.ts_us").as("ts_us"),
+        (col("__n") - 1).as("n_suppressed"),
+        (col("__last_ts") - col("__lead.ts_us")).as("span_us"))
+  }
+
+  /** Verified entry (st30): 10-minute debounce of the event stream.
+    * Sort is oracle-determinism only.
+    */
+  def st30(spark: SparkSession, dir: String): DataFrame =
+    debounce(Tables.events(spark, dir), gapUs = 600L * 1000000L)
+      .orderBy(col("user_id"), col("event_type"), col("ts_us"))
 }

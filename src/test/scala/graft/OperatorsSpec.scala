@@ -255,6 +255,58 @@ class OperatorsSpec extends GraftSpecBase {
     assert(r(9) == ((150000000L, 0L)), "dangling node keeps exactly the base term")
   }
 
+  test("a48 RANGE frame: missing days shrink the trailing window (the ROWS-frame miscount)") {
+    import spark.implicits._
+    // priority P orders on days 0, 1, 5 (days 2-4 missing): a 3-day
+    // RANGE frame at day 5 covers [3, 5] -> only day 5 itself; a ROWS
+    // frame would wrongly reach back to days 0-1
+    val orders = Seq(
+      ("P", "1970-01-01", 1.00), ("P", "1970-01-02", 2.00),
+      ("P", "1970-01-02", 0.50), ("P", "1970-01-06", 0.25),
+      ("Q", "1970-01-01", 9.00))
+      .toDF("o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val r = analytics.Queries.trailingRevenue(orders, days = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(("P", 0L)) == ((100L, 1L, 100L, 1L)), s"${r(("P", 0L))}")
+    assert(r(("P", 1L)) == ((250L, 2L, 350L, 2L)), "day 1 frame [-1,1] holds both days")
+    assert(r(("P", 5L)) == ((25L, 1L, 25L, 1L)),
+      s"day 5 frame [3,5] must NOT reach days 0-1: ${r(("P", 5L))}")
+    assert(r(("Q", 0L)) == ((900L, 1L, 900L, 1L)), "priorities partition independently")
+    assert(r.size == 4)
+  }
+
+  test("st30 debounce: runs collapse onto their lead, strict gap boundary, per-type independence") {
+    import spark.implicits._
+    val g = 10L
+    val ev = Seq(
+      // u1/A: [0,5,9] one run; [25,30] second run
+      (1L, 1L, "A", 0L), (2L, 1L, "A", 5L), (3L, 1L, "A", 9L),
+      (4L, 1L, "A", 25L), (5L, 1L, "A", 30L),
+      // u1/B: same user, other type — independent
+      (6L, 1L, "B", 7L),
+      // u2/A: equal-ts duplicate click collapses onto the smaller id
+      (7L, 2L, "A", 100L), (8L, 2L, "A", 100L),
+      // u3/A: gap EXACTLY g is suppressed (strictly-greater keeps)
+      (9L, 3L, "A", 0L), (10L, 3L, "A", 10L),
+      // u4/A: gap g+1 is kept
+      (11L, 4L, "A", 0L), (12L, 4L, "A", 11L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = operators.Activity.debounce(ev, g).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r((1L, "A", 1L)) == ((0L, 2L, 9L)), s"first run absorbs 2: ${r((1L, "A", 1L))}")
+    assert(r((1L, "A", 4L)) == ((25L, 1L, 5L)), "second run opens past the gap")
+    assert(r((1L, "B", 6L)) == ((7L, 0L, 0L)), "types debounce independently")
+    assert(r((2L, "A", 7L)) == ((100L, 1L, 0L)), "equal-ts duplicate collapses onto min id")
+    assert(r((3L, "A", 9L)) == ((0L, 1L, 10L)), "gap == g suppresses (strict >)")
+    assert(r((4L, "A", 11L)) == ((0L, 0L, 0L)) && r((4L, "A", 12L)) == ((11L, 0L, 0L)),
+      "gap == g+1 keeps")
+    assert(r.size == 7)
+  }
+
   test("st29 EWMA: exact integer fold, mathematical floor on falls, total order, one keyed exchange") {
     import spark.implicits._
     val ev = Seq(
