@@ -240,6 +240,7 @@ object SparkEntry {
     "st29_ewma" -> ((s, d) => operators.Activity.st29(s, d)),
     "a48_trailing_range" -> ((s, d) => analytics.Queries.a48(s, d)),
     "st30_debounce" -> ((s, d) => operators.Activity.st30(s, d)),
+    "s27_hard_negatives" -> ((s, d) => similarity.Similarity.s27(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1879,6 +1880,31 @@ object SparkEntry {
         | FROM cand)
         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
         |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    // s27: s3's probe replay with the per-query label-mismatch test
+    // on the candidate join (labels decorate by vec_id equi-joins)
+    "s27_hard_negatives" -> ("WITH " + ivfCorpusCtes + """,
+        |probes AS (
+        | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
+        | FROM e q CROSS JOIN cents3 c
+        | WHERE q.vec_id % 50 = 0),
+        |cand AS (
+        | SELECT DISTINCT p.q_id, p.q_emb, ql.label AS q_label,
+        |  c.vec_id AS n_id, c.emb AS n_emb, nl.label AS n_label
+        | FROM (SELECT * FROM probes WHERE pr <= 12) p
+        | JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id
+        | JOIN embeddings ql ON ql.vec_id = p.q_id
+        | JOIN embeddings nl ON nl.vec_id = c.vec_id
+        | WHERE ql.label <> nl.label),
+        |scored AS (
+        | SELECT q_id, q_label, n_id, n_label,
+        |  list_cosine_similarity(q_emb, n_emb) AS cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, n_id) AS rank
+        | FROM cand)
+        |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_id,
+        | CAST(n_label AS BIGINT) AS n_label, CAST(rank AS BIGINT) AS rank,
+        | round(cos, 6) AS cosine
+        |FROM scored WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
     // d2: full minhash replay — token/shingle hashes as in d3
     // (HUGEINT mod-2^64, layered transforms; token-level mix then
     // three chained window mixes), then the 128-perm signature

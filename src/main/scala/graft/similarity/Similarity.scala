@@ -1315,4 +1315,52 @@ object Similarity {
   def s26(spark: SparkSession, dir: String): DataFrame =
     incrementalIvfReport(Tables.embeddings(spark, dir))
       .orderBy(col("cell"))
+
+  /** Hard-negative mining (s27) — the contrastive-training data pass
+    * (retriever/embedding fine-tuning wants, per anchor, the nearest
+    * vectors that are NOT its class: the examples the current space
+    * confuses, which carry the gradient signal easy random negatives
+    * don't). Per query: top-k highest-cosine neighbors whose label
+    * differs, mined through the IVF probe path — the label-mismatch
+    * test is a PER-QUERY predicate, so unlike s10's static metadata
+    * gate it rides the candidate join, not the corpus scan; the
+    * probed-cell pruning still bounds the scored set to
+    * ~nprobe/numCells of the corpus per query.
+    *
+    * Scale shape: exactly ivfKnn's — bounded query set broadcast with
+    * its probe fan-out, corpus assigned to cells by the BestCell
+    * static kernel in one narrow map, candidates meet on the cell_id
+    * equi-join, ranks ride the per-query window over the pruned
+    * candidate set. A missed true hard negative (outside the probed
+    * cells) is the stated IVF recall trade every s3-family entry
+    * prices (s17/s20).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+                    numCells: Int = 16, nprobe: Int = 12,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"))
+      .withColumn("cell_id", assignBest(col("n_emb"), cents))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .withColumn("cell_id", explode(probeCells(col("q_emb"), cents, nprobe)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("n_id"), col("n_label").cast("long").as("n_label"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Verified entry (s27). Sort is oracle-determinism only. */
+  def s27(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    hardNegatives(querySet(emb), emb, cacheKey = Some(dir))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

@@ -468,4 +468,44 @@ class SimilaritySpec extends GraftSpecBase {
       mean.foreach(m => assert(m >= -1000000L && m <= 1000000L))
     }
   }
+
+  test("s27 hard negatives: same-label neighbors are excluded even when nearer; probe recall holds") {
+    import spark.implicits._
+    // id2 (same label, cos .348 to the anchor) must NOT appear even
+    // though it beats id4 (other label, cos .243): the miner returns
+    // the nearest vectors the anchor's class CONFUSES, not the
+    // nearest vectors outright
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (4L, Seq(0f, 1f, 0f, 0f), 1),
+      (1L, Seq(0.8f, 0.2f, 0f, 0f), 0), (2L, Seq(0.1f, 0.9f, 0f, 0f), 0),
+      (3L, Seq(0.2f, 0.8f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val p = similarity.Similarity.hardNegatives(q, corpus, k = 3,
+        numCells = 2, nprobe = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))
+    assert(p.map(t => (t._3, t._5)).toSeq == Seq((3L, 1L), (4L, 2L)),
+      s"negatives ranked by cosine, same-label id2 excluded: ${p.toSeq}")
+    assert(p.forall(t => t._2 == 0L && t._4 == 1L))
+    assert(math.abs(p(0)._6 - 0.470588) < 1e-5 && math.abs(p(1)._6 - 0.242536) < 1e-5,
+      s"cosines: ${p.map(_._6).toSeq}")
+    // corpus: labels always differ, ranks dense, and the 12-of-16
+    // probe misses few of the exact (all-cells) hard negatives
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val probed = similarity.Similarity.hardNegatives(qs, emb, cacheKey = Some(sf))
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(4), x.getLong(1), x.getLong(3)))
+    assert(probed.nonEmpty)
+    assert(probed.forall(t => t._4 != t._5), "every mined negative crosses labels")
+    probed.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length), s"q $qid ranks dense")
+    }
+    val exact = similarity.Similarity.hardNegatives(qs, emb, nprobe = 16,
+        cacheKey = Some(sf))
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val hit = probed.map(t => (t._1, t._2)).count(exact.contains)
+    assert(hit.toDouble / exact.size >= 0.9,
+      s"probe recall ${hit.toDouble / exact.size} under the 0.9 gate")
+  }
 }
