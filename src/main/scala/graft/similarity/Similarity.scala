@@ -55,8 +55,12 @@ object Similarity {
       .withColumn("probe", explode(array(masks.map(m => expr(s"int(bucket0) ^ $m")): _*)))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, col("probe") === col("bucket") && col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
+      // score before the dedup/window exchanges (s27's lesson):
+      // multiprobe duplicates score identically, and the shuffles
+      // then never carry the embedding payloads
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
@@ -313,8 +317,13 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
+      // score before the dedup/window exchanges (s27's lesson): the
+      // multiprobe duplicates score identically, so deduping the
+      // scored narrow frame is equivalent and the shuffles never
+      // carry the embedding payloads
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
@@ -357,10 +366,12 @@ object Similarity {
       .withColumn("cell_id", explode(probeCells(col("q_emb"), cents, nprobe)))
     broadcast(q).join(c, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
+      // score-then-narrow before the dedup exchange (s27's lesson);
+      // the tau filter additionally shrinks the shuffle to hits only
       .withColumn("cosine", round(cosine_sim(col("q_emb"), col("n_emb")), 6))
       .filter(col("cosine") >= tau)
       .select(col("q_id"), col("n_id"), col("cosine"))
+      .dropDuplicates("q_id", "n_id")
   }
 
   // ---- Verified entry points (query set = every 50th vector) ----
@@ -1348,8 +1359,14 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
-      .dropDuplicates("q_id", "n_id")
+      // score BEFORE the dedup/window exchanges: multiprobe duplicates
+      // compute the identical cosine, so deduping on the scored narrow
+      // frame is equivalent — and the shuffle carries ~40 bytes per
+      // candidate instead of two 64-float embeddings (measured: the
+      // wide spelling spilled the 50x rung out of disk)
       .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"), col("cos"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("q_label").cast("long").as("q_label"),
