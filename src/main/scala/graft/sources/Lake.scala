@@ -344,7 +344,7 @@ object Lake {
     // dynamic overwrite's all-days-at-job-commit window).
     val fs = new Path(lakePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(lakePath, "_staging/merge")
-    survivors.unionByName(batch.select(survivors.columns.map(col): _*))
+    survivors.unionByName(batch.select(survivors.columns.toIndexedSeq.map(col): _*))
       .withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode("overwrite")
       .partitionBy("p_date").parquet(staging.toString)
@@ -377,7 +377,7 @@ object Lake {
       writeDatePartitioned(ev, path)
       val days = ev.select(to_date(col("ts")).as("d")).distinct()
         .orderBy(col("d")).limit(2).collect().map(_.getDate(0).toString)
-      val touched = ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(days: _*))
+      val touched = ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(days.toIndexedSeq: _*))
       val corrections = touched.filter(pmod(col("event_id"), lit(7)) === 3)
         .withColumn("value", round(col("value") * 10, 2))
       val inserts = touched.filter(pmod(col("event_id"), lit(11)) === 5)
@@ -1014,7 +1014,7 @@ object Lake {
     val survivors = existing.map(
       _.join(broadcast(keys), Seq(keyCol), "left_anti"))
     val merged = survivors match {
-      case Some(s) => s.unionByName(dayBatch.select(s.columns.map(col): _*))
+      case Some(s) => s.unionByName(dayBatch.select(s.columns.toIndexedSeq.map(col): _*))
       case None    => dayBatch
     }
     val staging = new Path(root, s"_staging/txn-$writerId-s$snapshot")
