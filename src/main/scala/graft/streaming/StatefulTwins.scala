@@ -464,6 +464,57 @@ object StatefulTwins {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
   }
 
+  // ------------------------------------------------------------ debounce
+
+  final case class DebEv(user_id: Long, event_type: String, event_id: Long,
+                         ts_us: Long)
+  final case class DebRun(leadId: Long, leadTs: Long, n: Long, lastTs: Long)
+  final case class DebOut(user_id: Long, event_type: String, event_id: Long,
+                          ts_us: Long, n_suppressed: Long, span_us: Long)
+
+  /** Streaming twin of st30's debounce (Activity.debounce): state per
+    * (user, type) is the OPEN run — its lead event, how many repeats
+    * it has absorbed, and the last timestamp seen. An arrival within
+    * `gapUs` of the last one extends the run; an arrival beyond it
+    * CLOSES the run (append-emit with its suppressed count and span)
+    * and opens a new one on the arrival. The final run per key stays
+    * open unemitted (st17's island law: a closing needs gap evidence)
+    * — so the emitted rows are exactly the batch output minus each
+    * (user, type)'s last run, proven in StreamingSpec. O(1) state per
+    * key; this per-arrival update is the batch lag-gap fold applied
+    * eventwise.
+    */
+  def debounceStream(events: Dataset[DebEv], gapUs: Long): Dataset[DebOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: (Long, String), evs: Iterator[DebEv],
+           state: GroupState[DebRun]): Iterator[DebOut] = {
+      val (uid, etype) = key
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[DebOut]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        if (st == null) st = DebRun(e.event_id, e.ts_us, 1L, e.ts_us)
+        else if (e.ts_us - st.lastTs > gapUs) {
+          out += DebOut(uid, etype, st.leadId, st.leadTs,
+            st.n - 1L, st.lastTs - st.leadTs)
+          st = DebRun(e.event_id, e.ts_us, 1L, e.ts_us)
+        } else {
+          // within the gap (or the same instant): a repeat — the
+          // in-order contract guarantees e.ts_us >= lastTs here
+          st = DebRun(st.leadId, st.leadTs, st.n + 1L,
+            math.max(st.lastTs, e.ts_us))
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
+
   // ------------------------------------------------------------- EWMA state
 
   final case class EwmaEv(user_id: Long, ts_us: Long, event_id: Long, v_e6: Long)

@@ -713,6 +713,40 @@ class StreamingSpec extends GraftSpecBase {
     assert(batchClosed.exists(_._4), "fixture must contain closed observed slots")
   }
 
+  test("streaming debounce emits exactly the batch runs minus each key's open run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StatefulTwins.{DebEv, DebOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapUs = 600L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[DebEv].collect()
+    val cut = evs.map(_.ts_us).sorted.apply(evs.length / 2)
+    val (b1, b2) = evs.partition(_.ts_us < cut)
+    val mem = MemoryStream[DebEv]
+    val q = streaming.StatefulTwins.debounceStream(mem.toDS(), gapUs)
+      .writeStream.format("memory").queryName("deb_twin").outputMode("append").start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1.toSeq): _*); q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2.toSeq): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("deb_twin").as[DebOut].collect()
+      .map(r => (r.user_id, r.event_type, r.event_id, r.ts_us,
+        r.n_suppressed, r.span_us)).toSet
+    val batchAll = operators.Activity.st30(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // each (user, type)'s max-ts run is still open in stream state
+    val lastRun = batchAll.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._4).max).toMap
+    val batchClosed = batchAll.filterNot(t => t._4 == lastRun((t._1, t._2))).toSet
+    assert(streamed == batchClosed,
+      s"stream-only: ${(streamed -- batchClosed).take(3)}; batch-only: ${(batchClosed -- streamed).take(3)}")
+    assert(batchClosed.nonEmpty, "fixture must close runs")
+    assert(batchClosed.exists(_._5 > 0L), "fixture must close runs that absorbed repeats")
+  }
+
   test("streaming EWMA state upserts to exactly the batch per-key smoother rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.StatefulTwins.{EwmaEv, EwmaOut}
