@@ -241,6 +241,7 @@ object SparkEntry {
     "a48_trailing_range" -> ((s, d) => analytics.Queries.a48(s, d)),
     "st30_debounce" -> ((s, d) => operators.Activity.st30(s, d)),
     "s27_hard_negatives" -> ((s, d) => similarity.Similarity.s27(s, d)),
+    "d23_fuzzy_contamination" -> ((s, d) => dedup.Contamination.d23(s, d)),
   )
 
   /** p15 oracle: p14's per-column profile replay GENERATED for each
@@ -1926,6 +1927,44 @@ object SparkEntry {
         |SELECT a_id, b_id, est_jaccard FROM scored
         |WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin),
+    // d23: d2's pair replay decorated with x8's exact mix64 split
+    // (sm-prefixed ladder), cross-split normalization, worst-match
+    // window per held doc
+    "d23_fuzzy_contamination" -> ("WITH " + minhashPairCtes("documents") + """,
+        |sm0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z FROM documents),
+        |sm1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM sm0),
+        |sm2 AS (SELECT doc_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM sm1),
+        |sm3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM sm2),
+        |sm4 AS (SELECT doc_id, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM sm3),
+        |sm5 AS (SELECT doc_id, xor(z, z >> 31) AS u FROM sm4),
+        |ssgn AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+        | FROM sm5),
+        |sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN ((h % 100) + 100) % 100 < 80 THEN 'train'
+        |       WHEN ((h % 100) + 100) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM ssgn),
+        |pairs AS (
+        | SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.5),
+        |xs AS (
+        | SELECT CASE WHEN sa.split = 'train' THEN p.b_id ELSE p.a_id END AS held_id,
+        |  CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS held_split,
+        |  CASE WHEN sa.split = 'train' THEN p.a_id ELSE p.b_id END AS train_id,
+        |  p.est_jaccard
+        | FROM pairs p
+        | JOIN sp sa ON sa.doc_id = p.a_id
+        | JOIN sp sb ON sb.doc_id = p.b_id
+        | WHERE (sa.split = 'train') <> (sb.split = 'train')),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY held_id
+        |   ORDER BY est_jaccard DESC, train_id) AS rn FROM xs)
+        |SELECT held_id, held_split, train_id AS worst_train_id,
+        | est_jaccard AS worst_est_jaccard
+        |FROM r WHERE rn = 1 ORDER BY held_id""".stripMargin),
     // d15: d2's replay extended with the exact jaccard over the SAME
     // hashed shingle sets; within_tol is literal truth (a8b pattern)
     "d15_minhash_calibration" -> ("WITH " + minhashPairCtes("documents") +

@@ -64,4 +64,58 @@ object Contamination {
       hashShingles = false)
       .orderBy(col("doc_id"))
   }
+
+  /** Fuzzy cross-split contamination (d23) — d7 catches exact
+    * n-gram containment; the leaks that actually poison evals are
+    * NEAR duplicates of training documents (rephrasings, boilerplate
+    * variants, truncated re-crawls), which is why production
+    * decontamination runs a minhash pass across the split boundary.
+    * Per held-out (val/test) document: its worst near-dup in the
+    * TRAIN split — the max banded-LSH jaccard estimate and the
+    * offending train doc — over x8's deterministic mix64 split of
+    * the corpus. A nonzero row here means x13's leakage-safe split
+    * (which splits by near-dup CLUSTER, not doc) should have been
+    * used; this report is the audit that catches the difference.
+    *
+    * Scale shape: rides d2's banded-LSH pair machinery UNCHANGED
+    * (the corpus is never pairwise — candidates meet in signature
+    * bands), decorated by two id-keyed equi-joins against the
+    * |docs|-row split frame; the worst-match window partitions by
+    * held doc over the LSH-bounded pair set only.
+    */
+  def fuzzyContamination(docs: DataFrame, threshold: Double = 0.5,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val split = graft.text.Curation
+      .hashSplit(docs.select(col("doc_id")), "doc_id", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLshPairs(docs, threshold)
+    val decorated = pairs
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        Seq("a_id"))
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        Seq("b_id"))
+      .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+      .select(
+        when(col("a_split") === "train", col("b_id")).otherwise(col("a_id"))
+          .as("held_id"),
+        when(col("a_split") === "train", col("b_split")).otherwise(col("a_split"))
+          .as("held_split"),
+        when(col("a_split") === "train", col("a_id")).otherwise(col("b_id"))
+          .as("train_id"),
+        col("est_jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("held_id"))
+      .orderBy(col("est_jaccard").desc, col("train_id"))
+    decorated
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("held_id"), col("held_split"),
+        col("train_id").as("worst_train_id"),
+        col("est_jaccard").as("worst_est_jaccard"))
+  }
+
+  /** Verified entry (d23). Sort is oracle-determinism only. */
+  def d23(spark: SparkSession, dir: String): DataFrame =
+    fuzzyContamination(Tables.documents(spark, dir))
+      .orderBy(col("held_id"))
 }

@@ -504,4 +504,33 @@ class DedupSpec extends GraftSpecBase {
       s"joinback-only: ${(joinback -- oneShuffle).take(3)}; one-shuffle-only: ${(oneShuffle -- joinback).take(3)}")
     assert(oneShuffle.nonEmpty, "fixture must produce candidate pairs")
   }
+
+  test("d23 fuzzy contamination: cross-split leaks surface, train-only dupes don't, ties pick min id") {
+    import spark.implicits._
+    // splits are mix64(doc_id)-determined, so build the fixture FROM
+    // the split assignment: plant one dup group straddling the
+    // boundary, one train-only dup group, one clean held doc
+    val ids = (0L until 40L).toDF("doc_id")
+    val splitOf = text.Curation.hashSplit(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trains = (0L until 40L).filter(splitOf(_) == "train")
+    val helds = (0L until 40L).filter(i => splitOf(i) != "train")
+    assert(trains.size >= 3 && helds.size >= 2, s"fixture needs both sides: $splitOf")
+    val leakText = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val cleanTrainText = "one two three four five six seven eight nine ten " * 4
+    val docs = Seq(
+      (trains(0), leakText), (trains(1), leakText), (helds(0), leakText),
+      (trains(2), cleanTrainText),
+      (helds(1), "totally unrelated words nothing shared here at all " * 4))
+      .toDF("doc_id", "text")
+    val r = dedup.Contamination.fuzzyContamination(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(helds(0)),
+      s"only the straddling held doc is contaminated: $r (helds=$helds trains=$trains)")
+    val (hsplit, worstId, worstEst) = r(helds(0))
+    assert(hsplit == splitOf(helds(0)))
+    assert(worstId == math.min(trains(0), trains(1)),
+      "identical-text tie must break to the smaller train id")
+    assert(worstEst == 1.0, s"byte-identical leak estimates 1.0: $worstEst")
+  }
 }
