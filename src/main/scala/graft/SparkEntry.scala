@@ -341,7 +341,7 @@ object SparkEntry {
          |  FROM (SELECT vec_id, emb[$lo:$hi] AS se FROM e) t CROSS JOIN pc2_$s c) WHERE rn = 1),
          |pqd_$s AS MATERIALIZED (
          | SELECT q.vec_id AS q_id, c.code, ${dist("q.se", "c.ce")} AS d
-         | FROM (SELECT vec_id, emb[$lo:$hi] AS se FROM e WHERE vec_id % 50 = 0) q CROSS JOIN pc2_$s c)""".stripMargin
+         | FROM (SELECT vec_id, emb[$lo:$hi] AS se FROM e WHERE vec_id % 50 = 0 AND vec_id < 25600) q CROSS JOIN pc2_$s c)""".stripMargin
     }.mkString(",\n")
     val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
     val codeJoins = (1 until m).map(s => s"JOIN pcode_$s c$s ON c$s.vec_id = c0.vec_id").mkString(" ")
@@ -535,7 +535,7 @@ object SparkEntry {
         | SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |  list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS dot8,
         |  a.nsq AS qn, b.nsq AS cn
-        | FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+        | FROM n8 a JOIN n8 b ON a.vec_id % 50 = 0 AND a.vec_id < 25600 AND a.vec_id <> b.vec_id),
         |scored AS (
         | SELECT q_id, n_id,
         |  CASE WHEN qn = 0 OR cn = 0 THEN 0.0
@@ -891,7 +891,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        | WHERE q.vec_id % 50 = 0)
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // s4: int8 quantization replays exactly — integer dot products
     // and norms have no summation-order drift; the only float math
@@ -1847,7 +1847,7 @@ object SparkEntry {
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |b AS (SELECT vec_id, emb, (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.4831297575436466,0.45635754657871463,0.9630481089290748,0.9368271793005098,0.4603985488322606,-0.03357644549125749,-0.9684409541259245,-0.7789736208837705,0.4611819703474347,-0.2667588911453489,0.9508150578616625,0.565384501766178,0.4709079344353593,-0.1400354270797437,0.22731385379935265,-0.5779585747421894,-0.018082160648132062,0.17632335945531508,0.4612713994312787,-0.4882815987768181,-0.6079280750552198,0.09729213578387763,0.6764662605635758,-0.5701113887968243,-0.6553819639737548,0.7943928788693988,-0.9600642408549158,-0.34906244438900447,-0.1950711965559735,0.6304227290173106,0.11244960518559233,0.6293640398949065,-0.4221708203632022,0.08796208395134997,0.7965401824775487,-0.23166514910531122,-0.32001564564437235,0.05925897520292467,0.48139968791470666,0.13727001683474627,-0.8913589471335024,-0.9257255592949607,0.6202509734760469,-0.13996566450801784,0.6506063592890625,0.9122493482829299,-0.5186953222819857,0.6325727875653409,0.871791855850985,0.9400949302588086,0.22926522133059946,0.9630094184718285,0.9206264852428769,0.9645406272645731,-0.23283117264482112,-0.3799541627678693,0.8822833041783757,-0.47693905686123084,-0.7254148028128147,0.6328824011969005,-0.8652287553119871,-0.7976282174065479,-0.4416413790413063,0.4659016611869382])[i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.2889205464457245,-0.4495970664914146,0.919027945491357,0.799238360011836,-0.45197554778791194,-0.3353801145468889,-0.959043040503361,-0.5234482802636802,-0.6729479552904831,-0.06037505269491028,-0.4428744425425537,0.889057750434421,0.20077641769609622,-0.4473533829798164,-0.9479189317555625,-0.3682719842491622,-0.48471940118165846,-0.07928915078675969,0.9822750200153878,-0.705697358413371,-0.6040064215399448,-0.6732622410470992,0.26472694283760845,-0.5887696831269638,0.875961467903184,-0.7371957754026699,0.8798713150077997,0.41073411356514966,-0.5157736693515571,-0.29589974932217666,-0.1303036949033327,0.2133401434261859,-0.45580638158152653,-0.7961116121365008,0.17859951246760608,0.7443103484756164,-0.008438454315613297,0.42841126078435576,0.7822325608201028,-0.7189475676637811,-0.5939438089482902,-0.07653935731171835,-0.8856513920639695,0.7792863834354375,0.803610567264816,0.6035450314090991,0.871328523584854,-0.21793145375962264,0.8598423542295015,-0.7366306536929073,-0.11185197362647337,0.5816047537836604,0.47122134202278443,-0.38991706463256004,0.44859967284203073,0.09329855930999598,-0.6490520344976733,-0.6137910695572741,0.48813698487505985,-0.5908990339848701,-0.2719138795733358,0.1274034388291594,-0.385722809212131,-0.5657621355906588])[i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.6696709430057244,0.26551974529309663,-0.5640898928832452,0.37292968445687347,0.0423610058372641,-0.6745222491009384,-0.402551940139398,0.35471185532709004,-0.36187082205735366,-0.5124960518952926,-0.9801650448802106,-0.2869704139554361,0.506977345832897,-0.2919629509773287,-0.3849486710516601,-0.028366645778671984,-0.9345057112903139,-0.8133609666540575,0.5508045228239253,-0.23104486851049,0.4056207283184696,-0.1733603546238791,-0.4778735609732696,-0.5943973567297407,-0.13503316021656797,0.043526662018896545,-0.8269174084094906,0.25671553526913127,-0.39132646166439344,0.1681167604938283,-0.5119449208516733,0.8947435093732621,-0.9684180428669875,-0.3584542396201609,0.3848901183279909,0.27127429684032345,0.25753985475046637,0.4704859929346574,-0.6930732266011688,0.516482547465011,0.8519326929424726,0.7904320611398663,0.7583977997251683,-0.1694837634407067,0.08746088304709088,-0.5647722106018414,0.7658868635310454,-0.26099520020536504,0.43604344231564274,0.26276902222595244,-0.4030071841589449,0.7659126996009826,0.6059510939566934,0.7890722511956503,-0.7735739560801884,0.4213816857063526,0.2790189405972223,0.777388079142548,0.37395672062962015,-0.398398476927031,0.4880831371999743,0.4720669187584452,-0.39024003948736663,0.6765242084021938])[i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([-0.43977207565312626,-0.8033574222631266,-0.9105030239597309,0.2963022486720597,-0.5742059729676576,0.5631207291463483,0.21888713132924442,-0.42189563249394313,0.3109784588796791,0.8845930494983192,0.5632735459194818,-0.9878342539636598,-0.17942017269081645,0.12301668593490755,0.16260479742581824,-0.1243162959473183,0.6204568998065949,0.3990365389797952,-0.32370093135097866,0.1498824275235704,0.825453767026405,-0.3411978762197101,-0.0517005999052087,0.07728424935812095,0.7482807055979659,-0.6697791516750342,-0.5673382465315802,-0.7896012894830835,-0.13427901701964218,-0.5378341934981536,-0.2301966482557647,0.10463905647586147,-0.47850001974395817,-0.4808347170406664,0.48597206894968314,-0.25180854939126207,-0.6186968604111842,-0.6358295151487021,-0.13189752695272494,-0.11880177158589134,-0.2733765100625498,0.05373172689986605,0.24370112659740162,0.44825491751590074,-0.6193044321180234,0.19334207183020524,0.8986037767162058,-0.8403012121313129,0.5718613028113979,-0.9267107128545855,0.17563976904106404,0.0013926551790492958,-0.24925432671758618,0.40657867627757893,-0.9655176451902316,-0.4683079549291791,0.4918022944906144,0.5359210214545229,0.4938796061202686,0.531536112761058,0.9243175474596907,0.9696035029712387,0.2137045776340727,0.9077965328230189])[i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bkt FROM e),
-        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bkt AS q_bkt FROM b WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bkt AS q_bkt FROM b WHERE vec_id % 50 = 0 AND vec_id < 25600),
         |probes AS (SELECT q_id, q_emb, unnest(list_transform([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14], m -> xor(q_bkt, m))) AS p_bkt FROM q),
         |cand AS (
         | SELECT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
@@ -1869,7 +1869,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |cand AS (
         | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
         | FROM (SELECT * FROM probes WHERE pr <= 12) p
@@ -1888,7 +1888,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |cand AS (
         | SELECT DISTINCT p.q_id, p.q_emb, ql.label AS q_label,
         |  c.vec_id AS n_id, c.emb AS n_emb, nl.label AS n_label
@@ -2238,7 +2238,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |cand AS (
         | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
         | FROM (SELECT * FROM probes WHERE pr <= 12) p
@@ -2254,7 +2254,7 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q.vec_id
         |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 50 = 0)
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         | WHERE rank <= 10)
         |SELECT a.q_id, count(*) AS n_hits,
         | round(CAST(count(*) AS DOUBLE) / 10, 4) AS recall_at_k
@@ -2544,7 +2544,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |flt AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
         |cand AS (
         | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
@@ -2569,7 +2569,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        | WHERE q.vec_id % 50 = 0)
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         |WHERE cosine >= 0.35 ORDER BY q_id, n_id""".stripMargin,
     // x15: x10's mix64 chain for the within-source shuffle key, then
     // pos = (per-source row_number - 1) * n_sources + source index
@@ -3738,7 +3738,7 @@ object SparkEntry {
         |      CAST(c.embedding[1:d.dim] AS DOUBLE[])) DESC, c.vec_id) AS rank
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | CROSS JOIN dims d
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |topk AS (SELECT dim, q_id, n_id FROM r WHERE rank <= 10),
         |f AS (SELECT q_id, n_id FROM topk WHERE dim = 64)
         |SELECT CAST(t.dim AS INTEGER) AS dim,
@@ -4195,14 +4195,14 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, q.emb AS q_emb, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |bf AS (
         | SELECT q_id, n_id FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |   row_number() OVER (PARTITION BY q.vec_id
         |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id % 50 = 0)
+        |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         | WHERE rank <= 10),
         |""".stripMargin + perRung + s"""
         |SELECT nprobe, n_hits,
@@ -4354,7 +4354,7 @@ object SparkEntry {
         | SELECT q.vec_id AS q_id, c.cell,
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
-        | WHERE q.vec_id % 50 = 0),
+        | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |sizes AS (SELECT cell, count(*) AS n FROM corpus GROUP BY 1),
         |th AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
         |f AS (SELECT th.nprobe, p.q_id, p.cell FROM th JOIN probes p ON p.pr <= th.nprobe)

@@ -1559,8 +1559,10 @@ object Queries {
       .select(col("item").as("src"), col("item_v").as("dst")).distinct()
     val edges = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, Seq("src")).persist()
-    val nodes = capped.select(col("item")).distinct().persist()
+    // reused every iteration; bounded-cache persisted (ADVICE r8)
+    val edgesD = graft.FrameCache.persisted("a47_edges", edges.join(deg, Seq("src")))
+    val nodes = graft.FrameCache.persisted("a47_nodes",
+      capped.select(col("item")).distinct())
     var rank = nodes.select(col("item"), lit(1000000000L).as("r"))
     for (_ <- 1 to iters) {
       val sums = edgesD

@@ -185,10 +185,13 @@ object Dedup {
       .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
       .withColumn("sim", simhash64(col("tok_hashes")))
       .select(col("doc_id"), col("sim"))
-    val families = sigs.groupBy(col("sim"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-        min(col("doc_id")).as("rep"))
-      .persist()
+    // three consumers (identical-pair expansion, rep banding, member
+    // fan-out) share one persisted family frame — bounded via
+    // FrameCache, never a bare leak (ADVICE r8)
+    val families = graft.FrameCache.persisted("d3_families",
+      sigs.groupBy(col("sim"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          min(col("doc_id")).as("rep")))
     val identical = families.filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->

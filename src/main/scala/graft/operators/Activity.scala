@@ -575,15 +575,21 @@ object Activity {
     * |keys| rows. Per-key state is the series length: the same
     * bounded contract the flatMapGroupsWithState twins buffer under
     * — and this fold IS the batch form of that streaming state
-    * update.
+    * update. The contract is ENFORCED by `maxSeriesLen`
+    * ([[SeriesGuard]]): a key holding more events than the valve
+    * fails with a named error pointing at the streaming twin, never
+    * a cryptic aggregation-buffer OOM.
     */
   def ewmaState(events: DataFrame, keyCol: String, tsCol: String,
                 idCol: String, valE6: org.apache.spark.sql.Column,
-                shift: Int = 2): DataFrame = {
+                shift: Int = 2,
+                maxSeriesLen: Long = SeriesGuard.DefaultMaxSeriesLen): DataFrame = {
     val m = 1 << shift
-    events
-      .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
-        col(idCol).cast("long").as("__id"), valE6.cast("long").as("__v"))
+    SeriesGuard.boundedSeries(
+      events
+        .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+          col(idCol).cast("long").as("__id"), valE6.cast("long").as("__v")),
+      Seq(keyCol), maxSeriesLen)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__ts"), col("__id"), col("__v"))))
         .as("__series"))

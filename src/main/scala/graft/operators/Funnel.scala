@@ -38,19 +38,26 @@ object Funnel {
     */
   def funnel3(events: DataFrame, userCol: String, tsCol: String,
               idCol: String, typeCol: String,
-              steps: (String, String, String)): DataFrame =
-    funnel3Keyed(events, Seq(userCol), tsCol, idCol, typeCol, steps)
+              steps: (String, String, String),
+              maxSeriesLen: Long = SeriesGuard.DefaultMaxSeriesLen): DataFrame =
+    funnel3Keyed(events, Seq(userCol), tsCol, idCol, typeCol, steps, maxSeriesLen)
 
   /** The same fold grouped by a COMPOSITE key (e.g. user + session) —
     * the funnel-within-session shape st16 verifies.
     */
   def funnel3Keyed(events: DataFrame, keyCols: Seq[String], tsCol: String,
                    idCol: String, typeCol: String,
-                   steps: (String, String, String)): DataFrame = {
+                   steps: (String, String, String),
+                   maxSeriesLen: Long = SeriesGuard.DefaultMaxSeriesLen): DataFrame = {
     val (s1, s2, s3) = steps
-    val filtered = events
-      .filter(col(typeCol).isin(s1, s2, s3))
-      .select((keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(typeCol))): _*)
+    // maxSeriesLen: this fold buffers each key's full step-event
+    // series in one aggregation buffer — SeriesGuard turns a hot key
+    // into a named failure instead of a buffer OOM (st29's contract).
+    val filtered = SeriesGuard.boundedSeries(
+      events
+        .filter(col(typeCol).isin(s1, s2, s3))
+        .select((keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(typeCol))): _*),
+      keyCols, maxSeriesLen)
     val nullTs = lit(null).cast("long")
     val init = struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3"))
     def step(st: Column, ev: Column): Column = {

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key valve for the per-key-history folds (VERDICT r8 item 5).
+  *
+  * The batch spellings of the sequential-state operators (st29's EWMA
+  * fold, st5/st16's funnel fold) buffer each key's FULL sorted series
+  * in one aggregation buffer — `aggregate(sort_array(collect_list))`.
+  * That contract is documented (per-key state = series length, the
+  * same bound the flatMapGroupsWithState twins hold), but nothing
+  * used to enforce it: a single hot key with 10⁸ events OOMed the
+  * task with a cryptic buffer error. This guard makes the contract a
+  * NAMED failure instead, d4-cap style:
+  *
+  *  1. one map-side-combined count per key (narrow agg — tiny next to
+  *     the fold's own keyed sort-shuffle);
+  *  2. keys over `maxSeriesLen` broadcast back against the input;
+  *  3. the first event of a violating key raises a named error BEFORE
+  *     the fold's collect buffer starts accumulating that key.
+  *
+  * The guard is a FILTER (not a projected column) so Catalyst's
+  * column pruning cannot eliminate the effect; on a clean corpus
+  * every row passes and the fold's plan below it is unchanged.
+  * Operators that collect answer-bounded groups (dedup signature
+  * families, fixed-64-dim vector re-assembly) don't need it — their
+  * buffer size is bounded by the answer, not by key traffic.
+  */
+object SeriesGuard {
+
+  /** 10M events ≈ low-GB of buffered (ts, id, value) structs — the
+    * point where one key's buffer threatens a 4-8 GB task heap and
+    * the streaming twin is the right tool anyway.
+    */
+  val DefaultMaxSeriesLen = 10000000L
+
+  def boundedSeries(df: DataFrame, keyCols: Seq[String],
+                    maxSeriesLen: Long = DefaultMaxSeriesLen): DataFrame = {
+    require(maxSeriesLen > 0, "maxSeriesLen must be positive")
+    val violators = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__series_len"))
+      .filter(col("__series_len") > maxSeriesLen)
+    val msg = concat(
+      lit(s"graft SeriesGuard: per-key series exceeds maxSeriesLen=$maxSeriesLen for key ("),
+      concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+      lit("): "), col("__series_len").cast("string"),
+      lit(" events. This batch fold buffers each key's full series in one " +
+        "aggregation buffer; route unbounded keys through the streaming twin " +
+        "(graft.streaming.StatefulTwins) or raise maxSeriesLen explicitly."))
+    df.join(broadcast(violators), keyCols, "left")
+      .filter(assert_true(col("__series_len").isNull, msg).isNull)
+      .drop("__series_len")
+  }
+}

@@ -374,9 +374,26 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
   }
 
-  // ---- Verified entry points (query set = every 50th vector) ----
+  // ---- Verified entry points ------------------------------------
+  // Audit query set: every 50th vector, CAPPED at a fixed id range —
+  // at most 512 queries (ids 0, 50, …, 25550) no matter how large the
+  // corpus grows. The r8 soak showed the uncapped `% 50` rule made
+  // the brute-force audit entries (s1/s4/s5/s9/s23) quadratic in the
+  // corpus (queries × corpus both grew), which is a property of the
+  // AUDIT SAMPLING, not the library functions (they take an arbitrary
+  // query frame). The cap is a plain id predicate rather than a
+  // mix64 draw or a rank: a draw is rate-based (still corpus-
+  // proportional) and a top-N rank adds a global sort to every audit
+  // entry; `vec_id < 25600` is exact, orderless, and spelled
+  // identically in the DuckDB oracles. At the verified SFs
+  // (n ≤ 2000) the cap is a no-op, so oracle results are unchanged;
+  // at derived 10×/50× rungs (copies shifted +10M) it pins the query
+  // budget to the base corpus and the entries go corpus-linear.
 
-  private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") % 50 === 0)
+  private val queryIdCap = 25600L
+
+  private def querySet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < queryIdCap)
 
   def s1(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -921,7 +938,7 @@ object Similarity {
   /** Verified entry (s20). Sort is oracle-determinism only. */
   def s20(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    nprobeCurve(emb.filter(col("vec_id") % 50 === 0), emb, cacheKey = Some(dir))
+    nprobeCurve(querySet(emb), emb, cacheKey = Some(dir))
       .orderBy(col("nprobe"))
   }
 
@@ -1016,7 +1033,7 @@ object Similarity {
   /** Verified entry (s22). Sort is oracle-determinism only. */
   def s22(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    scanCostCurve(emb.filter(col("vec_id") % 50 === 0), emb, cacheKey = Some(dir))
+    scanCostCurve(querySet(emb), emb, cacheKey = Some(dir))
       .orderBy(col("nprobe"))
   }
 
@@ -1248,14 +1265,15 @@ object Similarity {
         expr("""cast((__n * __ssq - cast(__s as decimal(38,0)) * __s)
           | div (cast(__n as decimal(38,0)) * __n) as bigint)"""
           .stripMargin.replace("\n", " ")).as("var_e12"))
-      // |dims| rows; persisted so the total-variance broadcast reads
-      // the cached frame instead of re-scanning the corpus
-      .persist()
-    val tot = d.agg(
+    // |dims| rows; persisted so the total-variance broadcast reads
+    // the cached frame instead of re-scanning the corpus —
+    // bounded-cache persisted (ADVICE r8)
+    val dC = graft.FrameCache.persisted("s25_dims", d)
+    val tot = dC.agg(
       sum(col("var_e12")).as("__tv"),
       expr("cast(round(sqrt(cast(sum(cast(mean_e6 as decimal(38,0)) * mean_e6) as double))) as bigint)")
         .as("centroid_norm_e6"))
-    d.crossJoin(broadcast(tot))
+    dC.crossJoin(broadcast(tot))
       .select(col("dim").cast("long").as("dim"), col("mean_e6"), col("var_e12"),
         expr("cast((cast(var_e12 as decimal(38,0)) * 2000000 + __tv) div (2 * __tv) as bigint)")
           .as("var_share_ppm"),

@@ -351,8 +351,15 @@ object Lake {
     touched.foreach { day =>
       val src = new Path(staging, s"p_date=$day")
       val dest = new Path(lakePath, s"p_date=$day")
-      fs.delete(dest, true)
-      if (fs.exists(src)) fs.rename(src, dest)
+      // Replacement-present check BEFORE the destructive delete: a
+      // missing staged day (failed or empty stage write) must leave
+      // the live day intact — whole-old, never gone (ADVICE r8; every
+      // touched day carries batch rows, so a missing staged dir is an
+      // anomaly to skip, not a delete instruction).
+      if (fs.exists(src)) {
+        fs.delete(dest, true)
+        fs.rename(src, dest)
+      }
     }
     fs.delete(staging, true)
   }
@@ -938,8 +945,14 @@ object Lake {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     txt.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(a, d, f) = line.split("\t", 3)
-      LogEntry(a, d, f)
+      line.split("\t", 3) match {
+        case Array(a, d, f) if a == "A" || a == "R" => LogEntry(a, d, f)
+        case _ => throw new IllegalStateException(
+          s"corrupt commit log ${logFile(root, v)}: malformed line " +
+            s"'$line' — likely a writer died mid-publish; remove the " +
+            "partial version file to reopen the slot (tryCommit cleans " +
+            "up IOException failures itself; this is the hard-crash path)")
+      }
     }
   }
 
@@ -972,13 +985,23 @@ object Lake {
     fs.mkdirs(new Path(root, "_log"))
     val f = logFile(root, v)
     if (fs.exists(f)) return false
+    // The exclusive create IS the claim (one winner per version); the
+    // bytes then land on the claimed stream. A write/close failure
+    // deletes the partial file so the version slot reopens instead of
+    // wedging every writer's tryCommit forever with a truncated
+    // v-file (ADVICE r8); a hard process death in the same window is
+    // caught by logEntries' named malformed-line validation.
     try {
       val out = fs.create(f, false)
       try out.write(entries.map(e => s"${e.action}\t${e.day}\t${e.file}")
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: java.io.IOException =>
+        try fs.delete(f, false) catch { case _: java.io.IOException => () }
+        false
+    }
   }
 
   /** An in-flight merge transaction: the snapshot it read, the days
@@ -987,7 +1010,7 @@ object Lake {
     */
   private[graft] final case class MergeTxn(root: String, writerId: String,
                                            snapshot: Int, days: Seq[String],
-                                           adds: Map[String, String],
+                                           adds: Map[String, Seq[String]],
                                            batch: DataFrame, keyCol: String,
                                            tsCol: String)
 
@@ -999,7 +1022,7 @@ object Lake {
     */
   private def stageMergeDays(spark: SparkSession, root: String, writerId: String,
                              snapshot: Int, days: Seq[String], batch: DataFrame,
-                             keyCol: String, tsCol: String): Map[String, String] = {
+                             keyCol: String, tsCol: String): Map[String, Seq[String]] = {
     if (days.isEmpty) return Map.empty
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stateFiles = tableState(spark, root, snapshot)
@@ -1019,8 +1042,11 @@ object Lake {
     }
     val staging = new Path(root, s"_staging/txn-$writerId-s$snapshot")
     // hash-repartition on the day: each day lands WHOLE in exactly one
-    // task (days parallelize across tasks) → exactly one data file per
-    // committed day, the unit the log tracks
+    // task (days parallelize across tasks) → normally one data file
+    // per committed day. Every .parquet file in the staged day dir is
+    // renamed and logged regardless — a conf that splits task output
+    // (spark.sql.files.maxRecordsPerFile) must commit losslessly, not
+    // silently drop siblings (ADVICE r8).
     merged.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
       .repartition(col("p_date"))
       .write.mode("overwrite").partitionBy("p_date").parquet(staging.toString)
@@ -1028,13 +1054,20 @@ object Lake {
       val src = new Path(staging, s"p_date=$day")
       if (!fs.exists(src)) None
       else {
-        val f = fs.listStatus(src).toSeq
-          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet")).get
-        val destDir = new Path(root, s"p_date=$day")
-        fs.mkdirs(destDir)
-        val dest = new Path(destDir, s"txn-$writerId-s$snapshot-${f.getPath.getName}")
-        fs.rename(f.getPath, dest)
-        Some(day -> dest.toString)
+        val parts = fs.listStatus(src).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (parts.isEmpty) None
+        else {
+          val destDir = new Path(root, s"p_date=$day")
+          fs.mkdirs(destDir)
+          val dests = parts.map { f =>
+            val dest = new Path(destDir,
+              s"txn-$writerId-s$snapshot-${f.getPath.getName}")
+            fs.rename(f.getPath, dest)
+            dest.toString
+          }
+          Some(day -> dests)
+        }
       }
     }.toMap
     fs.delete(staging, true)
@@ -1090,7 +1123,7 @@ object Lake {
         .filter(e => t.days.contains(e.day))
         .map(e => LogEntry("R", e.day, e.file))
       val adds = t.adds.toSeq.sortBy(_._1)
-        .map { case (day, f) => LogEntry("A", day, f) }
+        .flatMap { case (day, fls) => fls.sorted.map(f => LogEntry("A", day, f)) }
       if (tryCommit(spark, t.root, current + 1, removes ++ adds))
         return (current + 1, rebased)
     }
@@ -1120,22 +1153,30 @@ object Lake {
   private val occCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Int, Boolean)]()
 
+  /** Bootstrap a commit log over an existing date-partitioned lake:
+    * list every day dir's data files once (the ONLY directory listing
+    * the protocol ever does) and commit them as version 0.
+    */
+  private[graft] def bootstrapLog(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("p_date="))
+      .flatMap { d =>
+        val day = d.getPath.getName.stripPrefix("p_date=")
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => LogEntry("A", day, f.getPath.toString))
+      }
+    require(tryCommit(spark, root, 0, v0), "base commit must win v0")
+  }
+
   private[graft] def occLake(spark: SparkSession, dir: String): (String, Int, Int, Boolean) =
     occCache.computeIfAbsent(dir, { _ =>
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val root = tempLakeRoot("graft_occ")
       writeDatePartitioned(ev, root)
-      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val v0 = fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("p_date="))
-        .flatMap { d =>
-          val day = d.getPath.getName.stripPrefix("p_date=")
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(f => LogEntry("A", day, f.getPath.toString))
-        }
-      require(tryCommit(spark, root, 0, v0), "base commit must win v0")
+      bootstrapLog(spark, root)
       val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
         .distinct().orderBy(col("d")).limit(3)
         .collect().map(_.getString(0)).toSeq

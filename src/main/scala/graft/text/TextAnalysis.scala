@@ -873,12 +873,13 @@ object TextAnalysis {
     * corpus is tokenized once, shuffled on keys only.
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      // one tokenize pass feeds both the df agg and the scoring join
-      .persist()
+    // one tokenize pass feeds both the df agg and the scoring join;
+    // bounded-cache persisted (ADVICE r8)
+    val tf = graft.FrameCache.persisted("t22_tf",
+      docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -124,6 +124,35 @@ object NearDupSoak {
       f""""recall":${d2bHits.toDouble / nTruth}%.4f,"wall_s":$d2bS%.2f,"parity_with_d2":$parity}""")
     d2bP.unpersist()
 
+    // -- 2b. d23 fuzzy cross-split contamination at scale ------------
+    // (VERDICT r8 item 3): the leakage audit is exactly what this
+    // corpus exists for — planted (original, mutated-copy) pairs that
+    // land on OPPOSITE sides of x8's hash split are real train→held
+    // leaks at a known jaccard band. Recall = share of held docs with
+    // a planted train near-dup (true_j ≥ 0.5) that d23 reports at
+    // all. Misses decompose into LSH misses (banding) vs est-threshold
+    // misses — the same S-curve d2's recall rides.
+    val split = graft.text.Curation
+      .hashSplit(docs.select(col("doc_id")), "doc_id", 80, 10)
+      .select(col("doc_id"), col("split"))
+    val d23P = graft.dedup.Contamination.fuzzyContamination(docs).persist()
+    val (d23N, d23S) = timed(d23P.count())
+    val truthHeld = truth
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        Seq("a_id"))
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        Seq("b_id"))
+      .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+      .select(when(col("a_split") === "train", col("b_id")).otherwise(col("a_id"))
+        .as("held_id"))
+      .distinct().persist()
+    val nTruthHeld = truthHeld.count()
+    val d23Hits = truthHeld
+      .join(d23P.select(col("held_id")).distinct(), Seq("held_id")).count()
+    println(f"""{"check":"d23_cross_split_recall","rows":$d23N,"truth_held":$nTruthHeld,""" +
+      f""""hits":$d23Hits,"recall":${if (nTruthHeld == 0) 0.0 else d23Hits.toDouble / nTruthHeld}%.4f,"wall_s":$d23S%.2f}""")
+    truthHeld.unpersist(); d23P.unpersist()
+
     // -- 3. d4 df-cap ladder: recall vs cap --------------------------
     // price each cap's candidate mass Σ df·(df−1)/2 from ONE postings
     // aggregation first; caps whose join the valve exists to forbid

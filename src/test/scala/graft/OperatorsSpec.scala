@@ -779,4 +779,41 @@ class OperatorsSpec extends GraftSpecBase {
       .select(col("us")).distinct().count()
     assert(r.map(_._2).sum == nInstants - 1)
   }
+
+  test("SeriesGuard: planted hot key fails NAMED, clean keys fold unchanged (st29/st5 valve)") {
+    val rows = (1 to 20).map(i => ("hot", i.toLong, i.toLong, (i * 4).toLong)) ++
+      (1 to 4).map(i => ("cold", i.toLong, 100L + i, (i * 4).toLong))
+    val df = rows.toDF("user_id", "ts_us", "event_id", "v")
+    // 1. the valve fires with a named, pointing error — never a
+    //    cryptic aggregation-buffer OOM
+    val ex = intercept[Throwable] {
+      operators.Activity.ewmaState(df, "user_id", "ts_us", "event_id",
+        col("v"), maxSeriesLen = 10).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val m = chain(ex)
+    assert(m.contains("maxSeriesLen=10"), s"valve must name itself: $m")
+    assert(m.contains("hot") && m.contains("20 events"),
+      s"valve must name the offending key and its size: $m")
+    assert(m.contains("StatefulTwins"), s"valve must point at the streaming twin: $m")
+    // 2. under the valve the guard is a no-op: identical fold results
+    val guarded = operators.Activity.ewmaState(df, "user_id", "ts_us",
+      "event_id", col("v"), maxSeriesLen = 100)
+    val default = operators.Activity.ewmaState(df, "user_id", "ts_us",
+      "event_id", col("v"))
+    assert(guarded.exceptAll(default).isEmpty && default.exceptAll(guarded).isEmpty)
+    // spot-check the cold key's EWMA (shift=2): s=4, 4+(8-4)/4=5, 5+(12-5)/4 floor=6, 6+(16-6)/4 floor=8
+    val cold = guarded.filter(col("user_id") === "cold").head()
+    assert(cold.getAs[Long]("n_obs") == 4 && cold.getAs[Long]("ewma_e6") == 8L)
+    // 3. the funnel fold shares the contract and the valve
+    val fEx = intercept[Throwable] {
+      val ev = (1 to 30).map(i =>
+        (7L, i.toLong, i.toLong, if (i % 3 == 0) "view" else "click"))
+        .toDF("user_id", "ts_us", "event_id", "event_type")
+      operators.Funnel.funnel3(ev, "user_id", "ts_us", "event_id",
+        "event_type", ("view", "click", "purchase"), maxSeriesLen = 10).collect()
+    }
+    assert(chain(fEx).contains("maxSeriesLen=10"), s"funnel valve: ${chain(fEx)}")
+  }
 }

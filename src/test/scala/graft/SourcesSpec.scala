@@ -451,4 +451,42 @@ class SourcesSpec extends GraftSpecBase {
       "per-batch incremental manifest must equal the full recompute")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("OCC merge: a multi-file staged day commits EVERY data file (maxRecordsPerFile), state converges") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val root = Files.createTempDirectory("graft_occ_multi").toString
+    sources.Lake.writeDatePartitioned(ev, root)
+    sources.Lake.bootstrapLog(spark, root)
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy(col("d")).limit(2).collect().map(_.getString(0)).toSeq
+    val batch = ev.filter(date_format(col("ts"), "yyyy-MM-dd").isin(days: _*))
+      .filter(pmod(col("event_id"), lit(5)) === 1)
+      .withColumn("value", round(col("value") * 2, 2))
+    // force each staged day to split into several data files — the
+    // exact conf ADVICE r8 named as the silent-data-loss trigger when
+    // stageMergeDays renamed only the first file per day
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+    try {
+      val txn = sources.Lake.beginMerge(spark, root, batch, "M")
+      assert(txn.adds.exists(_._2.size > 1),
+        s"staging must split at least one day into multiple files: " +
+          txn.adds.view.mapValues(_.size).toMap)
+      val (v, rebased) = sources.Lake.commitMerge(spark, txn)
+      assert(v == 1 && !rebased)
+      def norm(x: String): String =
+        if (x.startsWith("file:")) new java.net.URI(x).getPath else x
+      val logged = sources.Lake.logEntries(spark, root, 1)
+        .filter(_.action == "A").map(e => norm(e.file)).toSet
+      assert(txn.adds.values.flatten.map(norm).toSet == logged,
+        "every staged data file must be in the committed log")
+      val expected = ev
+        .join(batch.select("event_id"), Seq("event_id"), "left_anti")
+        .unionByName(batch)
+      val got = sources.Lake.readCommitted(spark, root)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "committed multi-file state must equal the serial merge replay")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
 }
