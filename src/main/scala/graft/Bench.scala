@@ -96,9 +96,10 @@ object Bench {
     val qs = perQuery.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f2(v) else "\"err\"") }
       .mkString("{", ",", "}")
     // first-pass (cold-cache) per-query times: entries that persist a
-    // shared intermediate (d4/d6's pair set, x4b's survivor set) serve
-    // later passes from cache, so the median alone would hide their
-    // real first-run cost
+    // shared intermediate (d4/d6's pair set, x4b's survivor set, and
+    // the FrameCache family — d3 signature families, a47 edges, t22
+    // term frequencies, s25 dim reduction) serve later passes from
+    // cache, so the median alone would hide their real first-run cost
     val qsP1 = names.map { n => s"\"" + n + "\":" + f2(passes.head._1(n)._1) }
       .mkString("{", ",", "}")
     val errors = perQuery.collect { case (k, _, false) => s"\"" + k + "\"" }

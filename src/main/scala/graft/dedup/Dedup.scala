@@ -66,31 +66,86 @@ object Dedup {
       .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
       .dropDuplicates("a_id", "b_id")
 
+  /** Signature families for identity-collapsed LSH (d3's law applied
+    * to minhash, round 9): a duplicated corpus puts every
+    * byte-identical family on ONE 128-perm signature, and an
+    * identical-sig family of B docs collides in ALL `bands` buckets —
+    * the signature-carrying pair expansion then emits B²/2 pairs
+    * `bands` times over WITH both full signatures in every row.
+    * Measured on the 50× byte-identical bench corpus: ~98M pre-dedup
+    * pair rows × ~2 KB of signature payload ≈ 200 GB through the
+    * dedup exchange — out of disk locally, an executor-death storm at
+    * cluster scale (found by the r9 d23-at-50× bench leg, the same
+    * class as r8's s27 wide-shuffle find). So: band over DISTINCT
+    * signatures only. The collapse exchange carries each signature
+    * ONCE (n×1 KB — the old band shuffle carried them `bands`×), the
+    * banding runs on signature DIVERSITY, identical-sig pairs are
+    * agreement-128/128 BY CONSTRUCTION (triangle expansion, never
+    * banded), and surviving rep pairs fan out to member pairs with
+    * their est attached — est is a pure function of the signature
+    * pair, so the expansion is output-bound and signature-free.
+    */
+  private def sigFamilies(tag: String, sigs: DataFrame): DataFrame =
+    graft.FrameCache.persisted(tag,
+      sigs.groupBy(col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          min(col("doc_id")).as("rep")))
+
+  /** est_jaccard = 1.0 pairs within each identical-signature family. */
+  private def identicalSigPairs(fam: DataFrame): DataFrame =
+    fam.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), lit(1.0).as("est_jaccard"))
+
+  /** Fan surviving rep pairs back out to member pairs via two
+    * id-keyed equi-joins — quadratic only in the ANSWER (the member
+    * pair count), with the est riding the expansion un-joined.
+    */
+  private def expandRepPairs(repPairs: DataFrame, fam: DataFrame): DataFrame = {
+    val famIds = fam.select(col("rep"), col("ids"))
+    repPairs
+      .join(famIds.select(col("rep").as("a_id"), col("ids").as("ids_a")), Seq("a_id"))
+      .join(famIds.select(col("rep").as("b_id"), col("ids").as("ids_b")), Seq("b_id"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("est_jaccard"))
+  }
+
   /** d2: MinHash(128) signatures + banded LSH (16 bands × 8 rows).
     * Narrow per-row signature (custom Expression, one pass over the
-    * shingle hashes), explode only 16 band rows per doc, bucket on
-    * (band, band-slice), pair within buckets — the candidate pairs
-    * are then scored by signature agreement (estimated jaccard), no
-    * exact re-scan needed.
+    * shingle hashes), identity-collapse onto distinct signatures
+    * ([[sigFamilies]] — the duplicated-corpus detonation guard),
+    * explode only 16 band rows per distinct signature, bucket on
+    * (band, band-slice), pair within buckets — candidate rep pairs
+    * are scored by signature agreement (estimated jaccard, no exact
+    * re-scan) and fan out to member pairs output-bound.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val banded = withShingleHashes(docs)
+    val sigs = withShingleHashes(docs)
       // <3-token docs have no shingles; an empty signature is all
       // unsigned-max and would spuriously pair every such doc — drop
       // them from pairing (they remain singletons downstream)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"))
+    val fam = sigFamilies("d2_families", sigs)
+    val banded = fam
+      .select(col("rep").as("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_sig", expr(s"slice(sig, band * $rows + 1, $rows)"))
-    bucketPairs(banded, Seq("band", "band_sig"), "doc_id", "sig")
+    val repPairs = bucketPairs(banded, Seq("band", "band_sig"), "doc_id", "sig")
       .withColumn("est_jaccard",
         round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / numPerms, 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
+    identicalSigPairs(fam).unionByName(expandRepPairs(repPairs, fam))
   }
 
   /** The 100 TB spelling of [[minhashLshPairs]]: identical pair set,
@@ -110,24 +165,31 @@ object Dedup {
     * degrades to a shuffle join instead of a driver OOM, and the
     * signature frame then pays the two keyed exchanges d2's form
     * pays sixteen of.
-    * The trade: the narrow signature map is computed twice (once for
-    * banding, once for scoring) — CPU for network, the right
-    * direction at scale (in production the signature frame is a
-    * persisted artifact and the recompute disappears). A 64-bit
-    * bucket collision can only ADD a candidate (scoring uses the
-    * full signatures, and the threshold filter is the same), never
-    * change a verdict. Spec-proven pair-identical to d2's form.
+    * Round 9: rides the identity-collapsed [[sigFamilies]] frame
+    * (banding and pair formation over DISTINCT signatures; member
+    * fan-out output-bound) — the duplicated-corpus detonation guard —
+    * which also makes the signature frame the persisted artifact the
+    * production note below always promised (FrameCache-bounded).
+    * A 64-bit bucket collision can only ADD a candidate (scoring
+    * uses the full signatures, and the threshold filter is the
+    * same), never change a verdict. Spec-proven pair-identical to
+    * d2's form.
     */
   def minhashLshPairsJoinback(docs: DataFrame, threshold: Double = 0.5,
                               numPerms: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    def sigs = withShingleHashes(docs)
+    val sigs = withShingleHashes(docs)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
       .select(col("doc_id"), col("sig"))
-    val banded = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
+    // identity collapse first (see sigFamilies) — banding and pair
+    // formation run on DISTINCT signatures; the family frame also
+    // carries the member ids both signature joins need, so the
+    // fan-out costs no extra join
+    val fam = sigFamilies("d2b_families", sigs)
+    val banded = fam
+      .select(col("rep").as("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .withColumn("bucket",
         xxhash64(col("band"), expr(s"slice(sig, band * $rows + 1, $rows)")))
       .select(col("doc_id"), col("band"), col("bucket"))
@@ -141,15 +203,21 @@ object Dedup {
           |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id")
-    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
-    val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
-    a.join(candidates, Seq("a_id"))
+    val a = fam.select(col("rep").as("a_id"), col("sig").as("sa"),
+      col("ids").as("ids_a"))
+    val b = fam.select(col("rep").as("b_id"), col("sig").as("sb"),
+      col("ids").as("ids_b"))
+    val repScored = a.join(candidates, Seq("a_id"))
       .join(b, Seq("b_id"))
       .withColumn("est_jaccard",
         round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / numPerms, 6))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("est_jaccard"))
+    identicalSigPairs(fam).unionByName(repScored)
   }
 
   /** d3: SimHash(64) near-dup pairs. Pigeonhole blocking: a pair

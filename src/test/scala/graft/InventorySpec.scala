@@ -53,32 +53,40 @@ class InventorySpec extends AnyFunSuite {
         removed.toSeq.sorted.mkString(", "))
   }
 
-  test("latest full bench artifact covers every registered query (and only those)") {
-    // Closes the last bookkeeping gap (VERDICT r7 item 10): every
-    // registered entry must also appear in a BENCH artifact. The
-    // driver's BENCH_r{N}.json keeps only a bounded stdout tail, so
-    // the invariant reads bench_last.json — the complete per-query
-    // map Bench writes every run and the builder commits per round.
+  test("every committed full bench artifact covers every registered query (and only those)") {
+    // Closes the last bookkeeping gap (VERDICT r7 item 10, widened by
+    // VERDICT r8 item 1): every registered entry must appear in EVERY
+    // committed full-sweep BENCH artifact — bench_last.json (the
+    // sf0.1 sweep Bench writes each run) AND the derived-scale
+    // artifacts (bench_scale10.json, …). r8's d23 landed after the
+    // final 10× sweep and the gap was invisible because only
+    // bench_last.json was held to the contract. The driver's
+    // BENCH_r{N}.json tail captures are NOT parsed (bounded stdout).
     // Subset runs (SPARK_GRAFT_ONLY iteration) mark themselves
     // "subset":true and are only held to the no-stale-keys half.
-    val bl = Paths.get("bench_last.json")
-    assume(Files.exists(bl), "no bench_last.json present")
-    val body = new String(Files.readAllBytes(bl), "UTF-8")
-    assume(body.contains("\"subset\":"),
-      "bench artifact predates the subset flag — rerun graft.Bench")
-    val fullSweep = body.contains("\"subset\":false")
-    val Key = "\"([a-z][a-z0-9_]*)\"\\s*:\\s*(?:\\d|\"err\")".r
-    val benched = Key.findAllMatchIn(body).map(_.group(1)).toSet
-      .filter(_.matches("(p|a|st|d|x|s|t|m)\\d.*"))
+    val artifacts = Files.list(Paths.get(".")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("bench_") && n.endsWith(".json"))
+      .toSeq.sorted
+    assume(artifacts.nonEmpty, "no bench artifact present")
     val queries = SparkEntry.queries.keySet
-    val stale = benched -- queries
-    assert(stale.isEmpty,
-      s"benched keys no longer registered: ${stale.toSeq.sorted.mkString(", ")}")
-    if (fullSweep) {
-      val unbenched = queries -- benched
-      assert(unbenched.isEmpty,
-        "registered but missing from the last full bench sweep: " +
-          unbenched.toSeq.sorted.mkString(", "))
+    val Key = "\"([a-z][a-z0-9_]*)\"\\s*:\\s*(?:\\d|\"err\")".r
+    artifacts.foreach { name =>
+      val body = new String(Files.readAllBytes(Paths.get(name)), "UTF-8")
+      assume(body.contains("\"subset\":"),
+        s"$name predates the subset flag — rerun graft.Bench")
+      val fullSweep = body.contains("\"subset\":false")
+      val benched = Key.findAllMatchIn(body).map(_.group(1)).toSet
+        .filter(_.matches("(p|a|st|d|x|s|t|m)\\d.*"))
+      val stale = benched -- queries
+      assert(stale.isEmpty,
+        s"$name benched keys no longer registered: ${stale.toSeq.sorted.mkString(", ")}")
+      if (fullSweep) {
+        val unbenched = queries -- benched
+        assert(unbenched.isEmpty,
+          s"registered but missing from full sweep $name: " +
+            unbenched.toSeq.sorted.mkString(", "))
+      }
     }
   }
 }

@@ -573,15 +573,26 @@ class PlanShapeSpec extends GraftSpecBase {
     }
   }
 
-  test("joinback LSH: band shuffle is signature-free, signatures ride broadcast joins un-shuffled") {
+  test("joinback LSH: one sig-keyed collapse exchange, all other shuffles narrow") {
+    // r9 identity-collapse contract: the ONLY exchange allowed to carry
+    // signatures is sigFamilies' groupBy(sig) — each signature crosses
+    // the wire ONCE (vs `bands`× in a signature-carrying band shuffle,
+    // and vs B²·bands× on a duplicated corpus, the d23-at-50×
+    // detonation). Everything downstream — banding, bucket pairing,
+    // pair dedup, member fan-out — must key on narrow longs. The
+    // FrameCache'd collapse build is re-printed per cache read, so the
+    // pin whitelists exchange KEYS instead of counting exchanges.
     val plan = finalPlan(dedup.Dedup.minhashLshPairsJoinback(Tables.documents(spark, sf)))
-    // only the (band,bucket) member agg and the pair dedup may hash-
-    // shuffle; both key on narrow longs, never on a signature array
-    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(hashes <= 2, s"expected <= 2 hash exchanges, got $hashes:\n$plan")
-    assert(!plan.contains("hashpartitioning(sig") &&
-      !plan.contains("hashpartitioning(band_sig"),
-      s"no exchange may key on a signature:\n$plan")
+    assert(!plan.contains("hashpartitioning(band_sig"),
+      s"band shuffle must be signature-free:\n$plan")
+    assert(!plan.contains("hashpartitioning(sa") &&
+      !plan.contains("hashpartitioning(sb"),
+      s"scored signatures must never shuffle:\n$plan")
+    val KeyOf = "hashpartitioning\\((\\w+)".r
+    val keys = KeyOf.findAllMatchIn(plan).map(_.group(1)).toSet
+    val allowed = Set("sig", "band", "bucket", "a_id", "b_id", "ia", "ib", "doc_id")
+    assert((keys -- allowed).isEmpty,
+      s"unexpected exchange keys ${(keys -- allowed).mkString(", ")}:\n$plan")
     // no hard hint in the query — the planner must still CHOOSE
     // broadcast for the pair side at test SF on size alone (AQE
     // degrades to a shuffle join when the pair set outgrows it)
