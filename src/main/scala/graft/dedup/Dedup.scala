@@ -84,12 +84,33 @@ object Dedup {
     * banded), and surviving rep pairs fan out to member pairs with
     * their est attached — est is a pure function of the signature
     * pair, so the expansion is output-bound and signature-free.
+    *
+    * Hot-family valve ([[MaxFamilySize]], SeriesGuard's idiom): one
+    * family's ids ride ONE aggregation buffer, and the triangle
+    * expansion of a B-doc family emits B²/2 pairs from one row — at
+    * B = 10⁸ (a boilerplate page duplicated across a crawl) that is
+    * a task-killing buffer AND a 5×10¹⁵-pair answer nobody wants
+    * enumerated. Families over the cap raise a NAMED error telling
+    * the caller to run d1 exact dedup first: byte-identical mass is
+    * d1's O(n) job, and after it each signature family is bounded by
+    * NEAR-duplication (distinct texts, same sketch), which tops out
+    * orders of magnitude lower. The valve is a no-op below the cap
+    * (one size() compare per DISTINCT signature).
     */
-  private def sigFamilies(tag: String, sigs: DataFrame): DataFrame =
+  private[graft] val MaxFamilySize = 1000000
+
+  private[graft] def sigFamilies(tag: String, sigs: DataFrame,
+                                 maxFamily: Int = MaxFamilySize): DataFrame =
     graft.FrameCache.persisted(tag,
       sigs.groupBy(col("sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-          min(col("doc_id")).as("rep")))
+          min(col("doc_id")).as("rep"))
+        .filter(assert_true(size(col("ids")) <= maxFamily, concat(
+          lit(s"graft Dedup: identical-signature family exceeds maxFamily=$maxFamily ("),
+          size(col("ids")).cast("string"),
+          lit(" docs share one minhash signature). Byte-identical mass at this " +
+            "scale is exact dedup's job — run Dedup.exactDedup (d1) first, then " +
+            "minhash the surviving representatives."))).isNull))
 
   /** est_jaccard = 1.0 pairs within each identical-signature family. */
   private def identicalSigPairs(fam: DataFrame): DataFrame =
@@ -134,7 +155,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
       .select(col("doc_id"), col("sig"))
-    val fam = sigFamilies("d2_families", sigs)
+    val fam = sigFamilies("lsh_sig_families", sigs)
     val banded = fam
       .select(col("rep").as("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -186,7 +207,7 @@ object Dedup {
     // formation run on DISTINCT signatures; the family frame also
     // carries the member ids both signature joins need, so the
     // fan-out costs no extra join
-    val fam = sigFamilies("d2b_families", sigs)
+    val fam = sigFamilies("lsh_sig_families", sigs)
     val banded = fam
       .select(col("rep").as("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))

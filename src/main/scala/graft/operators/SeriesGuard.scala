@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   * same bound the flatMapGroupsWithState twins hold), but nothing
   * used to enforce it: a single hot key with 10⁸ events OOMed the
   * task with a cryptic buffer error. This guard makes the contract a
-  * NAMED failure instead, d4-cap style:
+  * NAMED failure instead, d4-cap style: a per-key `count` WINDOW on
+  * the fold's own partitioning, asserted by a filter between the
+  * window and the fold.
   *
-  *  1. one map-side-combined count per key (narrow agg — tiny next to
-  *     the fold's own keyed sort-shuffle);
-  *  2. keys over `maxSeriesLen` broadcast back against the input;
-  *  3. the first event of a violating key raises a named error BEFORE
-  *     the fold's collect buffer starts accumulating that key.
+  * Why a window, not a pre-count aggregate + join back: the window
+  * rides the SAME keyed exchange the fold needs (Catalyst reuses the
+  * hashpartitioning, so the guard adds ZERO scans and ZERO shuffles
+  * — the first guard shipped as count-agg + broadcast-join and
+  * re-scanned the input, doubling st16's sessionization work), and
+  * WindowExec's partition buffer SPILLS where an aggregation buffer
+  * cannot — the 10⁸-event hot key survives long enough to reach the
+  * named assert, which fires before the fold's collect_list buffer
+  * ever starts accumulating that key (the filter sits between them
+  * in the same stage).
   *
   * The guard is a FILTER (not a projected column) so Catalyst's
   * column pruning cannot eliminate the effect; on a clean corpus
@@ -38,9 +45,8 @@ object SeriesGuard {
   def boundedSeries(df: DataFrame, keyCols: Seq[String],
                     maxSeriesLen: Long = DefaultMaxSeriesLen): DataFrame = {
     require(maxSeriesLen > 0, "maxSeriesLen must be positive")
-    val violators = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__series_len"))
-      .filter(col("__series_len") > maxSeriesLen)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
     val msg = concat(
       lit(s"graft SeriesGuard: per-key series exceeds maxSeriesLen=$maxSeriesLen for key ("),
       concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
@@ -48,8 +54,8 @@ object SeriesGuard {
       lit(" events. This batch fold buffers each key's full series in one " +
         "aggregation buffer; route unbounded keys through the streaming twin " +
         "(graft.streaming.StatefulTwins) or raise maxSeriesLen explicitly."))
-    df.join(broadcast(violators), keyCols, "left")
-      .filter(assert_true(col("__series_len").isNull, msg).isNull)
+    df.withColumn("__series_len", count(lit(1)).over(byKey))
+      .filter(assert_true(col("__series_len") <= maxSeriesLen, msg).isNull)
       .drop("__series_len")
   }
 }

@@ -533,4 +533,33 @@ class DedupSpec extends GraftSpecBase {
       "identical-text tie must break to the smaller train id")
     assert(worstEst == 1.0, s"byte-identical leak estimates 1.0: $worstEst")
   }
+
+  test("sigFamilies hot-family valve: oversized family fails NAMED, capped corpora fold unchanged") {
+    import spark.implicits._
+    // an identical-signature family of 6 + two singletons
+    val sigs = ((1L to 6L).map(i => (i, Seq(7, 7, 7))) ++
+      Seq((50L, Seq(1, 2, 3)), (60L, Seq(4, 5, 6))))
+      .toDF("doc_id", "sig")
+    val ex = intercept[Throwable] {
+      dedup.Dedup.sigFamilies("valve_spec_hot", sigs, maxFamily = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val m = chain(ex)
+    assert(m.contains("maxFamily=4"), s"valve must name itself: $m")
+    assert(m.contains("6 docs"), s"valve must state the family size: $m")
+    assert(m.contains("exactDedup"), s"valve must point at the d1 remedy: $m")
+    // below the cap the valve is a no-op: 3 families, reps = min ids
+    val ok = dedup.Dedup.sigFamilies("valve_spec_ok", sigs, maxFamily = 6)
+      .collect().map(r => r.getLong(2) -> r.getSeq[Long](1).sorted).toMap
+    assert(ok == Map(1L -> (1L to 6L), 50L -> Seq(50L), 60L -> Seq(60L)),
+      s"families must collapse exactly on signature identity: $ok")
+    // and the d2 entry path (default cap) is untouched by the guard:
+    // the 6-copy family surfaces as 15 est=1.0 pairs
+    val docs = ((1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta")) ++
+      Seq((50L, "one two three four five six seven"))).toDF("doc_id", "text")
+    val pairs = dedup.Dedup.minhashLshPairs(docs).collect()
+    assert(pairs.length == 15 && pairs.forall(_.getDouble(2) == 1.0),
+      s"6-copy family must emit C(6,2)=15 est=1.0 pairs: ${pairs.length}")
+  }
 }
