@@ -534,6 +534,41 @@ class DedupSpec extends GraftSpecBase {
     assert(worstEst == 1.0, s"byte-identical leak estimates 1.0: $worstEst")
   }
 
+  test("identity-collapse cross-family fan-out: member pairs inherit the rep pair's est exactly") {
+    import spark.implicits._
+    // two multi-member families with DIFFERENT signatures that still
+    // agree above threshold: family A = two byte-identical copies,
+    // family B = two byte-identical copies of a one-token edit of A.
+    // The rep pair (minA, minB) is found by banding; expandRepPairs
+    // must fan it out to all four cross pairs, each carrying the SAME
+    // est (est is a function of the signature pair), alongside the
+    // two within-family est=1.0 pairs.
+    // ~60 DISTINCT tokens and a single-token edit → shingle jaccard
+    // ≈ 55/61 ≈ 0.90, where the 16×8 S-curve detects with p ≈ 1.0
+    // (at j ≈ 0.6 detection is only ~0.24 — a repeated-text fixture
+    // flaked here first); the minhash seed is fixed, so collision is
+    // deterministic for this exact fixture either way
+    val textA = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val textB = textA.replace("tok30", "CHANGED")
+    val docs = Seq((1L, textA), (2L, textA), (10L, textB), (11L, textB))
+      .toDF("doc_id", "text")
+    for ((name, pairsOf) <- Seq(
+      "d2" -> ((d: org.apache.spark.sql.DataFrame) => dedup.Dedup.minhashLshPairs(d, threshold = 0.5)),
+      "d2b" -> ((d: org.apache.spark.sql.DataFrame) => dedup.Dedup.minhashLshPairsJoinback(d, threshold = 0.5)))) {
+      val got = pairsOf(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.get(1L -> 2L).contains(1.0) && got.get(10L -> 11L).contains(1.0),
+        s"$name: within-family pairs must be est=1.0: $got")
+      val cross = Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L)
+      assert(cross.forall(got.contains),
+        s"$name: all four cross-family member pairs must surface: $got")
+      val ests = cross.map(got).distinct
+      assert(ests.size == 1 && ests.head >= 0.5 && ests.head < 1.0,
+        s"$name: cross pairs must share one sub-1.0 est (the rep pair's): $ests")
+      assert(got.size == 6, s"$name: exactly C(4,2)=6 pairs, no dupes: $got")
+    }
+  }
+
   test("sigFamilies hot-family valve: oversized family fails NAMED, capped corpora fold unchanged") {
     import spark.implicits._
     // an identical-signature family of 6 + two singletons
