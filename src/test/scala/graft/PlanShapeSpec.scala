@@ -573,6 +573,23 @@ class PlanShapeSpec extends GraftSpecBase {
     }
   }
 
+  test("SeriesGuard rides the fold's own exchange: guarded EWMA plans ONE keyed shuffle") {
+    // The valve's scaladoc claims zero extra scans and zero extra
+    // shuffles (the count window and the fold's groupBy share one
+    // hashpartitioning on the key). Pin it: a guard spelled as a
+    // pre-count aggregate + join back (the first shipping version)
+    // planned a second scan + extra exchanges and doubled st16's
+    // sessionization work.
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"u${i % 5}", i.toLong, i.toLong, i.toLong))
+      .toDF("user_id", "ts_us", "event_id", "v")
+    val plan = finalPlan(operators.Activity.ewmaState(
+      df, "user_id", "ts_us", "event_id", col("v")))
+    val hashes = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashes == 1, s"guard must reuse the fold's exchange, got $hashes:\n$plan")
+    assert(plan.contains("Window"), s"the guard's count window must be present:\n$plan")
+  }
+
   test("joinback LSH: one sig-keyed collapse exchange, all other shuffles narrow") {
     // r9 identity-collapse contract: the ONLY exchange allowed to carry
     // signatures is sigFamilies' groupBy(sig) — each signature crosses
