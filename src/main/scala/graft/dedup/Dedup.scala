@@ -306,6 +306,79 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Byte-identical text families (md5-keyed) — the d1∘d4 composition
+    * the dedup docs always recommended, made automatic (round 9):
+    * a duplicated corpus multiplies every shingle's df by its copy
+    * count, so the inverted-index joins (d4/d11) paid copies² join
+    * mass AND their df-cap valves bit on duplication instead of on
+    * boilerplate (measured at 50×: safe caps → recall 0, the
+    * recall-restoring cap → 2.38G candidate pairs, valve-skipped).
+    * Collapsing byte-identical texts FIRST costs one md5-keyed agg
+    * (the shuffle carries each distinct text once — strictly less
+    * than the posting shuffle it shrinks, which carries ~|sh| rows
+    * per doc), restores df to distinct-text frequency (the cap
+    * measures boilerplate DIVERSITY again), and makes the join mass
+    * duplication-invariant. Zero-shingle docs (<n tokens) are
+    * excluded to match the posting join exactly: they never enter it
+    * (no postings), so they must not pair here either.
+    * Same hot-family valve as [[sigFamilies]]; here the remedy for an
+    * oversized family is d1's AGGREGATE form (n_copies), because no
+    * consumer wants 10¹⁵ enumerated identical pairs.
+    */
+  private def textFamilies(tag: String, docs: DataFrame,
+                           shingleN: Int = 3,
+                           maxFamily: Int = MaxFamilySize): DataFrame =
+    graft.FrameCache.persisted(tag,
+      Tables.spread(docs)
+        .filter(size(shingle_hashes(col("text"), shingleN)) > 0)
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("ids"),
+          first(col("text")).as("text"))
+        .filter(assert_true(size(col("ids")) <= maxFamily, concat(
+          lit(s"graft Dedup: byte-identical text family exceeds maxFamily=$maxFamily ("),
+          size(col("ids")).cast("string"),
+          lit(" copies of one text). Enumerating this family's pairs is the wrong " +
+            "operation at this duplication — use Dedup.exactDedup (d1), whose " +
+            "n_copies aggregate carries the same information at O(n)."))).isNull))
+
+  /** Df-capped shingle postings over family representatives — the
+    * shared join currency of d4 and d11 (identical frame, so the
+    * FrameCache entry is shared across BOTH operators at equal
+    * maxDf). Persisted because the inverted-index self-join reads it
+    * twice and AQE does not reuse an exchange whose input is a cache
+    * stage (measured: the un-persisted spelling ran the shingle +
+    * window pass once per join side); the cached build's
+    * hashpartitioning(s) — required by the df window — satisfies the
+    * join's distribution on both sides, so consumers add no
+    * exchange. The df window rides that same exchange (d4's original
+    * single-shuffle argument, unchanged).
+    */
+  private def repPostings(fam: DataFrame, maxDf: Long): DataFrame =
+    graft.FrameCache.persisted("d4_rep_postings",
+      withShingleHashes(fam.select(col("rep").as("doc_id"), col("text")))
+        .select(col("doc_id"), col("sh"))
+        .withColumn("n", size(col("sh")))
+        .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")))
+        .filter(col("df") <= maxDf)
+        .select("doc_id", "n", "s"))
+
+  /** Triangle-expand each family's within-family pairs, attaching the
+    * given literal score columns (identical texts: jaccard = 1,
+    * containment = 1 in both directions — exact by definition).
+    */
+  private def identicalTextPairs(fam: DataFrame,
+                                 scores: Seq[(String, Double)]): DataFrame =
+    fam.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
+      .select(Seq(col("p.a_id"), col("p.b_id")) ++
+        scores.map { case (n, v) => lit(v).as(n) }: _*)
+
   /** d4: exact n-gram-set Jaccard similarity join via an inverted
     * index (AllPairs-style): explode (doc, shingle), self-join on the
     * shingle, count shared shingles per pair, then
@@ -331,29 +404,46 @@ object Dedup {
     * cap (1000) is far above any df in the verified corpora (max 25
     * at sf0.1), so the entry's results are bit-identical to uncapped
     * — asserted in DedupSpec.
+    *
+    * Round 9: the join runs on byte-identical-text REPRESENTATIVES
+    * ([[textFamilies]] below — duplication-invariant join mass), so
+    * `df` counts DISTINCT TEXTS per shingle: the cap measures
+    * boilerplate diversity, which duplication can no longer inflate.
+    * Identical-text pairs are emitted exactly (j = 1 by definition)
+    * and cross pairs inherit the rep pair's jaccard — output
+    * identical to the all-docs join wherever the cap is inert
+    * (spec-planted on a duplicated fixture).
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         maxDf: Long = 1000L): DataFrame = {
-    val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
-      .withColumn("n", size(col("sh")))
-    val posts = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-    val ex = posts
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "n", "s")
+    val fam = textFamilies("d4_text_families", docs)
+    val ex = repPostings(fam, maxDf)
     // shuffle-hash, not broadcast: at scale the posting stream can't
-    // broadcast, and with identical shuffles on both sides Spark
-    // plans a ReusedExchange — the shingle pass runs ONCE.
+    // broadcast; both sides read the SAME persisted posting frame
+    // (see repPostings), whose cached hashpartitioning(s) satisfies
+    // the join on both sides — the shingle pass runs ONCE.
     val a = ex.hint("shuffle_hash").alias("a")
     val b = ex.hint("shuffle_hash").alias("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val repPairs = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+    // member fan-out: jaccard is a function of the shingle SETS, and
+    // every family member has the rep's exact set — symmetric, so the
+    // least/greatest reorder is value-safe
+    val famIds = fam.select(col("rep"), col("ids"))
+    val expanded = repPairs
+      .join(famIds.select(col("rep").as("a_id"), col("ids").as("ids_a")), Seq("a_id"))
+      .join(famIds.select(col("rep").as("b_id"), col("ids").as("ids_b")), Seq("b_id"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"))
+    identicalTextPairs(fam, Seq("jaccard" -> 1.0)).unionByName(expanded)
   }
 
   /** d11: shingle CONTAINMENT join — the asymmetric near-dup
@@ -369,17 +459,15 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
                        maxDf: Long = 1000L): DataFrame = {
-    val sh = withShingleHashes(docs).select(col("doc_id"), col("sh"))
-      .withColumn("n", size(col("sh")))
-    val posts = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-    val ex = posts
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "n", "s")
+    // identity-collapse first (see textFamilies) — same economics as
+    // d4: the posting join runs on distinct texts, the cap measures
+    // boilerplate diversity, member fan-out is output-bound
+    val fam = textFamilies("d4_text_families", docs)
+    val ex = repPostings(fam, maxDf)
     val a = ex.hint("shuffle_hash").alias("a")
     val b = ex.hint("shuffle_hash").alias("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val repPairs = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
@@ -389,6 +477,25 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(col("contain_a"), 6).as("contain_a"),
         round(col("contain_b"), 6).as("contain_b"))
+    // containment is ASYMMETRIC: contain_a belongs to the pair's
+    // a-side doc, so when the member fan-out's least/greatest reorders
+    // a cross-family pair, the two ratios must swap with it
+    val famIds = fam.select(col("rep"), col("ids"))
+    val expanded = repPairs
+      .join(famIds.select(col("rep").as("a_id"), col("ids").as("ids_a")), Seq("a_id"))
+      .join(famIds.select(col("rep").as("b_id"), col("ids").as("ids_b")), Seq("b_id"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"),
+        col("contain_a"), col("contain_b"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"),
+        col("contain_a"), col("contain_b"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        when(col("ia") < col("ib"), col("contain_a"))
+          .otherwise(col("contain_b")).as("contain_a"),
+        when(col("ia") < col("ib"), col("contain_b"))
+          .otherwise(col("contain_a")).as("contain_b"))
+    identicalTextPairs(fam, Seq("contain_a" -> 1.0, "contain_b" -> 1.0))
+      .unionByName(expanded)
   }
 
   /** Reference all-pairs cosine join (`a.vec_id < b.vec_id` non-equi
@@ -490,7 +597,16 @@ object Dedup {
 
   private[graft] def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsCache.computeIfAbsent(dir,
-      _ => exactJaccardPairs(Tables.documents(spark, dir)).persist())
+      // repartition before persist: the collapse-first union's lineage
+      // concatenates its branches' partitions (128 cached splits of a
+      // ~5k-pair frame at sf0.1), and every consumer then pays the
+      // task-schedule overhead per action — measured 2.5× on d6's warm
+      // pass. A materialization boundary is where layout is CHOSEN
+      // (same rule as compaction's sized files); one build-time
+      // round-robin exchange, every consumer reads
+      // spark.sql.shuffle.partitions splits.
+      _ => exactJaccardPairs(Tables.documents(spark, dir))
+        .repartition(spark.sessionState.conf.numShufflePartitions).persist())
 
   /** "Fuzzy-exact" dedup (d13): d1's keep-min-id grouping keyed on
     * t3's order-insensitive fingerprint (md5 of the sorted distinct

@@ -569,6 +569,64 @@ class DedupSpec extends GraftSpecBase {
     }
   }
 
+  test("collapse-first d4/d11: duplicated fixture matches driver-computed truth, swap and empty-shingle laws hold") {
+    import spark.implicits._
+    // B = 40 unique tokens; A = a contiguous 16-token excerpt of B
+    // (containment 1.0 into B, jaccard only ~0.37); D = B with the
+    // last token edited (jaccard ~0.85). Families: A×2 with ids
+    // STRADDLING B's ids (5, 40) so the fan-out's least/greatest
+    // reorder actually fires; B×2 (10, 11); D×2 (50, 51); one
+    // sub-3-token text duplicated (30, 31) that must NEVER pair
+    // (no shingles → absent from the posting join, old law).
+    val toks = (1 to 40).map(i => s"tok$i")
+    val B = toks.mkString(" ")
+    val A = toks.slice(9, 25).mkString(" ")
+    val D = (toks.init :+ "CHANGED").mkString(" ")
+    val docs = Seq(5L -> A, 40L -> A, 10L -> B, 11L -> B,
+      50L -> D, 51L -> D, 30L -> "hi there", 31L -> "hi there")
+      .toDF("doc_id", "text")
+    def shset(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val texts = Map(5L -> A, 40L -> A, 10L -> B, 11L -> B, 50L -> D, 51L -> D)
+    def jac(x: Long, y: Long): Double = {
+      val (sa, sb) = (shset(texts(x)), shset(texts(y)))
+      BigDecimal(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = texts.keySet.toSeq.sorted
+    val expectedJ = (for {
+      a <- ids; b <- ids if a < b
+      j = jac(a, b) if j >= 0.5
+    } yield (a, b) -> j).toMap
+    val gotJ = dedup.Dedup.exactJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotJ == expectedJ,
+      s"d4 must equal the naive all-docs jaccard join:\n got $gotJ\n exp $expectedJ")
+    assert(!gotJ.keySet.exists(p => Set(30L, 31L)(p._1) || Set(30L, 31L)(p._2)),
+      "zero-shingle docs must never pair")
+    // d11: same truth for containment, threshold 0.8
+    def cont(x: Long, y: Long): (Double, Double) = {
+      val (sa, sb) = (shset(texts(x)), shset(texts(y)))
+      val sh = sa.intersect(sb).size.toDouble
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(sh / sa.size), r6(sh / sb.size))
+    }
+    val expectedC = (for {
+      a <- ids; b <- ids if a < b
+      (ca, cb) = cont(a, b) if math.max(ca, cb) >= 0.8
+    } yield (a, b) -> ((ca, cb))).toMap
+    val gotC = dedup.Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gotC == expectedC,
+      s"d11 must equal the naive containment join (incl. the fan-out swap):\n got $gotC\n exp $expectedC")
+    // the swap case is genuinely present: a pair where the fan-out
+    // reordered members across families, with ASYMMETRIC ratios
+    assert(gotC.get(10L -> 40L).exists { case (ca, cb) => ca < 1.0 && cb == 1.0 },
+      s"swapped pair (10,40) must carry B-side ratio first: ${gotC.get(10L -> 40L)}")
+  }
+
   test("sigFamilies hot-family valve: oversized family fails NAMED, capped corpora fold unchanged") {
     import spark.implicits._
     // an identical-signature family of 6 + two singletons

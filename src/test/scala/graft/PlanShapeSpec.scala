@@ -110,16 +110,35 @@ class PlanShapeSpec extends GraftSpecBase {
     assert(shuffles == 0, s"single global agg needs no hash exchange:\n$plan")
   }
 
-  test("d4: self-join reuses the shingle shuffle (single signature pass)") {
-    // the raw operator, not the entry — the entry serves d4/d6 from a
-    // shared persisted pair set, and CacheManager would substitute the
-    // cached plan for an identical logical plan (threshold 0.6 differs
-    // from the entry's 0.5, so this stays a fresh plan)
-    val plan = finalPlan(dedup.Dedup.exactJaccardPairs(Tables.documents(spark, sf), threshold = 0.6))
-    assert(plan.contains("ReusedExchange"), s"shingle exchange must be reused:\n$plan")
-    val scans = "Scan parquet".r.findAllIn(plan).length +
-      "FileScan parquet".r.findAllIn(plan).length
-    assert(scans <= 2, s"documents must not be scanned per join side:\n$plan")
+  test("d4: single shingle pass — the posting frame is persisted, join sides add no exchange") {
+    // r9 collapse-first contract: the df-capped rep-posting frame is
+    // FrameCache-persisted (AQE does not reuse an exchange whose
+    // input is a cache stage, so the un-persisted spelling ran the
+    // shingle + window pass once per join side), and the cached
+    // build's hashpartitioning(s) satisfies the self-join's
+    // distribution on BOTH sides — the top-level join region must
+    // plan zero hash exchanges of its own. The cached builds' plans
+    // are reprinted per read, so exchanges/scans are counted outside
+    // InMemoryRelation reprints (first occurrence cut).
+    val df = dedup.Dedup.exactJaccardPairs(Tables.documents(spark, sf), threshold = 0.6)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // cached builds are leaves of the executed tree, so any
+    // ShingleHashes visible in this walk is a LIVE per-side recompute
+    val liveShingles = exec.collect {
+      case p if p.expressions.exists(
+        _.exists(_.isInstanceOf[functions.ShingleHashes])) => p.nodeName
+    }
+    assert(liveShingles.isEmpty,
+      s"the shingle pass must be cache-fed, found live in: $liveShingles")
+    val plan = exec.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"join sides must read the cached posting frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay an equi-join:\n$plan")
   }
 
   test("st3: range join plans as equi-join, not a cross product") {
@@ -664,10 +683,20 @@ class PlanShapeSpec extends GraftSpecBase {
       s"no sort in the library function:\n$plan")
   }
 
-  test("d11: containment join reuses the posting shuffle like d4 (single shingle pass)") {
-    val plan = finalPlan(dedup.Dedup.containmentPairs(
-      Tables.documents(spark, sf), threshold = 0.9))
-    assert(plan.contains("ReusedExchange"), s"posting exchange must be reused:\n$plan")
+  test("d11: containment join is cache-fed like d4 (single shingle pass, no live recompute)") {
+    val df = dedup.Dedup.containmentPairs(Tables.documents(spark, sf), threshold = 0.9)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val liveShingles = exec.collect {
+      case p if p.expressions.exists(
+        _.exists(_.isInstanceOf[functions.ShingleHashes])) => p.nodeName
+    }
+    assert(liveShingles.isEmpty,
+      s"the shingle pass must be cache-fed, found live in: $liveShingles")
+    val plan = exec.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"containment must stay an equi-join:\n$plan")
   }
