@@ -197,12 +197,23 @@ object ScaleSoak {
 
     // -- d4: df-cap valve on 10x-planted boilerplate ----------------
     // every doc has `factor` byte-identical copies, so every shingle's
-    // df multiplied by `factor` — the valve must bound the candidate
-    // pair count BEFORE the self-join. Candidate mass = sum df·(df−1)/2.
+    // RAW df multiplies by `factor` — the mass ladder below prices the
+    // naive all-docs join. Since r9 the OPERATOR collapses onto
+    // byte-identical-text representatives first, so its real join
+    // runs at the rep mass (reported alongside): the raw ladder is
+    // the priced counterfactual the collapse removes.
     val posts = docs
       .withColumn("sh",
         graft.functions.GraftFunctions.shingle_hashes(col("text")))
       .select(col("doc_id"), explode(col("sh")).as("s"))
+    val repPosts = docs
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"))
+      .withColumn("sh",
+        graft.functions.GraftFunctions.shingle_hashes(col("text")))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val repMass = repPosts.groupBy(col("s")).count()
+      .agg(sum(expr("`count` * (`count` - 1) DIV 2"))).head().getLong(0)
     val dfs = posts.groupBy(col("s")).count().persist()
     val ladder = Seq(250L, 500L, 1000L)
     val candAggs = sum(col("count") * (col("count") - 1) / 2).as("__unc") +:
@@ -216,7 +227,8 @@ object ScaleSoak {
       graft.dedup.Dedup.exactJaccardPairs(docs, maxDf = d4Cap).count())
     report("d4_df_cap", d4N, d4S, -1.0,
       cands.tail.zip(cands.tail.tail :+ cands.head).forall { case (a, b) => a <= b },
-      s"join_cap=$d4Cap max_df=$maxDf candidates uncapped=${cands.head} " +
+      s"join_cap=$d4Cap max_df=$maxDf rep_mass=$repMass (operator, collapse-first) " +
+        s"raw candidates uncapped=${cands.head} " +
         ladder.zip(cands.tail).map { case (c, v) => s"cap$c=$v" }.mkString(" "))
 
     // -- d2 vs d2b: signature shuffle vs signature-free joinback ----
