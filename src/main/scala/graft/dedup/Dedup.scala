@@ -306,14 +306,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Byte-identical text families (md5-keyed) — the d1∘d4 composition
+  /** Byte-identical text families (sha2-256-keyed) — the d1∘d4 composition
     * the dedup docs always recommended, made automatic (round 9):
     * a duplicated corpus multiplies every shingle's df by its copy
     * count, so the inverted-index joins (d4/d11) paid copies² join
     * mass AND their df-cap valves bit on duplication instead of on
     * boilerplate (measured at 50×: safe caps → recall 0, the
     * recall-restoring cap → 2.38G candidate pairs, valve-skipped).
-    * Collapsing byte-identical texts FIRST costs one md5-keyed agg
+    * Collapsing byte-identical texts FIRST costs one hash-keyed agg
     * (the shuffle carries each distinct text once — strictly less
     * than the posting shuffle it shrinks, which carries ~|sh| rows
     * per doc), restores df to distinct-text frequency (the cap
@@ -331,7 +331,14 @@ object Dedup {
     graft.FrameCache.persisted(tag,
       Tables.spread(docs)
         .filter(size(shingle_hashes(col("text"), shingleN)) > 0)
-        .groupBy(md5(col("text")).as("__h"))
+        // sha2-256, not md5 (ADVICE r9): these families FABRICATE
+        // jaccard/containment = 1.0 pair scores and drop the losing
+        // text's postings, so the key must be collision-resistant —
+        // md5 chosen-prefix collisions are practical, and one forged
+        // collision here both emits false exact-dup pairs and hides a
+        // distinct text from the index. (d1's md5 stays: there a
+        // collision only miscounts copies, it invents no scores.)
+        .groupBy(sha2(col("text"), 256).as("__h"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("ids"),
           first(col("text")).as("text"))

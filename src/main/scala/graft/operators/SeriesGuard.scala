@@ -47,9 +47,16 @@ object SeriesGuard {
     require(maxSeriesLen > 0, "maxSeriesLen must be positive")
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-    val msg = concat(
+    // concat_ws throughout, never concat (ADVICE r9): concat returns
+    // NULL if ANY fragment is null, and a hot key CONTAINING a null
+    // key column would then trip assert_true with a null message —
+    // defeating the named-failure contract exactly when it fires.
+    // Each key column is additionally coalesced to the string "null"
+    // so the key renders positionally intact (concat_ws alone SKIPS
+    // nulls, which would mis-align multi-column keys).
+    val msg = concat_ws("",
       lit(s"graft SeriesGuard: per-key series exceeds maxSeriesLen=$maxSeriesLen for key ("),
-      concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+      concat_ws(",", keyCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*),
       lit("): "), col("__series_len").cast("string"),
       lit(" events. This batch fold buffers each key's full series in one " +
         "aggregation buffer; route unbounded keys through the streaming twin " +

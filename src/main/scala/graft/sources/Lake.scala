@@ -949,9 +949,11 @@ object Lake {
         case Array(a, d, f) if a == "A" || a == "R" => LogEntry(a, d, f)
         case _ => throw new IllegalStateException(
           s"corrupt commit log ${logFile(root, v)}: malformed line " +
-            s"'$line' — likely a writer died mid-publish; remove the " +
-            "partial version file to reopen the slot (tryCommit cleans " +
-            "up IOException failures itself; this is the hard-crash path)")
+            s"'$line'. tryCommit publishes version files by atomic " +
+            "tmp-rename, so a visible v-file is complete by protocol — " +
+            "this indicates out-of-band modification or storage-level " +
+            "corruption, not a writer crash; restore the file from a " +
+            "replica before reading past it")
       }
     }
   }
@@ -973,11 +975,27 @@ object Lake {
     live.values.toSeq
   }
 
-  /** Attempt to commit version `v`. The log file is created with
-    * `create(overwrite = false)` — one winner per version (atomic on
-    * HDFS; object stores without atomic create front this exact
-    * protocol with a catalog/lock service). @return whether this
-    * writer won the version.
+  /** Attempt to commit version `v` — write-tmp-then-rename, the
+    * Delta/Iceberg commit pattern: entries land fsync-complete in an
+    * INVISIBLE `_log/.tmp-v{N}-{uuid}` file (never listed by
+    * [[logVersion]]'s `v(\d+).txt` regex), then one `rename(tmp, f)`
+    * is the single claim+commit step — a v-file either doesn't exist
+    * or is complete, with no window in between.
+    *
+    * Why not create(overwrite=false)-then-write (the r8 spelling): a
+    * write/close failure AFTER the exclusive create left a visible
+    * partial v-file, and deleting it to reopen the slot (r9) was
+    * worse — other writers/readers treat a v-file's EXISTENCE as the
+    * commit point (logVersion lists the dir), so writer A's
+    * delete-after-B-committed-v+1 left a permanent replay hole, and a
+    * later writer re-winning slot v could silently change the state
+    * v+1 was rebased on (ADVICE r9, high). Here a failure deletes only
+    * the tmp — a visible v-file is never removed.
+    *
+    * Rename-if-absent is atomic on HDFS (the FileSystem contract
+    * fails dest-exists renames); object stores without it front this
+    * exact protocol with a catalog/lock service — same note as every
+    * real lakehouse log. @return whether this writer won the version.
     */
   private[graft] def tryCommit(spark: SparkSession, root: String, v: Int,
                                entries: Seq[LogEntry]): Boolean = {
@@ -985,21 +1003,21 @@ object Lake {
     fs.mkdirs(new Path(root, "_log"))
     val f = logFile(root, v)
     if (fs.exists(f)) return false
-    // The exclusive create IS the claim (one winner per version); the
-    // bytes then land on the claimed stream. A write/close failure
-    // deletes the partial file so the version slot reopens instead of
-    // wedging every writer's tryCommit forever with a truncated
-    // v-file (ADVICE r8); a hard process death in the same window is
-    // caught by logEntries' named malformed-line validation.
+    val tmp = new Path(root,
+      s"_log/.tmp-v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     try {
-      val out = fs.create(f, false)
+      val out = fs.create(tmp, true)
       try out.write(entries.map(e => s"${e.action}\t${e.day}\t${e.file}")
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      true
+      // the claim: lose if another writer published v while we staged
+      if (fs.exists(f) || !fs.rename(tmp, f)) {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        false
+      } else true
     } catch {
       case _: java.io.IOException =>
-        try fs.delete(f, false) catch { case _: java.io.IOException => () }
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         false
     }
   }
