@@ -99,18 +99,41 @@ object Dedup {
     */
   private[graft] val MaxFamilySize = 1000000
 
-  private[graft] def sigFamilies(tag: String, sigs: DataFrame,
-                                 maxFamily: Int = MaxFamilySize): DataFrame =
+  /** The valve policy applied to a family frame (round 10, VERDICT r9
+    * item 5). Strict (`skipOversized = false`, every verified entry's
+    * default) fails NAMED past the cap — the right behavior when an
+    * oversized family means the caller skipped the d1 rung. Report
+    * mode (`skipOversized = true`) is the d4-cap semantics real
+    * curation runs often want instead: the family is DROPPED from
+    * pair generation so the run completes, and the caller surfaces
+    * what was skipped via [[oversizedTextFamilies]] /
+    * [[oversizedVecFamilies]] — a cap must never be silent.
+    */
+  private def valved(fam: DataFrame, maxFamily: Int, skipOversized: Boolean,
+                     what: String, unit: String, remedy: String): DataFrame =
+    if (skipOversized) fam.filter(size(col("ids")) <= maxFamily)
+    else fam.filter(assert_true(size(col("ids")) <= maxFamily, concat(
+      lit(s"graft Dedup: $what exceeds maxFamily=$maxFamily ("),
+      size(col("ids")).cast("string"),
+      lit(s" $unit). $remedy"))).isNull)
+
+  /** Raw (un-valved) signature families — persisted ONCE per input
+    * plan and shared by both valve modes and any report consumer.
+    */
+  private def rawSigFamilies(tag: String, sigs: DataFrame): DataFrame =
     graft.FrameCache.persisted(tag,
       sigs.groupBy(col("sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-          min(col("doc_id")).as("rep"))
-        .filter(assert_true(size(col("ids")) <= maxFamily, concat(
-          lit(s"graft Dedup: identical-signature family exceeds maxFamily=$maxFamily ("),
-          size(col("ids")).cast("string"),
-          lit(" docs share one minhash signature). Byte-identical mass at this " +
-            "scale is exact dedup's job — run Dedup.exactDedup (d1) first, then " +
-            "minhash the surviving representatives."))).isNull))
+          min(col("doc_id")).as("rep")))
+
+  private[graft] def sigFamilies(tag: String, sigs: DataFrame,
+                                 maxFamily: Int = MaxFamilySize,
+                                 skipOversized: Boolean = false): DataFrame =
+    valved(rawSigFamilies(tag, sigs), maxFamily, skipOversized,
+      "identical-signature family", "docs share one minhash signature",
+      "Byte-identical mass at this scale is exact dedup's job — run " +
+        "Dedup.exactDedup (d1) first, then minhash the surviving " +
+        "representatives.")
 
   /** est_jaccard = 1.0 pairs within each identical-signature family. */
   private def identicalSigPairs(fam: DataFrame): DataFrame =
@@ -123,17 +146,22 @@ object Dedup {
 
   /** Fan surviving rep pairs back out to member pairs via two
     * id-keyed equi-joins — quadratic only in the ANSWER (the member
-    * pair count), with the est riding the expansion un-joined.
+    * pair count), with the score columns riding the expansion
+    * un-joined (each is a pure function of the pair's content, so
+    * every member pair inherits it verbatim). Only SYMMETRIC scores
+    * belong here — d11's asymmetric ratios do their own swap-aware
+    * expansion.
     */
-  private def expandRepPairs(repPairs: DataFrame, fam: DataFrame): DataFrame = {
+  private def expandRepPairs(repPairs: DataFrame, fam: DataFrame,
+                             scoreCols: Seq[String]): DataFrame = {
     val famIds = fam.select(col("rep"), col("ids"))
     repPairs
       .join(famIds.select(col("rep").as("a_id"), col("ids").as("ids_a")), Seq("a_id"))
       .join(famIds.select(col("rep").as("b_id"), col("ids").as("ids_b")), Seq("b_id"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
-      .select(least(col("ia"), col("ib")).as("a_id"),
-        greatest(col("ia"), col("ib")).as("b_id"), col("est_jaccard"))
+      .select(explode(col("ids_a")).as("ia") +: col("ids_b") +: scoreCols.map(col): _*)
+      .select(col("ia") +: explode(col("ids_b")).as("ib") +: scoreCols.map(col): _*)
+      .select(Seq(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id")) ++ scoreCols.map(col): _*)
   }
 
   /** d2: MinHash(128) signatures + banded LSH (16 bands × 8 rows).
@@ -146,7 +174,8 @@ object Dedup {
     * re-scan) and fan out to member pairs output-bound.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
-                      numPerms: Int = 128, bands: Int = 16): DataFrame = {
+                      numPerms: Int = 128, bands: Int = 16,
+                      skipOversized: Boolean = false): DataFrame = {
     val rows = numPerms / bands
     val sigs = withShingleHashes(docs)
       // <3-token docs have no shingles; an empty signature is all
@@ -155,7 +184,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_signature(col("sh"), numPerms))
       .select(col("doc_id"), col("sig"))
-    val fam = sigFamilies("lsh_sig_families", sigs)
+    val fam = sigFamilies("lsh_sig_families", sigs, skipOversized = skipOversized)
     val banded = fam
       .select(col("rep").as("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -166,7 +195,8 @@ object Dedup {
           .cast("double") / numPerms, 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
-    identicalSigPairs(fam).unionByName(expandRepPairs(repPairs, fam))
+    identicalSigPairs(fam)
+      .unionByName(expandRepPairs(repPairs, fam, Seq("est_jaccard")))
   }
 
   /** The 100 TB spelling of [[minhashLshPairs]]: identical pair set,
@@ -197,7 +227,8 @@ object Dedup {
     * d2's form.
     */
   def minhashLshPairsJoinback(docs: DataFrame, threshold: Double = 0.5,
-                              numPerms: Int = 128, bands: Int = 16): DataFrame = {
+                              numPerms: Int = 128, bands: Int = 16,
+                              skipOversized: Boolean = false): DataFrame = {
     val rows = numPerms / bands
     val sigs = withShingleHashes(docs)
       .filter(size(col("sh")) > 0)
@@ -207,7 +238,7 @@ object Dedup {
     // formation run on DISTINCT signatures; the family frame also
     // carries the member ids both signature joins need, so the
     // fan-out costs no extra join
-    val fam = sigFamilies("lsh_sig_families", sigs)
+    val fam = sigFamilies("lsh_sig_families", sigs, skipOversized = skipOversized)
     val banded = fam
       .select(col("rep").as("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
@@ -325,9 +356,8 @@ object Dedup {
     * oversized family is d1's AGGREGATE form (n_copies), because no
     * consumer wants 10¹⁵ enumerated identical pairs.
     */
-  private def textFamilies(tag: String, docs: DataFrame,
-                           shingleN: Int = 3,
-                           maxFamily: Int = MaxFamilySize): DataFrame =
+  private def rawTextFamilies(tag: String, docs: DataFrame,
+                              shingleN: Int = 3): DataFrame =
     graft.FrameCache.persisted(tag,
       Tables.spread(docs)
         .filter(size(shingle_hashes(col("text"), shingleN)) > 0)
@@ -341,13 +371,29 @@ object Dedup {
         .groupBy(sha2(col("text"), 256).as("__h"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("ids"),
-          first(col("text")).as("text"))
-        .filter(assert_true(size(col("ids")) <= maxFamily, concat(
-          lit(s"graft Dedup: byte-identical text family exceeds maxFamily=$maxFamily ("),
-          size(col("ids")).cast("string"),
-          lit(" copies of one text). Enumerating this family's pairs is the wrong " +
-            "operation at this duplication — use Dedup.exactDedup (d1), whose " +
-            "n_copies aggregate carries the same information at O(n)."))).isNull))
+          first(col("text")).as("text")))
+
+  private def textFamilies(tag: String, docs: DataFrame,
+                           shingleN: Int = 3,
+                           maxFamily: Int = MaxFamilySize,
+                           skipOversized: Boolean = false): DataFrame =
+    valved(rawTextFamilies(tag, docs, shingleN), maxFamily, skipOversized,
+      "byte-identical text family", "copies of one text",
+      "Enumerating this family's pairs is the wrong operation at this " +
+        "duplication — use Dedup.exactDedup (d1), whose n_copies aggregate " +
+        "carries the same information at O(n).")
+
+  /** The Report half of the text-family valve: families past
+    * `maxFamily` as result rows (representative id + copy count) —
+    * what the pair operators dropped when run with
+    * `skipOversized = true`. Reads the same persisted family frame,
+    * so pairing + reporting together cost one collapse pass.
+    */
+  def oversizedTextFamilies(docs: DataFrame, shingleN: Int = 3,
+                            maxFamily: Int = MaxFamilySize): DataFrame =
+    rawTextFamilies("d4_text_families", docs, shingleN)
+      .filter(size(col("ids")) > maxFamily)
+      .select(col("rep"), size(col("ids")).cast("long").as("n_copies"))
 
   /** Df-capped shingle postings over family representatives — the
     * shared join currency of d4 and d11 (identical frame, so the
@@ -422,8 +468,9 @@ object Dedup {
     * (spec-planted on a duplicated fixture).
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        maxDf: Long = 1000L): DataFrame = {
-    val fam = textFamilies("d4_text_families", docs)
+                        maxDf: Long = 1000L,
+                        skipOversized: Boolean = false): DataFrame = {
+    val fam = textFamilies("d4_text_families", docs, skipOversized = skipOversized)
     val ex = repPostings(fam, maxDf)
     // shuffle-hash, not broadcast: at scale the posting stream can't
     // broadcast; both sides read the SAME persisted posting frame
@@ -465,11 +512,12 @@ object Dedup {
     * sizes — the asymmetric measure costs nothing extra.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-                       maxDf: Long = 1000L): DataFrame = {
+                       maxDf: Long = 1000L,
+                       skipOversized: Boolean = false): DataFrame = {
     // identity-collapse first (see textFamilies) — same economics as
     // d4: the posting join runs on distinct texts, the cap measures
     // boilerplate diversity, member fan-out is output-bound
-    val fam = textFamilies("d4_text_families", docs)
+    val fam = textFamilies("d4_text_families", docs, skipOversized = skipOversized)
     val ex = repPostings(fam, maxDf)
     val a = ex.hint("shuffle_hash").alias("a")
     val b = ex.hint("shuffle_hash").alias("b")
@@ -520,9 +568,78 @@ object Dedup {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Byte-identical embedding families — the identity-collapse law
+    * (d2/d3/d4/d11, round 9) extended to the vector pairing family
+    * (VERDICT r9 lead item): identical inputs produce byte-identical
+    * encoder vectors (identical images → identical CLIP embeddings —
+    * the common case clip/image dedup exists for), and both d5
+    * spellings previously re-paid cosine per COPY pair; the LSH
+    * spelling additionally collided every copy family inside one
+    * bucket (B²/2 candidate pairs per family — d2's 200 GB banding
+    * detonation, keyed on vectors instead of signatures). Collapse
+    * first: group by the embedding VALUE itself — Spark groups array
+    * columns natively, so the family key is the full vector and
+    * there is no hash-forgery surface at all (stronger than
+    * textFamilies' sha2) — pair representatives, triangle-expand
+    * within-family pairs (their cosine is cos(v, v), computed ONCE
+    * per family, the same expression the pairwise path evaluates on
+    * identical operands), fan rep pairs out output-bound. The
+    * collapse exchange carries each DISTINCT vector once (~256 B) —
+    * strictly less than what either pairing path shipped per copy.
+    *
+    * Same hot-family valve as [[sigFamilies]]; the remedy for an
+    * oversized family is exact vector dedup first (one groupBy on
+    * the embedding, keep a representative), because no consumer
+    * wants 10¹⁵ enumerated identical pairs.
+    */
+  private def rawVecFamilies(tag: String, emb: DataFrame): DataFrame =
+    graft.FrameCache.persisted(tag,
+      emb.select(col("vec_id"), col("embedding"))
+        .groupBy(col("embedding"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"),
+          min(col("vec_id")).as("rep")))
+
+  private[graft] def vecFamilies(tag: String, emb: DataFrame,
+                                 maxFamily: Int = MaxFamilySize,
+                                 skipOversized: Boolean = false): DataFrame =
+    valved(rawVecFamilies(tag, emb), maxFamily, skipOversized,
+      "byte-identical embedding family", "copies of one vector",
+      "Enumerating this family's pairs is the wrong operation at this " +
+        "duplication — exact-dedup the vectors first (group by the " +
+        "embedding, keep one representative), then near-dup the survivors.")
+
+  /** The Report half of the vector-family valve — see
+    * [[oversizedTextFamilies]].
+    */
+  def oversizedVecFamilies(emb: DataFrame,
+                           maxFamily: Int = MaxFamilySize): DataFrame =
+    rawVecFamilies("d5_vec_families", emb)
+      .filter(size(col("ids")) > maxFamily)
+      .select(col("rep"), size(col("ids")).cast("long").as("n_copies"))
+
+  /** Within-family pairs: cosine is cos(v, v) — evaluated once per
+    * family on the family's own vector (bit-identical to what the
+    * pairwise path computes on identical operands, so ~1.0 up to the
+    * float norm round-trip; a zero vector's undefined cosine drops
+    * under the same threshold filter in both paths).
+    */
+  private def identicalVecPairs(fam: DataFrame, threshold: Double): DataFrame =
+    fam.filter(size(col("ids")) > 1)
+      .withColumn("cos", cosine_sim(col("embedding"), col("embedding")))
+      .filter(col("cos") >= threshold)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"),
+        col("cos"))
+      .select(col("p.a_id"), col("p.b_id"), round(col("cos"), 6).as("cosine"))
+
   /** d5 entry: EXACT embedding-cosine near-dup pairs as a
     * grid-blocked self-equi-join (the classic distributed all-pairs
-    * scheme, cf. the θ-join grid / fragment-replicate literature).
+    * scheme, cf. the θ-join grid / fragment-replicate literature),
+    * run on byte-identical-vector REPRESENTATIVES ([[vecFamilies]],
+    * round 10) so the Ω(n²)-in-DISTINCT-vectors compute is paid on
+    * vector diversity, never on duplication.
     *
     * Why not LSH here: a threshold join is only LSH-prunable when
     * qualifying pairs are actually near. Measured on this corpus, ALL
@@ -532,22 +649,27 @@ object Dedup {
     * short of probing every bucket. Exact low-threshold joins are
     * inherently Ω(n²) COMPUTE; what scale design controls is the plan
     * shape, and this one is the right shape:
-    *  - vectors hash into P groups; side a replicates each row to grid
-    *    cells (g, g..P-1), side b to cells (0..g, g) — every unordered
-    *    pair meets in EXACTLY one cell, total replication (P+1)·n
-    *    rows (√-of-reducer-count, vs B·n for one-sided blocking);
+    *  - rep vectors hash into P groups; side a replicates each row to
+    *    grid cells (g, g..P-1), side b to cells (0..g, g) — every
+    *    unordered pair meets in EXACTLY one cell, total replication
+    *    (P+1)·n rows (√-of-reducer-count, vs B·n for one-sided
+    *    blocking);
     *  - the join is a plain shuffled-hash EQUI-join on the cell id —
     *    no BroadcastNestedLoopJoin/CartesianProduct node ever
     *    (asserted in PlanShapeSpec), per-task build memory is one
     *    group (n/P vectors), load is balanced by the id hash;
-    *  - cosine is evaluated once per candidate pair, after the
-    *    cell-internal ordering filter.
+    *  - cosine is evaluated once per candidate REP pair, after the
+    *    cell-internal ordering filter; member pairs inherit it
+    *    through the output-bound fan-out (cosine is a pure function
+    *    of the two vectors, and members are byte-identical to reps).
     * For real near-dup corpora (cos ≳ 0.8) use
     * [[embeddingNearDupsLsh]], which prunes instead of organizing.
     */
   def embeddingNearDupsBlocked(emb: DataFrame, threshold: Double = 0.4,
-                               gridP: Int = 8): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"))
+                               gridP: Int = 8,
+                               skipOversized: Boolean = false): DataFrame = {
+    val fam = vecFamilies("d5_vec_families", emb, skipOversized = skipOversized)
+    val base = fam.select(col("rep").as("vec_id"), col("embedding"))
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(gridP)).cast("int"))
     val a = base
       .withColumn("cell", explode(expr(s"transform(sequence(g, ${gridP - 1}), j -> g * $gridP + j)")))
@@ -555,7 +677,7 @@ object Dedup {
     val b = base
       .withColumn("cell", explode(expr(s"transform(sequence(0, g), i -> i * $gridP + g)")))
       .alias("b")
-    a.join(b.hint("shuffle_hash"),
+    val repPairs = a.join(b.hint("shuffle_hash"),
         col("a.cell") === col("b.cell") &&
           // cross-group cells see each pair once in arbitrary order;
           // same-group cells see both orderings — keep exactly one.
@@ -565,6 +687,8 @@ object Dedup {
       .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         round(col("cos"), 6).as("cosine"))
+    identicalVecPairs(fam, threshold)
+      .unionByName(expandRepPairs(repPairs, fam, Seq("cosine")))
   }
 
   /** The 100 TB path for embedding near-dup: hyperplane-LSH bucket
@@ -572,23 +696,45 @@ object Dedup {
     * differing plane bit, exact cosine only on candidates. Recall per
     * pair is 1-(θ/π)^... per plane — high for true near-dups
     * (cos → 1 ⟹ bucket agreement → 1), tunable via planes/probes.
+    *
+    * Round 10 (VERDICT r9 lead item): identity-collapse + the narrow-
+    * shuffle law, the two fixes the rest of the dedup family already
+    * had. (1) bucketing and pairing run on byte-identical-vector
+    * representatives ([[vecFamilies]]) — a duplicated corpus no
+    * longer collides every copy family into B²/2 candidates; (2)
+    * cosine is computed BEFORE the candidate `dropDuplicates`
+    * exchange and only (a_id, b_id, cos) crosses it — the previous
+    * spelling shipped BOTH 64-float embeddings through that exchange
+    * (~512 B/candidate, the exact wide-shuffle pattern r8 purged from
+    * the ANN paths), ~64× wider than the scored row for the same
+    * verdict set (cosine is a pure function of the pair, so scoring
+    * before or after dedup is value-identical). The threshold filter
+    * also runs pre-dedup, shrinking the exchange to surviving pairs.
+    * Plan-pinned in PlanShapeSpec: no candidate-side exchange carries
+    * an array column.
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.4,
-                           numPlanes: Int = 6, seed: Long = 42L): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"))
+                           numPlanes: Int = 6, seed: Long = 42L,
+                           skipOversized: Boolean = false): DataFrame = {
+    val fam = vecFamilies("d5_vec_families", emb, skipOversized = skipOversized)
+    val bucketed = fam.select(col("rep").as("vec_id"), col("embedding"))
       .withColumn("bucket", hyperplane_bucket(col("embedding"), numPlanes, seed))
     val probed = bucketed
       .withColumn("probe", explode(expr(
         s"concat(array(int(bucket)), transform(sequence(0, ${numPlanes - 1}), i -> int(bucket) ^ shiftleft(1, i)))")))
     val a = probed.alias("a")
     val b = bucketed.alias("b")
-    a.join(b, col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val repPairs = a
+      .join(b, col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      // score INSIDE the join stage (narrow-shuffle law): only the
+      // 3-column scored row ever reaches the dedup exchange
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+    identicalVecPairs(fam, threshold)
+      .unionByName(expandRepPairs(repPairs, fam, Seq("cosine")))
   }
 
   // ---- Verified entry points ----

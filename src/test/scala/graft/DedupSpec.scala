@@ -627,6 +627,113 @@ class DedupSpec extends GraftSpecBase {
       s"swapped pair (10,40) must carry B-side ratio first: ${gotC.get(10L -> 40L)}")
   }
 
+  test("identity-collapsed d5: both spellings equal the direct pairing on a duplicated vector fixture") {
+    // the r9-lead fixture: byte-identical embedding copies (identical
+    // images → identical CLIP vectors). The collapse must (1) emit
+    // every within-family pair at cosine(v,v), (2) fan every rep pair
+    // out to all member pairs with the rep cosine, and the result must
+    // equal the direct per-copy pairing bit-for-bit.
+    val emb = Tables.embeddings(spark, sf)
+    val copies = emb.limit(25)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val corpus = emb.unionByName(copies)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // blocked spelling vs the all-pairs reference (the direct pairing)
+    val ref = pairs(dedup.Dedup.embeddingNearDups(corpus, threshold = 0.4))
+    val blocked = pairs(dedup.Dedup.embeddingNearDupsBlocked(corpus, threshold = 0.4))
+    assert(ref.exists(_._3 >= 0.999), "fixture must contain identical-vector pairs")
+    assert(blocked == ref,
+      s"missing=${(ref -- blocked).take(5)} extra=${(blocked -- ref).take(5)}")
+    // LSH spelling vs the DIRECT (per-copy, wide-exchange) LSH it
+    // replaces — the quadratic-in-duplication plan, inlined here as
+    // the oracle (same planes/seed, so buckets are deterministic)
+    import graft.functions.GraftFunctions._
+    val direct = {
+      val bucketed = corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", hyperplane_bucket(col("embedding"), 6, 42L))
+      val probed = bucketed.withColumn("probe", explode(expr(
+        "concat(array(int(bucket)), transform(sequence(0, 5), i -> int(bucket) ^ shiftleft(1, i)))")))
+      probed.alias("a")
+        .join(bucketed.alias("b"),
+          col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+    }
+    val collapsed = pairs(dedup.Dedup.embeddingNearDupsLsh(corpus, threshold = 0.4))
+    assert(collapsed == pairs(direct),
+      s"collapsed-only=${(collapsed -- pairs(direct)).take(5)} " +
+        s"direct-only=${(pairs(direct) -- collapsed).take(5)}")
+    // every planted copy pairs with its original at cosine ≈ 1
+    val identical = collapsed.filter { case (a, b, _) => b - a == 10000000L }
+    assert(identical.size == 25 && identical.forall(_._3 >= 0.999),
+      s"all 25 copy pairs must surface at cos≈1: ${identical.size}")
+  }
+
+  test("vecFamilies hot-family valve: strict fails NAMED, report mode skips and reports") {
+    import spark.implicits._
+    val vec = Seq(1.0f, 2.0f, 3.0f)
+    val emb = ((1L to 6L).map(i => (i, vec)) ++
+      Seq((50L, Seq(9.0f, 8.0f, 7.0f))))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      dedup.Dedup.vecFamilies("vec_valve_hot", emb, maxFamily = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val m = chain(ex)
+    assert(m.contains("maxFamily=4") && m.contains("6 copies of one vector"),
+      s"valve must name itself and the family size: $m")
+    // report mode: the family is dropped, the singleton survives,
+    // and the report names exactly the dropped family
+    val kept = dedup.Dedup.vecFamilies("vec_valve_hot", emb, maxFamily = 4,
+      skipOversized = true).collect().map(_.getAs[Long]("rep"))
+    assert(kept.toSeq == Seq(50L), s"report mode must keep only the singleton: ${kept.toSeq}")
+    val rep = dedup.Dedup.oversizedVecFamilies(emb, maxFamily = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((1L, 6L)),
+      s"report must name the skipped family (rep, n_copies): ${rep.toSeq}")
+    // (end-to-end skip semantics through a pair operator is pinned by
+    // the 10⁶⁺ fixture below, where the DEFAULT cap genuinely binds)
+  }
+
+  test("valve report mode on a planted 10⁶⁺ family: strict throws, report completes") {
+    import spark.implicits._
+    // sig path: one identical-signature family one past the DEFAULT cap
+    val sigs = spark.range(1000001L)
+      .select(col("id").as("doc_id"), array(lit(7), lit(7)).as("sig"))
+    val ex = intercept[Throwable] {
+      dedup.Dedup.sigFamilies("valve_1m_hot", sigs.toDF()).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("maxFamily=1000000"),
+      s"default strict cap must fire at 1000001: ${chain(ex)}")
+    val reported = dedup.Dedup.sigFamilies("valve_1m_hot", sigs.toDF(),
+      skipOversized = true).count()
+    assert(reported == 0L, "report mode must drop the oversized family and complete")
+    // text path end to end: the oversized family is skipped by the
+    // pair operator, surviving near-dups still pair, report names it
+    val toks = (1 to 40).map(i => s"tok$i")
+    val B = toks.mkString(" ")
+    val D = (toks.init :+ "CHANGED").mkString(" ")
+    val docs = spark.range(1000001L)
+      .select(col("id").as("doc_id"), lit(B).as("text"))
+      .unionByName(Seq(2000000L -> D, 2000001L -> D).toDF("doc_id", "text"))
+    val got = dedup.Dedup.exactJaccardPairs(docs, skipOversized = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2000000L, 2000001L, 1.0)),
+      s"only the surviving family's pair may emit: ${got.take(5)}")
+    val rep = dedup.Dedup.oversizedTextFamilies(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((0L, 1000001L)),
+      s"report must name the skipped 10⁶⁺ family: ${rep.toSeq}")
+  }
+
   test("sigFamilies hot-family valve: oversized family fails NAMED, capped corpora fold unchanged") {
     import spark.implicits._
     // an identical-signature family of 6 + two singletons

@@ -161,6 +161,50 @@ class PlanShapeSpec extends GraftSpecBase {
       s"grid cells must join as a shuffled equi-join:\n$plan")
   }
 
+  test("d5 LSH: no candidate-side exchange carries an array column (score-before-dedup)") {
+    // r10 narrow-shuffle pin (VERDICT r9 lead): the previous spelling
+    // shipped BOTH 64-float embeddings through the candidate
+    // dropDuplicates exchange — ~64× the scored row, compounding
+    // B²/2 on duplicated corpora. Cosine is now computed inside the
+    // join stage, so the ONLY exchanges allowed to carry an array are
+    // the sanctioned ones: the identity-collapse agg (each DISTINCT
+    // vector once, column `embedding`) and the member fan-out joins
+    // (`ids*`, output-bound). Any other array-carrying shuffle is the
+    // wide-exchange pattern coming back.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val df = dedup.Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, sf))
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(walk)) ++ (p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      })
+    val sanctioned = Set("embedding", "ids", "ids_a", "ids_b")
+    val offenders = walk(exec).collect {
+      case s: ShuffleExchangeLike if s.output.exists(a =>
+        a.dataType.isInstanceOf[ArrayType] && !sanctioned.contains(a.name)) =>
+        s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ")
+    }
+    assert(offenders.isEmpty,
+      s"candidate-side exchanges must be scored + narrow, found arrays in: $offenders")
+    // and the narrow candidate dedup exchange actually exists: some
+    // shuffle carries (a_id, b_id) with zero array columns
+    val narrowDedup = walk(exec).exists {
+      case s: ShuffleExchangeLike =>
+        s.output.exists(_.name == "a_id") && s.output.exists(_.name == "b_id") &&
+          !s.output.exists(_.dataType.isInstanceOf[ArrayType])
+      case _ => false
+    }
+    assert(narrowDedup, "expected the scored (a_id, b_id, cos) dedup exchange")
+  }
+
   test("s3: no quantizer training in the query plan — assignment is a narrow literal-centroid map") {
     val plan = finalPlan(similarity.Similarity.s3(spark, sf))
     assert(!plan.contains("posexplode"),
