@@ -245,6 +245,47 @@ object ScaleSoak {
         "operator=signature-free joinback, naive=16KB-signature band shuffle")
     }
 
+    // -- d5-LSH + m11 on BYTE-IDENTICAL copies (VERDICT r9 item 2) --
+    // The derived corpus above MUTATES every embedding copy (±1%
+    // jitter — the realistic IVF cell-density shape), so the byte-
+    // identical-vector regime — the duplication law that detonated
+    // d2's banding at 50× — was unexercised for the vector family.
+    // Derive it in-plan here (re-keyed copies, embedding untouched;
+    // copy 0 keeps the base ids, so family representatives ARE the
+    // base vectors) and run the collapse-first operator. Parity is
+    // exact and driver-computable: rep pairs ≡ base pairs, each fans
+    // out factor² member pairs, plus C(factor, 2) identical pairs per
+    // base vector.
+    val embBase = Tables.embeddings(spark, sfDir)
+    val embIdent = (0 until factor).map { i =>
+      embBase.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    val nVecBase = embBase.count()
+    val (d5BaseN, d5BaseS) = timed(
+      graft.dedup.Dedup.embeddingNearDupsLsh(embBase).count())
+    val (d5N, d5S) = timed(
+      graft.dedup.Dedup.embeddingNearDupsLsh(embIdent).count())
+    val d5Expected = d5BaseN * factor.toLong * factor +
+      nVecBase * (factor.toLong * (factor - 1) / 2)
+    report("d5_ident_embeddings", d5N, d5S, d5BaseS, d5N == d5Expected,
+      s"factor=$factor vectors=${nVecBase * factor} base_pairs=$d5BaseN " +
+        s"expected=$d5Expected (naive_s = the 1x base run)")
+
+    // m11 on the byte-identical DOC corpus (the derived docs are exact
+    // copies by construction): group-based clip report, never pair
+    // joins. Every (fingerprint, frame) group holds ≥ factor ≥ 2 docs,
+    // so the scaled minDocs=2 report must equal the BASE corpus's full
+    // clip-key census (minDocs=1) in group count — a content-diversity
+    // invariant duplication cannot move.
+    val (m11N, m11S) = timed(
+      graft.multimodal.Multimodal.clipDedupReport(docs).count())
+    val (m11BaseN, m11BaseS) = timed(
+      graft.multimodal.Multimodal.clipDedupReport(
+        Tables.documents(spark, sfDir), minDocs = 1).count())
+    report("m11_ident_clips", m11N, m11S, m11BaseS, m11N == m11BaseN,
+      s"factor=$factor scaled-minDocs2 groups vs base census=$m11BaseN " +
+        s"(naive_s = the 1x census run)")
+
     // -- skew: salted join on a planted hot key ≡ plain shuffle join
     // one user owns 20% of the scaled event stream (the planted-skew
     // shape SkewStreamSpec pins at spec size) — join events⋈per-user

