@@ -300,7 +300,27 @@ object Dedup {
     * first — the documented division of labor; step 2's in-row
     * expansion is quadratic in the family size because the ANSWER is.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** d3's identical-signature families — the same valve contract as
+    * [[sigFamilies]] (round 10: d3 was the one collapse path without
+    * one; its in-row triangle expansion has the same B²/2 buffer
+    * exposure the d2 valve guards).
+    */
+  private[graft] def simFamilies(tag: String, sigs: DataFrame,
+                                 maxFamily: Int = MaxFamilySize,
+                                 skipOversized: Boolean = false): DataFrame =
+    valved(
+      graft.FrameCache.persisted(tag,
+        sigs.groupBy(col("sim"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            min(col("doc_id")).as("rep"))),
+      maxFamily, skipOversized,
+      "identical-signature family", "docs share one simhash signature",
+      "Byte-identical mass at this scale is exact dedup's job — run " +
+        "Dedup.exactDedup (d1) first, then simhash the surviving " +
+        "representatives.")
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   skipOversized: Boolean = false): DataFrame = {
     val sigs = Tables.spread(docs)
       .withColumn("tok_hashes", shingle_hashes(col("text"), n = 1, distinct = false))
       .withColumn("sim", simhash64(col("tok_hashes")))
@@ -308,10 +328,8 @@ object Dedup {
     // three consumers (identical-pair expansion, rep banding, member
     // fan-out) share one persisted family frame — bounded via
     // FrameCache, never a bare leak (ADVICE r8)
-    val families = graft.FrameCache.persisted("d3_families",
-      sigs.groupBy(col("sim"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-          min(col("doc_id")).as("rep")))
+    val families = simFamilies("d3_families", sigs,
+      skipOversized = skipOversized)
     val identical = families.filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->

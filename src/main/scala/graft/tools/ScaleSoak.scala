@@ -286,6 +286,25 @@ object ScaleSoak {
       s"factor=$factor scaled-minDocs2 groups vs base census=$m11BaseN " +
         s"(naive_s = the 1x census run)")
 
+    // s15 on the byte-identical vector corpus — MEASUREMENT leg
+    // (10× rung only): the within-cell kNN join's candidate COMPUTE
+    // grows copies² by contract (the documented cell-bounded
+    // deliberate quadratic; its window exchange is already narrow —
+    // scored rows only — and production re-derives numCells from
+    // n/targetCellSize where the entry's fixed 16 does not). This
+    // times that contract on the duplication-law corpus so the cost
+    // curve is measured, not assumed. Exact row invariant at
+    // factor > k: every vector's own family fills its neighbor list,
+    // so the graph is exactly n·k rows.
+    if (factor <= 10) {
+      val (s15N, s15S) = timed(
+        graft.similarity.Similarity.knnGraph(embIdent).count())
+      report("s15_ident_knn_graph", s15N, s15S, -1.0,
+        s15N == nVecBase * factor * 5L,
+        s"factor=$factor within-cell compute grows copies^2 by contract; " +
+          s"expected=${nVecBase * factor * 5L} rows (n*k)")
+    }
+
     // -- skew: salted join on a planted hot key ≡ plain shuffle join
     // one user owns 20% of the scaled event stream (the planted-skew
     // shape SkewStreamSpec pins at spec size) — join events⋈per-user

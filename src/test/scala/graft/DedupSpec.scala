@@ -701,6 +701,27 @@ class DedupSpec extends GraftSpecBase {
     // the 10⁶⁺ fixture below, where the DEFAULT cap genuinely binds)
   }
 
+  test("simFamilies valve (d3): strict fails NAMED, report mode drops the family") {
+    import spark.implicits._
+    // round 10: d3 was the one collapse path without a valve — its
+    // in-row triangle expansion has the same B²/2 buffer exposure
+    val sigs = ((1L to 6L).map(i => (i, 7L)) ++ Seq((50L, 99L)))
+      .toDF("doc_id", "sim")
+    val ex = intercept[Throwable] {
+      dedup.Dedup.simFamilies("sim_valve_hot", sigs, maxFamily = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val m = chain(ex)
+    assert(m.contains("maxFamily=4") && m.contains("6 docs share one simhash signature"),
+      s"valve must name itself and the family size: $m")
+    assert(m.contains("exactDedup"), s"valve must point at the d1 remedy: $m")
+    val kept = dedup.Dedup.simFamilies("sim_valve_hot", sigs, maxFamily = 4,
+      skipOversized = true).collect().map(_.getAs[Long]("rep"))
+    assert(kept.toSeq == Seq(50L),
+      s"report mode must keep only the singleton: ${kept.toSeq}")
+  }
+
   test("valve report mode on a planted 10⁶⁺ family: strict throws, report completes") {
     import spark.implicits._
     // sig path: one identical-signature family one past the DEFAULT cap
