@@ -997,29 +997,52 @@ object Lake {
     * exact protocol with a catalog/lock service — same note as every
     * real lakehouse log. @return whether this writer won the version.
     */
+  /** JVM-wide claim registry for [[tryCommit]] (round 10): on
+    * RawLocalFileSystem `rename` delegates to POSIX rename(2), which
+    * REPLACES an existing destination — the FileSystem "fail when the
+    * destination exists" contract does NOT hold locally, so two
+    * same-JVM writers racing one version slot could both see their
+    * rename "succeed", the second silently clobbering the first's
+    * committed v-file (exactly the lost-update the OCC log exists to
+    * prevent). Same-process writers — threads over one embedded
+    * session, the only concurrency a local FS can actually meet —
+    * serialize their claim here; cross-process atomicity remains the
+    * filesystem contract's job (HDFS enforces no-overwrite renames)
+    * or a catalog/lock service on object stores, per the tryCommit
+    * doc. The claim is released in all paths: after a win the
+    * published v-file itself gates later callers, and after a loss or
+    * failure the slot must stay claimable for the OCC retry loop.
+    */
+  private val commitClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def tryCommit(spark: SparkSession, root: String, v: Int,
                                entries: Seq[LogEntry]): Boolean = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(root, "_log"))
     val f = logFile(root, v)
     if (fs.exists(f)) return false
-    val tmp = new Path(root,
-      s"_log/.tmp-v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    val claim = fs.makeQualified(f).toString
+    if (!commitClaims.add(claim)) return false // in-JVM racer holds the slot
     try {
-      val out = fs.create(tmp, true)
-      try out.write(entries.map(e => s"${e.action}\t${e.day}\t${e.file}")
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      // the claim: lose if another writer published v while we staged
-      if (fs.exists(f) || !fs.rename(tmp, f)) {
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        false
-      } else true
-    } catch {
-      case _: java.io.IOException =>
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        false
-    }
+      val tmp = new Path(root,
+        s"_log/.tmp-v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(entries.map(e => s"${e.action}\t${e.day}\t${e.file}")
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        // the claim: lose if another writer published v while we staged
+        if (fs.exists(f) || !fs.rename(tmp, f)) {
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+          false
+        } else true
+      } catch {
+        case _: java.io.IOException =>
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+          false
+      }
+    } finally commitClaims.remove(claim)
   }
 
   /** An in-flight merge transaction: the snapshot it read, the days

@@ -328,6 +328,40 @@ class SourcesSpec extends GraftSpecBase {
     }
   }
 
+  test("tryCommit thread race: exactly one same-JVM writer wins a slot, log holds the winner's entries") {
+    // POSIX rename REPLACES an existing destination on the local FS
+    // (RawLocalFileSystem delegates to rename(2), so the FileSystem
+    // no-overwrite contract does NOT hold here): without the JVM
+    // claim registry, two same-process writers racing one slot could
+    // both report a win and the second would silently clobber the
+    // first's committed v-file. Eight threads race v=1 concurrently;
+    // exactly one may win, and the published log must be the
+    // winner's entries verbatim.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_race").toString
+    assert(sources.Lake.tryCommit(spark, root, 0,
+      Seq(sources.Lake.LogEntry("A", "2024-01-01", "base"))), "base commit wins v0")
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        gate.await()
+        results.put(i, sources.Lake.tryCommit(spark, root, 1,
+          Seq(sources.Lake.LogEntry("A", "2024-01-02", s"writer$i"))))
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val winners = (0 until 8).filter(results.get(_))
+    assert(winners.size == 1, s"exactly one writer may win v1, got $winners")
+    val logged = sources.Lake.logEntries(spark, root, 1)
+    assert(logged == Seq(sources.Lake.LogEntry("A", "2024-01-02", s"writer${winners.head}")),
+      s"the log must hold the winner's entries verbatim: $logged")
+    // the slot stays closed afterwards, and later slots stay open
+    assert(!sources.Lake.tryCommit(spark, root, 1,
+      Seq(sources.Lake.LogEntry("A", "d", "late"))), "a committed slot never re-opens")
+    assert(sources.Lake.tryCommit(spark, root, 2,
+      Seq(sources.Lake.LogEntry("A", "2024-01-03", "next"))), "the next slot is unaffected")
+  }
+
   test("p30 OCC: version race has one winner, loser never clobbers, rebase converges, stale files are orphans") {
     def norm(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
