@@ -992,16 +992,47 @@ object Dedup {
     */
   def minhashCalibration(docs: DataFrame, threshold: Double = 0.5,
                          tol: Double = 0.15): DataFrame = {
-    val sets = withShingleHashes(docs).filter(size(col("sh")) > 0)
+    // Round 10 — the identity-collapse law applied to its last
+    // surviving per-pair array decoration: the previous spelling
+    // joined BOTH full shingle-hash arrays onto every emitted member
+    // pair, so the second id-keyed join's exchange carried
+    // (pair, sha[]) rows — per-PAIR array shipping that multiplies
+    // copies² on a duplicated corpus (d5's wide-exchange pattern,
+    // hiding in the audit operator). Both scores are pure functions
+    // of the shingle SETS, which every family member shares with its
+    // representative — so: calibrate REP pairs (LSH over the
+    // byte-identical-text representatives, exact re-score joins
+    // rep-sized set frames, array shipping bounded by rep-pair
+    // diversity), emit within-family pairs as the constants they are
+    // (est = exact = 1, inside any tol), and fan rep scores out to
+    // member pairs output-bound. Output is value-identical to the
+    // per-copy spelling: signatures are functions of the text, so
+    // rep-level banding sees the same distinct-signature population
+    // (DedupSpec pins this on a duplicated fixture). The family
+    // frame is the same cached textFamilies d4/d11 ride.
+    val fam = textFamilies("d4_text_families", docs)
+    val repDocs = fam.select(col("rep").as("doc_id"), col("text"))
+    val sets = withShingleHashes(repDocs).filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-    minhashLshPairs(docs, threshold)
+    val repScored = minhashLshPairs(repDocs, threshold)
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("exact_jaccard", round(col("__shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("__shared")), 6))
-      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"),
-        (abs(col("est_jaccard") - col("exact_jaccard")) <= tol).as("within_tol"))
+      .withColumn("within_tol",
+        abs(col("est_jaccard") - col("exact_jaccard")) <= tol)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"),
+        col("exact_jaccard"), col("within_tol"))
+    val identical = fam.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a as a_id, b as b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), lit(1.0).as("est_jaccard"),
+        lit(1.0).as("exact_jaccard"), lit(true).as("within_tol"))
+    identical.unionByName(expandRepPairs(repScored, fam,
+      Seq("est_jaccard", "exact_jaccard", "within_tol")))
   }
 
   /** Verified entry (d15). Sort is oracle-determinism only. */

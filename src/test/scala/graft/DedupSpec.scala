@@ -701,6 +701,44 @@ class DedupSpec extends GraftSpecBase {
     // the 10⁶⁺ fixture below, where the DEFAULT cap genuinely binds)
   }
 
+  test("collapse-first d15 equals the direct per-copy calibration on a duplicated fixture") {
+    // r10: the old spelling joined BOTH full shingle arrays onto
+    // every member pair (per-pair array exchange, copies² on a
+    // duplicated corpus). Both scores are functions of the shingle
+    // sets members share with reps, so the rep-calibrate + fan-out
+    // must be value-identical to the per-copy spelling, inlined here
+    // as the oracle.
+    import graft.functions.GraftFunctions._
+    val docs0 = Tables.documents(spark, sf)
+    val copies = docs0.limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val corpus = docs0.unionByName(copies)
+    val direct = {
+      val sets = Tables.spread(corpus)
+        .withColumn("sh", shingle_hashes(col("text"), 3))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+      dedup.Dedup.minhashLshPairs(corpus, 0.5)
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+        .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("exact_jaccard", round(col("__shared").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("__shared")), 6))
+        .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.15).as("within_tol"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    val got = rows(dedup.Dedup.minhashCalibration(corpus))
+    val exp = rows(direct)
+    assert(got == exp,
+      s"collapsed-only=${(got -- exp).take(3)} direct-only=${(exp -- got).take(3)}")
+    // the planted copies surface as exact 1.0/1.0/true pairs
+    assert(got.exists { case (a, b, e, x, t) =>
+      b - a == 10000000L && e == 1.0 && x == 1.0 && t })
+  }
+
   test("simFamilies valve (d3): strict fails NAMED, report mode drops the family") {
     import spark.implicits._
     // round 10: d3 was the one collapse path without a valve — its
