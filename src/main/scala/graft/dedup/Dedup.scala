@@ -46,15 +46,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Ordered within-bucket candidate pairs: group the (key, id, sig)
-    * stream by bucket key, sort members by id, emit each (i < j) pair.
-    * ONE pass over the signatures and ONE shuffle on the bucket key —
-    * the self-join formulation would compute signatures twice and
-    * (at scale, where broadcast is impossible) shuffle them twice.
-    * Bucket membership is bounded by construction (band width /
-    * chunk width), so the per-bucket member list is small.
+    * stream by bucket key, sort members by id, emit each (i < j) pair
+    * SCORED. ONE pass over the signatures and ONE shuffle on the
+    * bucket key — the self-join formulation would compute signatures
+    * twice and (at scale, where broadcast is impossible) shuffle them
+    * twice. Bucket membership is bounded by construction (band width
+    * / chunk width), so the per-bucket member list is small.
+    *
+    * The score is applied AT EMISSION, inside the explode stage
+    * (round 10, the narrow-shuffle law's last candidate-path
+    * violation — found by tools/ExchangeAudit): est/hamming are pure
+    * functions of the signature pair, so only (a_id, b_id, score)
+    * ever reaches the candidate `dropDuplicates` exchange. The
+    * previous spelling shipped BOTH full signatures through it —
+    * ~2 KB per candidate row at 128 perms where the scored row is
+    * 24 B, and a pair colliding in k bands shipped them k times.
+    * Duplicate candidates carry identical signatures, so scoring
+    * before the dedup is value-identical.
     */
   private def bucketPairs(keyed: DataFrame, keyCols: Seq[String],
-                          idCol: String, sigCol: String): DataFrame =
+                          idCol: String, sigCol: String,
+                          scoreName: String,
+                          score: (Column, Column) => Column): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(idCol), col(sigCol)))).as("members"))
       .filter(size(col("members")) > 1)
@@ -63,8 +76,18 @@ object Dedup {
            |  transform(slice(members, i + 2, size(members)),
            |    b -> struct(a.$idCol as a_id, b.$idCol as b_id,
            |                a.$sigCol as sa, b.$sigCol as sb))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.sa"), col("p.sb"))
+      .select(col("p.a_id"), col("p.b_id"),
+        score(col("p.sa"), col("p.sb")).as(scoreName))
       .dropDuplicates("a_id", "b_id")
+
+  /** Signature agreement → estimated jaccard (the minhash estimator),
+    * rounded to the frame's 6dp law.
+    */
+  private def estJaccard(numPerms: Int)(sa: Column, sb: Column): Column =
+    round(
+      aggregate(
+        zip_with(sa, sb, (p, q) => when(p === q, lit(1)).otherwise(lit(0))),
+        lit(0), (acc, v) => acc + v).cast("double") / numPerms, 6)
 
   /** Signature families for identity-collapsed LSH (d3's law applied
     * to minhash, round 9): a duplicated corpus puts every
@@ -189,12 +212,9 @@ object Dedup {
       .select(col("rep").as("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_sig", expr(s"slice(sig, band * $rows + 1, $rows)"))
-    val repPairs = bucketPairs(banded, Seq("band", "band_sig"), "doc_id", "sig")
-      .withColumn("est_jaccard",
-        round(expr(s"aggregate(zip_with(sa, sb, (p, q) -> if(p = q, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / numPerms, 6))
+    val repPairs = bucketPairs(banded, Seq("band", "band_sig"), "doc_id", "sig",
+        "est_jaccard", estJaccard(numPerms))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("est_jaccard"))
     identicalSigPairs(fam)
       .unionByName(expandRepPairs(repPairs, fam, Seq("est_jaccard")))
   }
@@ -340,17 +360,14 @@ object Dedup {
     val chunked = reps
       .select(col("doc_id"), col("sim"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(sim >> (c * 16)) & 65535"))
-    val repPairs = bucketPairs(chunked, Seq("c", "chunk"), "doc_id", "sim")
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+    // hamming is scored at emission (bucketPairs' narrow contract);
+    // the fan-out joins the family frame by REP id — rep ↔ sim is
+    // 1:1 (rep = the family's min doc id), so this is value-identical
+    // to the former by-signature join and shares expandRepPairs
+    val repPairs = bucketPairs(chunked, Seq("c", "chunk"), "doc_id", "sim",
+        "hamming", (sa, sb) => bit_count(sa.bitwiseXOR(sb)))
       .filter(col("hamming") <= maxHamming)
-    val fam = families.select(col("sim"), col("ids"))
-    val expanded = repPairs
-      .join(fam.select(col("sim").as("sa"), col("ids").as("ids_a")), Seq("sa"))
-      .join(fam.select(col("sim").as("sb"), col("ids").as("ids_b")), Seq("sb"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
-      .select(least(col("ia"), col("ib")).as("a_id"),
-        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
+    val expanded = expandRepPairs(repPairs, families, Seq("hamming"))
     identical.unionByName(expanded)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }

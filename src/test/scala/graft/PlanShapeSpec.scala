@@ -161,6 +161,43 @@ class PlanShapeSpec extends GraftSpecBase {
       s"grid cells must join as a shuffled equi-join:\n$plan")
   }
 
+  test("d2: the candidate dedup exchange is scored and narrow (no pair+signature rows)") {
+    // r10 (found by tools/ExchangeAudit): bucketPairs used to ship
+    // BOTH full 128-long signatures through its dropDuplicates
+    // exchange (~2 KB/candidate vs the 24 B scored row, ×k for a
+    // pair colliding in k bands). est/hamming are pure functions of
+    // the signature pair, so they are scored AT EMISSION — pin that
+    // no exchange carries (a_id, b_id) together with any array.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val df = dedup.Dedup.minhashLshPairs(Tables.documents(spark, sf))
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(walk)) ++ (p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      })
+    // the member fan-out's ids arrays are output-bound currency (the
+    // d5 pin's same sanction); any OTHER array beside a pair is the
+    // signature-shipping pattern coming back
+    val sanctioned = Set("ids", "ids_a", "ids_b")
+    val offenders = walk(exec).collect {
+      case s: ShuffleExchangeLike
+        if s.output.exists(_.name == "a_id") && s.output.exists(_.name == "b_id") &&
+          s.output.exists(a => a.dataType.isInstanceOf[ArrayType] &&
+            !sanctioned.contains(a.name)) =>
+        s.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ")
+    }
+    assert(offenders.isEmpty,
+      s"candidate pair exchanges must be scored + signature-free: $offenders")
+  }
+
   test("d5 LSH: no candidate-side exchange carries an array column (score-before-dedup)") {
     // r10 narrow-shuffle pin (VERDICT r9 lead): the previous spelling
     // shipped BOTH 64-float embeddings through the candidate
