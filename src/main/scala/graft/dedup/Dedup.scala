@@ -1008,7 +1008,8 @@ object Dedup {
     * conservative dedup runs anyway (LSH generates, exact confirms).
     */
   def minhashCalibration(docs: DataFrame, threshold: Double = 0.5,
-                         tol: Double = 0.15): DataFrame = {
+                         tol: Double = 0.15,
+                         skipOversized: Boolean = false): DataFrame = {
     // Round 10 — the identity-collapse law applied to its last
     // surviving per-pair array decoration: the previous spelling
     // joined BOTH full shingle-hash arrays onto every emitted member
@@ -1027,11 +1028,15 @@ object Dedup {
     // rep-level banding sees the same distinct-signature population
     // (DedupSpec pins this on a duplicated fixture). The family
     // frame is the same cached textFamilies d4/d11 ride.
-    val fam = textFamilies("d4_text_families", docs)
+    // skipOversized threads through BOTH family valves (ADVICE r10:
+    // calibration was the one pair operator without the report-mode
+    // escape hatch, so a >MaxFamilySize byte-identical family made
+    // the corpus uncalibratable in any mode)
+    val fam = textFamilies("d4_text_families", docs, skipOversized = skipOversized)
     val repDocs = fam.select(col("rep").as("doc_id"), col("text"))
     val sets = withShingleHashes(repDocs).filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-    val repScored = minhashLshPairs(repDocs, threshold)
+    val repScored = minhashLshPairs(repDocs, threshold, skipOversized = skipOversized)
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))

@@ -1006,15 +1006,73 @@ object Lake {
     * committed v-file (exactly the lost-update the OCC log exists to
     * prevent). Same-process writers — threads over one embedded
     * session, the only concurrency a local FS can actually meet —
-    * serialize their claim here; cross-process atomicity remains the
-    * filesystem contract's job (HDFS enforces no-overwrite renames)
-    * or a catalog/lock service on object stores, per the tryCommit
-    * doc. The claim is released in all paths: after a win the
-    * published v-file itself gates later callers, and after a loss or
-    * failure the slot must stay claimable for the OCC retry loop.
+    * serialize their claim here; on NON-local filesystems
+    * cross-process atomicity remains the filesystem contract's job
+    * (HDFS enforces no-overwrite renames) or a catalog/lock service
+    * on object stores, per the tryCommit doc. The claim is released
+    * in all paths: after a win the published v-file itself gates
+    * later callers, and after a loss or failure the slot must stay
+    * claimable for the OCC retry loop.
+    *
+    * Round 11 (ADVICE r10): on LOCAL filesystems the registry is
+    * backed by an on-disk claim file created with
+    * `Files.createFile` — POSIX O_CREAT|O_EXCL, atomic ACROSS
+    * processes — so two embedded sessions in separate JVMs on one
+    * host can no longer both win a slot. A claim left behind by a
+    * killed writer (kill -9 between claim and publish — every
+    * in-process path releases in a finally) is stolen after
+    * [[ClaimTtlMs]] via an atomic move: exactly one stealer's move
+    * succeeds, and the winner then contends for a fresh claim like
+    * any other writer, so a steal can never mint two holders.
     */
   private val commitClaims =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Age after which an on-disk local claim with no published v-file
+    * is presumed dead and stolen. Generous vs the claim-to-publish
+    * window (one small text file write + rename): a live writer past
+    * this is pathological, and the steal trade (a >TTL-stalled writer
+    * could double-commit) is the standard lease-without-fencing
+    * caveat every lock-file protocol carries.
+    */
+  private[graft] val ClaimTtlMs: Long = 10 * 60 * 1000L
+
+  /** Atomically acquire the cross-process claim file for slot `v` in
+    * the local `_log` dir. Claim files (`.claim-v{N}`) are invisible
+    * to [[logVersion]]'s `v(\d+).txt` regex, like the staging tmps.
+    */
+  private def acquireLocalClaim(logDir: java.io.File, v: Int): Boolean = {
+    val claim = new java.io.File(logDir, s".claim-v$v").toPath
+    try { java.nio.file.Files.createFile(claim); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age =
+          try System.currentTimeMillis -
+            java.nio.file.Files.getLastModifiedTime(claim).toMillis
+          catch { case _: java.io.IOException => -1L } // vanished → re-contend below
+        if (age >= 0 && age < ClaimTtlMs) false
+        else {
+          // stale (or just-released): steal by atomic move — the one
+          // mover whose rename finds the source proceeds; everyone
+          // else gets NoSuchFileException and loses this attempt
+          val grave = new java.io.File(logDir,
+            s".claim-v$v-stale-${java.util.UUID.randomUUID.toString.take(8)}").toPath
+          try {
+            java.nio.file.Files.move(claim, grave)
+            java.nio.file.Files.deleteIfExists(grave)
+            try { java.nio.file.Files.createFile(claim); true }
+            catch { case _: java.io.IOException => false }
+          } catch { case _: java.io.IOException => false }
+        }
+      case _: java.io.IOException => false
+    }
+  }
+
+  private def releaseLocalClaim(logDir: java.io.File, v: Int): Unit = {
+    val claim = new java.io.File(logDir, s".claim-v$v").toPath
+    try java.nio.file.Files.deleteIfExists(claim)
+    catch { case _: java.io.IOException => () }
+  }
 
   private[graft] def tryCommit(spark: SparkSession, root: String, v: Int,
                                entries: Seq[LogEntry]): Boolean = {
@@ -1024,6 +1082,17 @@ object Lake {
     if (fs.exists(f)) return false
     val claim = fs.makeQualified(f).toString
     if (!commitClaims.add(claim)) return false // in-JVM racer holds the slot
+    // local FS: POSIX rename(2) replaces an existing destination, so
+    // the in-JVM registry alone can't stop a SECOND PROCESS from
+    // clobbering a committed v-file — add the atomic on-disk claim
+    val localLogDir =
+      if (fs.makeQualified(f).toUri.getScheme == "file")
+        Some(new java.io.File(
+          fs.makeQualified(new Path(root, "_log")).toUri.getPath))
+      else None
+    if (!localLogDir.forall(acquireLocalClaim(_, v))) {
+      commitClaims.remove(claim); return false
+    }
     try {
       val tmp = new Path(root,
         s"_log/.tmp-v$v-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -1042,7 +1111,10 @@ object Lake {
           try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
           false
       }
-    } finally commitClaims.remove(claim)
+    } finally {
+      localLogDir.foreach(releaseLocalClaim(_, v))
+      commitClaims.remove(claim)
+    }
   }
 
   /** An in-flight merge transaction: the snapshot it read, the days

@@ -62,7 +62,11 @@ object ExchangeAudit {
         }
       } catch {
         case e: Throwable =>
-          println(s"""{"entry":"$k","error":"${e.getMessage.linesIterator.next().take(120).replace("\"", "'")}"}""")
+          // getMessage can be null (NPE) or empty — never let the
+          // reporter itself throw and abort the remaining entries
+          val msg = Option(e.getMessage).map(_.linesIterator.toSeq.headOption.getOrElse(""))
+            .filter(_.nonEmpty).getOrElse(e.getClass.getName)
+          println(s"""{"entry":"$k","error":"${msg.take(120).replace("\"", "'")}"}""")
       }
     }
     println(s"""{"audit":"array_carrying_exchanges","entries":${keys.size},"hits":$hits}""")

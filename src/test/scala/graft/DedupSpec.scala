@@ -793,6 +793,35 @@ class DedupSpec extends GraftSpecBase {
       s"report must name the skipped 10⁶⁺ family: ${rep.toSeq}")
   }
 
+  test("minhashCalibration valve: strict throws on a 10⁶⁺ family, skipOversized calibrates the survivors") {
+    import spark.implicits._
+    // ADVICE r10: calibration was the one pair operator routed
+    // through the strict valve without the report-mode escape hatch —
+    // a corpus with one >MaxFamilySize byte-identical family could
+    // not be calibrated AT ALL. Same planted fixture as the d4 valve
+    // spec: a family one past the default cap plus one surviving
+    // near-dup pair.
+    val toks = (1 to 40).map(i => s"tok$i")
+    val B = toks.mkString(" ")
+    val D = (toks.init :+ "CHANGED").mkString(" ")
+    val docs = spark.range(1000001L)
+      .select(col("id").as("doc_id"), lit(B).as("text"))
+      .unionByName(Seq(2000000L -> D, 2000001L -> D).toDF("doc_id", "text"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val ex = intercept[Throwable] {
+      dedup.Dedup.minhashCalibration(docs).collect()
+    }
+    assert(chain(ex).contains("maxFamily=1000000"),
+      s"strict mode must fail named on the oversized family: ${chain(ex)}")
+    val got = dedup.Dedup.minhashCalibration(docs, skipOversized = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    assert(got == Set((2000000L, 2000001L, 1.0, 1.0, true)),
+      s"report mode must calibrate exactly the surviving family's pair: ${got.take(5)}")
+  }
+
   test("sigFamilies hot-family valve: oversized family fails NAMED, capped corpora fold unchanged") {
     import spark.implicits._
     // an identical-signature family of 6 + two singletons

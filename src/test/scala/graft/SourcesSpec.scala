@@ -362,6 +362,42 @@ class SourcesSpec extends GraftSpecBase {
       Seq(sources.Lake.LogEntry("A", "2024-01-03", "next"))), "the next slot is unaffected")
   }
 
+  test("tryCommit cross-process claim: a foreign claim file blocks the slot, a stale one is stolen") {
+    // ADVICE r10: the in-JVM registry only serializes writers inside
+    // one process; on a local FS two separate JVMs could still both
+    // see rename(2) succeed. The fix is an on-disk O_CREAT|O_EXCL
+    // claim file — simulate the second process by planting the claim
+    // out-of-band.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_xproc").toString
+    assert(sources.Lake.tryCommit(spark, root, 0,
+      Seq(sources.Lake.LogEntry("A", "2024-01-01", "base"))), "base commit wins v0")
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    val claim = logDir.resolve(".claim-v1")
+    java.nio.file.Files.createFile(claim) // "another process" holds v1
+    assert(!sources.Lake.tryCommit(spark, root, 1,
+      Seq(sources.Lake.LogEntry("A", "2024-01-02", "us"))),
+      "a fresh foreign claim must block the slot")
+    assert(java.nio.file.Files.exists(claim),
+      "losing the claim must not disturb the holder's claim file")
+    // the holder dies without publishing: past the TTL the claim is
+    // stolen and the slot commits normally
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - sources.Lake.ClaimTtlMs - 1000))
+    assert(sources.Lake.tryCommit(spark, root, 1,
+      Seq(sources.Lake.LogEntry("A", "2024-01-02", "us"))),
+      "a stale claim must be stolen, not wedge the slot forever")
+    assert(sources.Lake.logEntries(spark, root, 1) ==
+      Seq(sources.Lake.LogEntry("A", "2024-01-02", "us")),
+      "the stealing writer's entries are the committed ones")
+    assert(!java.nio.file.Files.exists(claim),
+      "a completed attempt must release its claim file")
+    // claim files are protocol-invisible: the log regex never lists them
+    assert(sources.Lake.tryCommit(spark, root, 2,
+      Seq(sources.Lake.LogEntry("A", "2024-01-03", "next"))),
+      "later slots are unaffected")
+  }
+
   test("p30 OCC: version race has one winner, loser never clobbers, rebase converges, stale files are orphans") {
     def norm(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
