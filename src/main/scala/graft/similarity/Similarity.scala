@@ -908,21 +908,53 @@ object Similarity {
     * nprobe above the recall SLO; scan cost is ∝ nprobe, so the
     * curve IS the latency/recall trade).
     *
-    * Scale shape: the exact side (bounded query subset, broadcast —
-    * s1's contract) is computed ONCE; each rung is the same narrow
-    * literal-centroid IVF probe with a different cell cut, and the
-    * rung recalls reduce as integer hit counts joined on (q, n)
-    * membership — never a cosine re-compare (s17's law), so mean
-    * recall = Σhits / (k·|queries|) is one exact-integer division.
+    * Scale shape (round 11 — s22's posexplode-prefix law applied to
+    * the recall half): the corpus is scored ONCE against the
+    * max-nprobe probe set — `posexplode(probeCells(…, max))` keeps
+    * each candidate's CELL RANK in the query's probe order, and a
+    * candidate's own cell appears at exactly one position, so the
+    * scan mass is one q×corpus pass (vs Σ rungs ≈ 2× before) with no
+    * dedup exchange. Each rung is then a `cell_rank <= np` prefix
+    * filter + row_number window over the PERSISTED narrow scored
+    * frame (q_id, n_id, cell_rank, cos) — identical candidates,
+    * ordering, and ties as the per-rung [[ivfKnn]] spelling it
+    * replaces (spec-pinned). When the ladder tops out at numCells
+    * the full-prefix window IS the exact baseline (the all-cells
+    * candidate set is the whole corpus), so the brute-force side
+    * rides the same scan too; rung recalls reduce as integer hit
+    * counts joined on (q, n) membership — never a cosine re-compare
+    * (s17's law), so mean recall = Σhits / (k·|queries|) is one
+    * exact-integer division.
     */
   def nprobeCurve(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                   ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 16,
                   cacheKey: Option[String] = None): DataFrame = {
-    val exact = bruteForceKnn(queries, corpus, k)
+    val maxNp = math.min(ladder.max, numCells)
+    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("cell_id", assignBest(col("n_emb"), cents))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(probeCells(col("q_emb"), cents, maxNp)))
+      .select(col("q_id"), col("q_emb"),
+        (col("pos") + 1).as("cell_rank"), col("col").as("cell_id"))
+    // score before any exchange (s27's lesson): the window shuffles
+    // below carry only (q_id, n_id, cell_rank, cos), never embeddings
+    val scored = graft.FrameCache.persisted("s20_scored",
+      broadcast(q).join(c, Seq("cell_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine_sim(col("q_emb"), col("n_emb")))
+        .select(col("q_id"), col("n_id"), col("cell_rank"), col("cos")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    def topk(cands: DataFrame): DataFrame = cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"))
+    val exact =
+      if (ladder.max >= numCells) topk(scored) // all-cells prefix = brute force
+      else bruteForceKnn(queries, corpus, k).select(col("q_id"), col("n_id"))
     val approx = ladder.map { np =>
-      ivfKnn(queries, corpus, k, numCells, np, cacheKey)
-        .select(col("q_id"), col("n_id"))
+      topk(scored.filter(col("cell_rank") <= math.min(np, numCells)))
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
     val nq = exact.agg(countDistinct(col("q_id")).as("__nq"))

@@ -327,6 +327,39 @@ class SimilaritySpec extends GraftSpecBase {
       s"probing every cell must recover the exact top-k: ${recalls.toSeq}")
   }
 
+  test("s20 single-scan curve ≡ the per-rung ivfKnn composition it replaced") {
+    // round 11: nprobeCurve scores the corpus ONCE at the max-nprobe
+    // probe set and cuts each rung as a cell_rank prefix (s22's law);
+    // this pins value-identity against the direct spelling — one
+    // bruteForceKnn + one ivfKnn per rung — on both branches of the
+    // exact baseline (ladder max = numCells rides the shared scan,
+    // ladder max < numCells falls back to the brute-force side).
+    import org.apache.spark.sql.DataFrame
+    def direct(ladder: Seq[Int], numCells: Int): DataFrame = {
+      val exact = similarity.Similarity.bruteForceKnn(queries, emb)
+        .select(col("q_id"), col("n_id"))
+      val approx = ladder.map { np =>
+        similarity.Similarity.ivfKnn(queries, emb, 10, numCells, np)
+          .select(col("q_id"), col("n_id")).withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+      val nq = exact.agg(countDistinct(col("q_id")).as("__nq"))
+      approx.join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / (col("__nq") * 10), 6)
+            .as("mean_recall"))
+    }
+    for ((ladder, cells) <- Seq((Seq(1, 2, 4, 8), 8), (Seq(1, 3), 8))) {
+      val got = similarity.Similarity
+        .nprobeCurve(queries, emb, ladder = ladder, numCells = cells)
+      val want = direct(ladder, cells)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"curve mismatch at ladder=$ladder cells=$cells: " +
+          s"got=${got.collect().toSeq} want=${want.collect().toSeq}")
+    }
+  }
+
   test("s19 knn outliers: the planted far vector ranks most isolated") {
     import spark.implicits._
     val tight = (1L to 7L).map(i =>
