@@ -704,8 +704,15 @@ object TextAnalysis {
     * so no summation-order drift can move a reported mean.
     */
   def pplPartition(docs: DataFrame, lmSize: Int = 2000): DataFrame = {
-    val ppl = bigramPerplexity(docs, lmSize)
-      .select(col("doc_id"), col("n_scored"), col("ppl"))
+    // persist the scored frame: it feeds BOTH the tercile aggregate
+    // and the bucketing join below, and the LM build behind it (two
+    // explodes, a global top-lmSize window, three joins) is the
+    // entry's whole cost — without the persist the pipeline runs
+    // twice (t19 measured exactly 2× t16; the branches' exchanges
+    // don't canonicalize to a ReusedExchange across the crossJoin)
+    val ppl = graft.FrameCache.persisted("t19_ppl",
+      bigramPerplexity(docs, lmSize)
+        .select(col("doc_id"), col("n_scored"), col("ppl")))
     val th = ppl.agg(percentile(col("ppl"), lit(1.0 / 3)).as("__q33"),
       percentile(col("ppl"), lit(2.0 / 3)).as("__q67"))
     ppl.crossJoin(broadcast(th))
