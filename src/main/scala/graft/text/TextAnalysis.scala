@@ -602,15 +602,16 @@ object TextAnalysis {
     * unigram backoff needs (t7's join), and the per-doc agg. The
     * corpus text is scanned exactly twice (count pass + score pass).
     */
-  def bigramPerplexity(docs: DataFrame, lmSize: Int = 2000): DataFrame = {
+  /** The unified scoring stream: the doc's first token as a
+    * (w1 = null, w2) row plus every real bigram, from ONE explode —
+    * the corpus is tokenized once per pass, and every token
+    * occurrence appears EXACTLY once as w2 (t0 from the first-row,
+    * t1..tn from the bigrams), which is what lets the unigram vocab
+    * derive from [[bigramCounts]] instead of its own corpus scan.
+    */
+  private def occurrenceStream(docs: DataFrame): DataFrame = {
     val toksCol = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
     val based = docs.select(col("doc_id"), toksCol.as("__toks"))
-    // ONE unified scoring stream from ONE explode: the doc's first
-    // token as a (w1 = null, w2) row plus every real bigram — so the
-    // corpus is tokenized once per pass, and every token occurrence
-    // appears EXACTLY once as w2 (t0 from the first-row, t1..tn from
-    // the bigrams), which is what lets the unigram vocab derive from
-    // the bounded counts frame below instead of its own corpus scan.
     // sequence(0, -1) would DESCEND; guard short docs to empty
     val biList = when(size(col("__toks")) >= 2,
       expr("transform(sequence(0, size(__toks)-2), i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))"))
@@ -619,10 +620,24 @@ object TextAnalysis {
       concat(array(struct(lit(null).cast("string").as("w1"),
         col("__toks").getItem(0).as("w2"))), biList))
       .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))
-    def occurrences = based
+    based
       .select(col("doc_id"), explode(occList).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
 
+  /** The persisted (w1, w2, c12) model frame every bounded piece of
+    * the bigram LM derives from. Its SIZE is the corpus's distinct
+    * (prefix, token) diversity — duplication-invariant (copies only
+    * raise c12), never corpus positions; spec-pinned on a duplicated
+    * fixture.
+    */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    graft.FrameCache.persisted("t16_bigram_counts",
+      occurrenceStream(docs).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")))
+
+  def bigramPerplexity(docs: DataFrame, lmSize: Int = 2000): DataFrame = {
+    def occurrences = occurrenceStream(docs)
     // the ONLY persisted frame is bounded by distinct-bigram (plus
     // first-token) cardinality, never corpus positions — the round-11
     // rewrite: the old spelling re-scanned the corpus for the vocab
@@ -630,8 +645,7 @@ object TextAnalysis {
     // scans in the final adaptive plan); everything model-sized now
     // derives from this one frame and the corpus is scanned exactly
     // twice (count pass + score pass), as the contract above states
-    val counts = graft.FrameCache.persisted("t16_bigram_counts",
-      occurrences.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val counts = bigramCounts(docs)
     val vocab = counts.groupBy(col("w2")).agg(sum(col("c12")).as("c"))
       .select(col("w2").as("token"), col("c"))
     val totals = vocab.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))

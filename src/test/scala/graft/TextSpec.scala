@@ -294,6 +294,36 @@ class TextSpec extends GraftSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"LM must broadcast:\n$plan")
   }
 
+  test("t16 counts frame is duplication-invariant in size, exact in mass") {
+    import spark.implicits._
+    // round 11: the bigram LM's only persisted frame is (w1, w2, c12)
+    // — its ROW SET must be a function of the distinct texts alone
+    // (duplication raises counts, never cardinality), the boundedness
+    // claim the 100 TB contract rests on
+    val base = Seq((1L, "a b c"), (2L, "a c"), (3L, "b b a"))
+      .toDF("doc_id", "text")
+    val dup = (0 until 5).map(k =>
+      base.select((col("doc_id") + lit(k * 100L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      text.TextAnalysis.bigramCounts(df).collect()
+        .map(x => (Option(x.get(0)).map(_.toString).getOrElse("∅"),
+          x.getString(1)) -> x.getLong(2)).toMap
+    val (b, d) = (m(base), m(dup))
+    assert(b.keySet == d.keySet,
+      s"x5 duplication changed the counts frame's rows: ${b.keySet} vs ${d.keySet}")
+    b.foreach { case (k, c) =>
+      assert(d(k) == 5 * c, s"$k: expected ${5 * c}, got ${d(k)}") }
+    // and the per-copy scores agree with the base-corpus shape: every
+    // copy of a text scores identically (the model sees one corpus)
+    val scored = text.TextAnalysis.bigramPerplexity(dup)
+      .withColumn("base_id", col("doc_id") % 100)
+      .groupBy(col("base_id")).agg(countDistinct(col("ppl")).as("n"))
+      .collect()
+    assert(scored.forall(_.getLong(1) == 1L),
+      "copies of one text must score one ppl")
+  }
+
   test("integer half-away µ-rounding law (t21/x27/x28): property-equal to BigDecimal HALF_UP") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = for {
