@@ -321,23 +321,54 @@ object Checks {
     * silently drop it from both counts; the null key also never
     * matches in the join, so the marker column stays null for it).
     *
+    * Round 11 (a ScanAudit find): edges sharing a CHILD (a fact
+    * table with several FKs — p12's lineitem carries three) fuse
+    * into ONE pass over it: the shared child is scanned once with
+    * every edge's key column, probes each parent through its own
+    * left join (distinct parent keys, so row count is preserved and
+    * the per-edge markers never interact), and one aggregation
+    * splits all edges' counters; the per-edge report rows explode
+    * out of that single row. Parents still broadcast-or-shuffle per
+    * edge exactly as before — the fusion removes the repeated child
+    * SCANS (at 100 TB, one fact pass instead of one per FK), never a
+    * join. Edges are grouped by the child plan's canonicalized form,
+    * so structurally-equal reads of one table fuse even when built
+    * by separate Tables calls; a singleton group degenerates to the
+    * old per-edge shape. Fused ≡ per-edge is spec-pinned.
+    *
     * @param relations (name, child, childKey, parent, parentKey)
     */
   def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
-    val perRelation = relations.map { case (name, child, ck, parent, pk) =>
-      val parents = parent.select(col(pk).as("__k")).distinct()
-        .withColumn("__hit", lit(1))
-      child.select(col(ck).as("__k"))
-        .join(parents, Seq("__k"), "left_outer")
-        .agg(
-          count(lit(1)).as("n_children"),
-          count(when(col("__k").isNotNull && col("__hit").isNull, 1)).as("n_orphans"),
-          count(when(col("__k").isNull, 1)).as("n_null_keys"))
-        .select(lit(name).as("relation"), col("n_children"),
-          col("n_orphans"), col("n_null_keys"),
-          (col("n_orphans") === 0 && col("n_null_keys") === 0).as("ok"))
+    val groups = relations.zipWithIndex
+      .groupBy { case ((_, child, _, _, _), _) =>
+        child.queryExecution.analyzed.canonicalized }
+      .toSeq.map(_._2)
+    val perGroup = groups.map { edges =>
+      val child = edges.head._1._2
+      val keyed = child.select(edges.map {
+        case ((_, _, ck, _, _), i) => col(ck).as(s"__k$i") }: _*)
+      val probed = edges.foldLeft(keyed) {
+        case (df, ((_, _, _, parent, pk), i)) =>
+          df.join(parent.select(col(pk).as(s"__k$i")).distinct()
+              .withColumn(s"__hit$i", lit(1)),
+            Seq(s"__k$i"), "left_outer")
+      }
+      val counters = edges.flatMap { case (_, i) => Seq(
+        count(when(col(s"__k$i").isNotNull && col(s"__hit$i").isNull, 1))
+          .as(s"__orph$i"),
+        count(when(col(s"__k$i").isNull, 1)).as(s"__null$i")) }
+      probed
+        .agg(count(lit(1)).as("__n"), counters: _*)
+        .select(explode(array(edges.map { case ((name, _, _, _, _), i) =>
+          struct(lit(name).as("relation"), col("__n").as("n_children"),
+            col(s"__orph$i").as("n_orphans"),
+            col(s"__null$i").as("n_null_keys"))
+        }: _*)).as("__e"))
+        .select(col("__e.*"))
+        .withColumn("ok",
+          col("n_orphans") === 0 && col("n_null_keys") === 0)
     }
-    perRelation.reduce(_ unionAll _).orderBy(col("relation"))
+    perGroup.reduce(_ unionAll _).orderBy(col("relation"))
   }
 
   /** Verified entry (p12): the star schema's four fact/dim edges. */

@@ -60,8 +60,13 @@ object ScanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // the second arg is the threshold only when it IS a number — a
+    // caller writing `ScanAudit dir d2` means a key prefix, and
+    // silently discarding it would audit all 229 entries instead
     val maxLive = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(2)
-    val prefixes = args.drop(2).toSeq
+    val prefixes =
+      if (args.length > 1 && args(1).toIntOption.isEmpty) args.drop(1).toSeq
+      else args.drop(2).toSeq
     val spark = GraftSession.get("graft-scan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     val keys = SparkEntry.queries.keys.toSeq.sorted

@@ -193,6 +193,38 @@ class PipelineSpec extends GraftSpecBase {
     assert(r("parent.pk->parent") == ((2L, 0L, 0L, true)), "self-FK is trivially intact")
   }
 
+  test("p12 fused shared-child pass ≡ independent per-edge probes") {
+    // round 11: edges sharing a child fuse into one scan; this pins
+    // value-identity against per-edge singleton calls on a fixture
+    // where the two fused edges disagree (edge A has an orphan and a
+    // null, edge B is clean) — a marker-column mixup would swap them
+    val child = Seq(
+      (Some(10L), Some(7L)), (Some(99L), Some(7L)),
+      (None, Some(8L)), (Some(11L), Some(8L)))
+      .map { case (a, b) => (a.map(Long.box).orNull, b.map(Long.box).orNull) }
+      .toDF("fka", "fkb")
+    val pa = Seq(10L, 11L).toDF("pk")
+    val pb = Seq(7L, 8L).toDF("pk")
+    val fused = quality.Checks.fkOrphans(Seq(
+      ("a", child, "fka", pa, "pk"), ("b", child, "fkb", pb, "pk")))
+    val perEdge = Seq(("a", "fka", pa), ("b", "fkb", pb)).map { case (n, k, p) =>
+      quality.Checks.fkOrphans(Seq((n, child, k, p, "pk")))
+    }.reduce(_ unionAll _)
+    assert(fused.exceptAll(perEdge).isEmpty && perEdge.exceptAll(fused).isEmpty,
+      s"fused=${fused.collect().toSeq} perEdge=${perEdge.collect().toSeq}")
+    val rows = fused.collect().map(x => x.getString(0) ->
+      ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(rows("a") == ((4L, 1L, 1L, false)) && rows("b") == ((4L, 0L, 0L, true)),
+      s"per-edge counters crossed: $rows")
+    // and the fusion actually fused: the shared child is scanned once
+    val one = quality.Checks.fkOrphans(Seq(
+      ("a", child, "fka", pa, "pk"), ("b", child, "fkb", pb, "pk")))
+    assert(one.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.size <= 3, // child once + two parents (per-edge would be 4+)
+      s"shared child must appear once:\n${one.queryExecution.analyzed}")
+  }
+
   test("p9: latest-per-key keeps exactly the newest version, counts all versions") {
     val r = pipeline.Medallion.p9CdcLatest(spark, sf).collect()
     assert(r.nonEmpty)
