@@ -383,6 +383,31 @@ object ScaleSoak {
     report("p14_profile", p14N.toLong, p14bS, p14S, p14Par,
       s"operator=approx(no Expand), naive=exact(Expand); lineitem=$nLi")
 
+    // -- t16: the bigram-LM counts frame on the byte-identical ------
+    // corpus (round 11). The LM's ONLY persisted frame is
+    // (w1, w2, c12); the derived docs are exact text copies, so its
+    // ROW SET must equal the base corpus's exactly and every c12 must
+    // scale by exactly `factor` — the boundedness invariant the
+    // two-scan rewrite's 100 TB story rests on, here at soak scale
+    // (TextSpec pins the same law at unit scale). The timing is the
+    // full scoring pass at the rung.
+    val (t16N, t16S) = timed(
+      graft.text.TextAnalysis.bigramPerplexity(docs).count())
+    val (t16BaseN, t16BaseS) = timed(
+      graft.text.TextAnalysis.bigramPerplexity(
+        Tables.documents(spark, sfDir)).count())
+    val cntScaled = graft.text.TextAnalysis.bigramCounts(docs)
+    val cntBase = graft.text.TextAnalysis.bigramCounts(
+      Tables.documents(spark, sfDir))
+    val t16Par = sameRows(
+      cntScaled.select(col("w1"), col("w2"), col("c12")),
+      cntBase.select(col("w1"), col("w2"),
+        (col("c12") * lit(factor.toLong)).as("c12")))
+    report("t16_bigram_counts_ident", t16N, t16S, t16BaseS,
+      t16Par && t16N == t16BaseN * factor,
+      s"factor=$factor counts rows duplication-invariant, c12 exactly " +
+        s"x$factor; scored docs=$t16N (naive_s = the 1x base run)")
+
     spark.stop()
   }
 }
