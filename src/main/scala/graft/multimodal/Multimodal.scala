@@ -49,6 +49,9 @@ object Multimodal {
     import spark.implicits._
     val binary = docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     binary.mapPartitions { batch =>
@@ -259,6 +262,9 @@ object Multimodal {
     import spark.implicits._
     val binary = docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     binary.mapPartitions { batch =>
@@ -359,6 +365,9 @@ object Multimodal {
     import spark.implicits._
     val binary = docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     binary.mapPartitions { batch =>
@@ -446,6 +455,9 @@ object Multimodal {
     import spark.implicits._
     val hashed = docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
@@ -522,6 +534,9 @@ object Multimodal {
     require(tile > 0)
     docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
@@ -610,6 +625,9 @@ object Multimodal {
     import spark.implicits._
     docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
@@ -660,6 +678,9 @@ object Multimodal {
     import spark.implicits._
     docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
+      // null payload (failed fetch / null source text) has nothing to
+      // decode: skip the row, never hand the kernel a null array
+      .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

@@ -115,13 +115,32 @@ object Similarity {
                                          sampleCap: Int = 20000,
                                          samplePredicate: Option[Column] = None): Array[(Int, Array[Float])] = {
     val pred = samplePredicate.getOrElse(pmod(col("vec_id"), lit(sampleMod)) === 0)
-    val sample: Array[Array[Float]] = corpus
-      .filter(pred)
+    // isNotNull: a dirty corpus carries null embeddings (failed
+    // encoder calls); the trainer must never ingest them (and a null
+    // in the collect would NPE driver-side)
+    val primary: Array[Array[Float]] = corpus
+      .filter(col("embedding").isNotNull).filter(pred)
       .orderBy(col("vec_id")).limit(sampleCap) // TakeOrdered: no full sort shuffle
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(sample.length >= k,
-      s"quantizer sample (${sample.length}) smaller than k=$k — lower sampleMod")
+    // Degenerate corpora degrade, never throw (the empty-partition-day
+    // law, DegenerateSpec): a mod-sample that misses every row falls
+    // back to the first sampleCap vectors (deterministic, and only
+    // reachable when the corpus is smaller than sampleMod rows — at
+    // any real SF the mod-sample is the one the oracle replays); an
+    // EMPTY corpus trains k placeholder centroids that no row will
+    // ever be assigned against (assignment maps over zero rows), so
+    // every downstream frame is correctly empty with its contract
+    // schema. A sample smaller than k clamps k — Lloyd with k > n has
+    // no meaningful extra cells anyway.
+    val sample: Array[Array[Float]] =
+      if (primary.nonEmpty) primary
+      else corpus.filter(col("embedding").isNotNull)
+        .orderBy(col("vec_id")).limit(sampleCap)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty)
+      return Array.tabulate(k)(i => (i, Array(1f)))
+    val kEff = math.min(k, sample.length)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -131,16 +150,16 @@ object Similarity {
       val denom = math.sqrt(na) * math.sqrt(nb)
       if (denom == 0.0) -2.0 else dot / denom
     }
-    var cents: Array[Array[Float]] = Array.tabulate(k)(i => sample(i))
+    var cents: Array[Array[Float]] = Array.tabulate(kEff)(i => sample(i))
     var it = 0
     while (it < iters) {
       val dim = cents(0).length
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestCos = -3.0
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           val s = cos(v, cents(c))
           if (s > bestCos) { bestCos = s; best = c } // ties → smallest cell id
           c += 1
@@ -150,7 +169,7 @@ object Similarity {
         while (d < dim) { acc(d) += v(d); d += 1 }
         counts(best) += 1
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) cents(c) // empty cell keeps its previous centroid
         else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
       }
@@ -173,28 +192,41 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                   iters: Int, sampleMod: Int = 4,
                   sampleCap: Int = 20000): Array[Array[Array[Float]]] = {
-    val sample: Array[Array[Float]] = corpus
+    val primary: Array[Array[Float]] = corpus
+      .filter(col("embedding").isNotNull)
       .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(sample.length >= ksub,
-      s"PQ sample (${sample.length}) smaller than ksub=$ksub — lower sampleMod")
+    // Same degenerate-corpus laws as [[centroidMatrix]]: empty
+    // mod-sample falls back to the first sampleCap vectors; an empty
+    // corpus gets placeholder codebooks no row will ever encode
+    // against; a sample smaller than ksub clamps ksub (callers derive
+    // the LUT stride from the returned codebook width, so a clamped
+    // model stays internally consistent).
+    val sample: Array[Array[Float]] =
+      if (primary.nonEmpty) primary
+      else corpus.filter(col("embedding").isNotNull)
+        .orderBy(col("vec_id")).limit(sampleCap)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty)
+      return Array.fill(m)(Array.fill(ksub)(Array(0f)))
+    val ksubEff = math.min(ksub, sample.length)
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     Array.tabulate(m) { s =>
       val off = s * subDim
       var cents: Array[Array[Float]] =
-        Array.tabulate(ksub)(i => sample(i).slice(off, off + subDim))
+        Array.tabulate(ksubEff)(i => sample(i).slice(off, off + subDim))
       var it = 0
       while (it < iters) {
-        val sums = Array.fill(ksub)(new Array[Double](subDim))
-        val counts = new Array[Long](ksub)
+        val sums = Array.fill(ksubEff)(new Array[Double](subDim))
+        val counts = new Array[Long](ksubEff)
         sample.foreach { v =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
-          while (c < ksub) {
+          while (c < ksubEff) {
             val ce = cents(c)
             var acc = 0.0; var d = 0
             while (d < subDim) {
@@ -209,7 +241,7 @@ object Similarity {
           while (d < subDim) { acc(d) += v(off + d).toDouble; d += 1 }
           counts(best) += 1
         }
-        cents = Array.tabulate(ksub) { c =>
+        cents = Array.tabulate(ksubEff) { c =>
           if (counts(c) == 0) cents(c)
           else Array.tabulate(subDim)(d => (sums(c)(d) / counts(c)).toFloat)
         }
@@ -248,13 +280,16 @@ object Similarity {
             cacheKey: Option[String] = None): DataFrame = {
     val books = cachedPqCodebooks(corpus, m, ksub, iters, cacheKey)
     val lit3: Seq[Seq[Seq[Float]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    // LUT stride = the codebook's ACTUAL width (the trainer clamps
+    // ksub on degenerate corpora smaller than ksub rows)
+    val ksubEff = books.headOption.map(_.length).getOrElse(ksub)
     val c = corpus.select(col("vec_id").as("n_id"),
       pq_encode(col("embedding"), lit3).as("codes"))
     val q = queries.select(col("vec_id").as("q_id"),
       pq_adc_table(col("embedding"), lit3).as("luts"))
     val dist = (0 until m).map { s =>
       element_at(col("luts"),
-        element_at(col("codes"), s + 1) + lit(s * ksub) + lit(1))
+        element_at(col("codes"), s + 1) + lit(s * ksubEff) + lit(1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("pq_dist2").asc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
@@ -601,10 +636,16 @@ object Similarity {
                 lambdaRel: Double = 0.5): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // Candidates with a null relevance or null codes (null-embedding
+    // rows upstream) cannot be ranked — drop them, never throw
     val rows = candidates.select(col("n_id"), col("rel"), col("q"), col("nsq"))
+      .na.drop("any", Seq("n_id", "rel", "q", "nsq"))
       .collect()
-    require(rows.length >= k, s"need at least $k candidates, got ${rows.length}")
     require(rows.length <= 10000, "MMR input must be an already-bounded top-k list")
+    // Fewer candidates than k (degenerate corpus / over-filtered
+    // retrieval) degrades to reranking what exists — the empty-
+    // partition-day law; the greedy loop below runs to kEff picks.
+    val kEff = math.min(k, rows.length)
     final case class C(id: Long, rel: Double, q: Array[Long], n: Long)
     val cs = rows.map(r =>
         C(r.getLong(0), r.getDouble(1), r.getSeq[Long](2).toArray, r.getLong(3)))
@@ -625,7 +666,7 @@ object Similarity {
     val maxSim = scala.collection.mutable.Map.empty[Long, Double]
       .withDefaultValue(Double.NegativeInfinity)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
-    while (picked.length < k) {
+    while (picked.length < kEff) {
       // strict > over the id-ascending scan = argmax with min-id
       // tiebreak, the same total order the oracle's ORDER BY pins
       var best: C = null

@@ -104,6 +104,9 @@ object Curation {
     import spark.implicits._
     require(chunkSize <= (1 << 20), "chunk-local bin count must fit 20 bits")
     docs.select(col(idCol).cast("long"), col(tokenCol).cast("int"))
+      // a doc with no id or no token count cannot be packed (dirty-
+      // corpus nulls): drop it rather than violate the typed encoder
+      .na.drop("any")
       .as[(Long, Int)]
       .groupByKey { case (id, _) => id / chunkSize }
       .flatMapGroups { (chunk, it) =>
