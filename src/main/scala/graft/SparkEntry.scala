@@ -362,8 +362,13 @@ object SparkEntry {
            | JOIN e ne ON ne.vec_id = c.n_id)
            |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
            |FROM rescored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |psample AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
+       |psample0 AS MATERIALIZED (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 20000),
+       |psample AS MATERIALIZED (
+       | SELECT vec_id, emb FROM psample0
+       | UNION ALL
+       | SELECT vec_id, emb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 20000)
+       | WHERE (SELECT count(*) FROM psample0) = 0),
        |$perSub,
        |pcodes AS MATERIALIZED (SELECT c0.vec_id, $codeCols FROM pcode_0 c0 $codeJoins),
        |pqscored AS (
@@ -462,11 +467,18 @@ object SparkEntry {
     * assignment), parameterized by the training-sample WHERE so
     * index-maintenance oracles (s26) can train on a filtered corpus
     * while replaying the identical Lloyd arithmetic. */
-  private def ivfCtesWith(sampleWhere: String): String =
+  private def ivfCtesWith(sampleWhere: String,
+                          fallbackWhere: String = "TRUE"): String =
     s"""e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |sample AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
+        |sample0 AS (
         | SELECT vec_id, emb FROM e WHERE $sampleWhere ORDER BY vec_id LIMIT 20000),
+        |sample AS (
+        | SELECT vec_id, emb FROM sample0
+        | UNION ALL
+        | SELECT vec_id, emb FROM (SELECT vec_id, emb FROM e
+        |   WHERE $fallbackWhere ORDER BY vec_id LIMIT 20000)
+        | WHERE (SELECT count(*) FROM sample0) = 0),
         |cents0 AS (
         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
         | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
@@ -523,7 +535,7 @@ object SparkEntry {
 
   private val sqKnnCtes: String =
     """e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
         |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
         |q8 AS (
         | SELECT vec_id,
@@ -881,7 +893,7 @@ object SparkEntry {
     "d5_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
     "s1_knn_bruteforce" ->
@@ -890,7 +902,7 @@ object SparkEntry {
         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
         |  row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
-        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // s4: int8 quantization replays exactly — integer dot products
@@ -1141,7 +1153,7 @@ object SparkEntry {
     // LARGEST language code (Spark sorts struct(hits, lang) descending)
     "t4_lang_id" ->
       """SELECT doc_id,
-        | CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+        | CASE WHEN COALESCE(greatest(h_en, h_de, h_es, h_fr), 0) = 0 THEN 'und'
         |      WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
         |      WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
         |      WHEN h_en >= h_de THEN 'en'
@@ -1162,7 +1174,7 @@ object SparkEntry {
         | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n,
         |  doc_id // 64 AS chunk,
         |  CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS INTEGER) AS rn
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |state AS (
         | SELECT chunk, rn, doc_id, n, 0 AS bin, n AS used FROM toks WHERE rn = 1
         | UNION ALL
@@ -1220,7 +1232,7 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents)
+        | FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         | CAST(byte_len AS INTEGER) AS byte_len,
         | CAST(64 + u % 1024 AS INTEGER) AS width,
@@ -1273,7 +1285,8 @@ object SparkEntry {
     "st13_funnel_timing" ->
       """WITH ev AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
-        | WHERE event_type IN ('view', 'click', 'purchase')),
+        | WHERE user_id IS NOT NULL
+        |  AND event_type IN ('view', 'click', 'purchase')),
         |u AS (SELECT DISTINCT user_id FROM ev),
         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
@@ -1416,7 +1429,7 @@ object SparkEntry {
       """WITH comp AS (
         | SELECT label, vec_id % 2 AS h, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v
-        | FROM embeddings),
+        | FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (
         | SELECT label, h, list(CAST(cv AS FLOAT) ORDER BY i) AS c, max(n) AS n_vecs
         | FROM (SELECT label, h, i, avg(CAST(v AS DOUBLE)) AS cv, count(*) AS n
@@ -1477,7 +1490,7 @@ object SparkEntry {
         | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |s AS (
         | SELECT doc_id, CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
         |   THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS phash
@@ -1672,7 +1685,7 @@ object SparkEntry {
         | FROM m5),
         |t AS (
         | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
-        | FROM documents)
+        | FROM documents WHERE text IS NOT NULL)
         |SELECT t.doc_id, t.n_tokens,
         | CAST(row_number() OVER (ORDER BY t.n_tokens, s.shuffle_key, t.doc_id) AS BIGINT) AS curriculum_pos
         |FROM t JOIN sgn s USING (doc_id)
@@ -1792,7 +1805,7 @@ object SparkEntry {
         | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |d AS (
         | SELECT doc_id, u,
         |  CAST(64 + u % 1024 AS INTEGER) AS width,
@@ -1825,7 +1838,7 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(1 AS BIGINT),
         |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (31 * acc + c) % 4294967296) AS ju
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |s AS (
         | SELECT doc_id,
         |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
@@ -1845,7 +1858,7 @@ object SparkEntry {
     // 15-mask multiprobe, and exact cosine top-k
     "s2_knn_lsh" ->
       """WITH e AS (
-        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
         |b AS (SELECT vec_id, emb, (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.4831297575436466,0.45635754657871463,0.9630481089290748,0.9368271793005098,0.4603985488322606,-0.03357644549125749,-0.9684409541259245,-0.7789736208837705,0.4611819703474347,-0.2667588911453489,0.9508150578616625,0.565384501766178,0.4709079344353593,-0.1400354270797437,0.22731385379935265,-0.5779585747421894,-0.018082160648132062,0.17632335945531508,0.4612713994312787,-0.4882815987768181,-0.6079280750552198,0.09729213578387763,0.6764662605635758,-0.5701113887968243,-0.6553819639737548,0.7943928788693988,-0.9600642408549158,-0.34906244438900447,-0.1950711965559735,0.6304227290173106,0.11244960518559233,0.6293640398949065,-0.4221708203632022,0.08796208395134997,0.7965401824775487,-0.23166514910531122,-0.32001564564437235,0.05925897520292467,0.48139968791470666,0.13727001683474627,-0.8913589471335024,-0.9257255592949607,0.6202509734760469,-0.13996566450801784,0.6506063592890625,0.9122493482829299,-0.5186953222819857,0.6325727875653409,0.871791855850985,0.9400949302588086,0.22926522133059946,0.9630094184718285,0.9206264852428769,0.9645406272645731,-0.23283117264482112,-0.3799541627678693,0.8822833041783757,-0.47693905686123084,-0.7254148028128147,0.6328824011969005,-0.8652287553119871,-0.7976282174065479,-0.4416413790413063,0.4659016611869382])[i]), (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.2889205464457245,-0.4495970664914146,0.919027945491357,0.799238360011836,-0.45197554778791194,-0.3353801145468889,-0.959043040503361,-0.5234482802636802,-0.6729479552904831,-0.06037505269491028,-0.4428744425425537,0.889057750434421,0.20077641769609622,-0.4473533829798164,-0.9479189317555625,-0.3682719842491622,-0.48471940118165846,-0.07928915078675969,0.9822750200153878,-0.705697358413371,-0.6040064215399448,-0.6732622410470992,0.26472694283760845,-0.5887696831269638,0.875961467903184,-0.7371957754026699,0.8798713150077997,0.41073411356514966,-0.5157736693515571,-0.29589974932217666,-0.1303036949033327,0.2133401434261859,-0.45580638158152653,-0.7961116121365008,0.17859951246760608,0.7443103484756164,-0.008438454315613297,0.42841126078435576,0.7822325608201028,-0.7189475676637811,-0.5939438089482902,-0.07653935731171835,-0.8856513920639695,0.7792863834354375,0.803610567264816,0.6035450314090991,0.871328523584854,-0.21793145375962264,0.8598423542295015,-0.7366306536929073,-0.11185197362647337,0.5816047537836604,0.47122134202278443,-0.38991706463256004,0.44859967284203073,0.09329855930999598,-0.6490520344976733,-0.6137910695572741,0.48813698487505985,-0.5908990339848701,-0.2719138795733358,0.1274034388291594,-0.385722809212131,-0.5657621355906588])[i]), (a, b) -> a + b) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([0.6696709430057244,0.26551974529309663,-0.5640898928832452,0.37292968445687347,0.0423610058372641,-0.6745222491009384,-0.402551940139398,0.35471185532709004,-0.36187082205735366,-0.5124960518952926,-0.9801650448802106,-0.2869704139554361,0.506977345832897,-0.2919629509773287,-0.3849486710516601,-0.028366645778671984,-0.9345057112903139,-0.8133609666540575,0.5508045228239253,-0.23104486851049,0.4056207283184696,-0.1733603546238791,-0.4778735609732696,-0.5943973567297407,-0.13503316021656797,0.043526662018896545,-0.8269174084094906,0.25671553526913127,-0.39132646166439344,0.1681167604938283,-0.5119449208516733,0.8947435093732621,-0.9684180428669875,-0.3584542396201609,0.3848901183279909,0.27127429684032345,0.25753985475046637,0.4704859929346574,-0.6930732266011688,0.516482547465011,0.8519326929424726,0.7904320611398663,0.7583977997251683,-0.1694837634407067,0.08746088304709088,-0.5647722106018414,0.7658868635310454,-0.26099520020536504,0.43604344231564274,0.26276902222595244,-0.4030071841589449,0.7659126996009826,0.6059510939566934,0.7890722511956503,-0.7735739560801884,0.4213816857063526,0.2790189405972223,0.777388079142548,0.37395672062962015,-0.398398476927031,0.4880831371999743,0.4720669187584452,-0.39024003948736663,0.6765242084021938])[i]), (a, b) -> a + b) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> emb[i] * ([-0.43977207565312626,-0.8033574222631266,-0.9105030239597309,0.2963022486720597,-0.5742059729676576,0.5631207291463483,0.21888713132924442,-0.42189563249394313,0.3109784588796791,0.8845930494983192,0.5632735459194818,-0.9878342539636598,-0.17942017269081645,0.12301668593490755,0.16260479742581824,-0.1243162959473183,0.6204568998065949,0.3990365389797952,-0.32370093135097866,0.1498824275235704,0.825453767026405,-0.3411978762197101,-0.0517005999052087,0.07728424935812095,0.7482807055979659,-0.6697791516750342,-0.5673382465315802,-0.7896012894830835,-0.13427901701964218,-0.5378341934981536,-0.2301966482557647,0.10463905647586147,-0.47850001974395817,-0.4808347170406664,0.48597206894968314,-0.25180854939126207,-0.6186968604111842,-0.6358295151487021,-0.13189752695272494,-0.11880177158589134,-0.2733765100625498,0.05373172689986605,0.24370112659740162,0.44825491751590074,-0.6193044321180234,0.19334207183020524,0.8986037767162058,-0.8403012121313129,0.5718613028113979,-0.9267107128545855,0.17563976904106404,0.0013926551790492958,-0.24925432671758618,0.40657867627757893,-0.9655176451902316,-0.4683079549291791,0.4918022944906144,0.5359210214545229,0.4938796061202686,0.531536112761058,0.9243175474596907,0.9696035029712387,0.2137045776340727,0.9077965328230189])[i]), (a, b) -> a + b) > 0 THEN 8 ELSE 0 END) AS bkt FROM e),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, bkt AS q_bkt FROM b WHERE vec_id % 50 = 0 AND vec_id < 25600),
         |probes AS (SELECT q_id, q_emb, unnest(list_transform([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14], m -> xor(q_bkt, m))) AS p_bkt FROM q),
@@ -2186,7 +2199,7 @@ object SparkEntry {
     "t15_lang_confusion" ->
       """WITH pred AS (
         | SELECT doc_id,
-        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+        |  CASE WHEN COALESCE(greatest(h_en, h_de, h_es, h_fr), 0) = 0 THEN 'und'
         |       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
         |       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
         |       WHEN h_en >= h_de THEN 'en'
@@ -2208,7 +2221,8 @@ object SparkEntry {
     // st16: st1's session replay + st5's k-join funnel spelling per
     // (user, session) — proves the single-fold == the 3-join form
     "st16_session_funnel" ->
-      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |      WHERE user_id IS NOT NULL),
         |y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
         |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM x)),
         |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y),
@@ -2253,7 +2267,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |   row_number() OVER (PARTITION BY q.vec_id
         |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         | WHERE rank <= 10)
         |SELECT a.q_id, count(*) AS n_hits,
@@ -2265,7 +2279,7 @@ object SparkEntry {
     "s16_cosine_hist" ->
       """WITH m0 AS (
         | SELECT vec_id, (CAST(vec_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS z
-        | FROM embeddings),
+        | FROM embeddings WHERE embedding IS NOT NULL),
         |m1 AS (SELECT vec_id, xor(z, z >> 30) AS z FROM m0),
         |m2 AS (SELECT vec_id, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % CAST('18446744073709551616' AS HUGEINT) AS z FROM m1),
         |m3 AS (SELECT vec_id, xor(z, z >> 27) AS z FROM m2),
@@ -2280,7 +2294,7 @@ object SparkEntry {
         | SELECT vec_id, ((h % 64) + 64) % 64 AS b, h,
         |  row_number() OVER (PARTITION BY ((h % 64) + 64) % 64 ORDER BY h, vec_id) AS rn
         | FROM sgn),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
         |pr AS (
         | SELECT a.vec_id AS a_id, bb.vec_id AS b_id
         | FROM (SELECT vec_id, b, (rn + 1) // 2 AS p FROM r WHERE rn % 2 = 1) a
@@ -2364,8 +2378,10 @@ object SparkEntry {
         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
         | FROM g GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
-        | COALESCE(a.n_types, 0) AS n_types, COALESCE(a.hapax, 0) AS hapax,
+        |SELECT d.doc_id,
+        | CASE WHEN d.text IS NOT NULL THEN COALESCE(a.n_tokens, 0) END AS n_tokens,
+        | CASE WHEN d.text IS NOT NULL THEN COALESCE(a.n_types, 0) END AS n_types,
+        | CASE WHEN d.text IS NOT NULL THEN COALESCE(a.hapax, 0) END AS hapax,
         | CASE WHEN a.n_tokens > 0 THEN round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) END AS ttr,
         | CASE WHEN a.n_types > 0 THEN round(CAST(a.hapax AS DOUBLE) / a.n_types, 6) END AS hapax_frac
         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
@@ -2375,7 +2391,8 @@ object SparkEntry {
     "st5_funnel" ->
       """WITH ev AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
-        | WHERE event_type IN ('view', 'click', 'purchase')),
+        | WHERE user_id IS NOT NULL
+        |  AND event_type IN ('view', 'click', 'purchase')),
         |u AS (SELECT DISTINCT user_id FROM ev),
         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1
@@ -2545,7 +2562,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY (list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) DESC, c.cell ASC) AS pr
         | FROM e q CROSS JOIN cents3 c
         | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
-        |flt AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+        |flt AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND label % 2 = 0),
         |cand AS (
         | SELECT DISTINCT p.q_id, p.q_emb, c.vec_id AS n_id, c.emb AS n_emb
         | FROM (SELECT * FROM probes WHERE pr <= 12) p
@@ -2568,7 +2585,7 @@ object SparkEntry {
       """SELECT q_id, n_id, cosine FROM (
         | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
-        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         |WHERE cosine >= 0.35 ORDER BY q_id, n_id""".stripMargin,
     // x15: x10's mix64 chain for the within-source shuffle key, then
@@ -2600,7 +2617,7 @@ object SparkEntry {
     "s13_cluster_cohesion" ->
       """WITH comp AS (
         | SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
-        | FROM embeddings),
+        | FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (
         | SELECT label, list(CAST(cv AS FLOAT) ORDER BY i) AS centroid
         | FROM (SELECT label, i, avg(CAST(v AS DOUBLE)) AS cv FROM comp GROUP BY label, i)
@@ -2609,7 +2626,7 @@ object SparkEntry {
         | SELECT e.label, count(*) AS n_vecs,
         |  avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))) AS coh,
         |  min(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))) AS mincos
-        | FROM embeddings e JOIN cent c USING (label) GROUP BY e.label),
+        | FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e JOIN cent c USING (label) GROUP BY e.label),
         |sep AS (
         | SELECT a.label,
         |  max(list_cosine_similarity(CAST(a.centroid AS DOUBLE[]), CAST(b.centroid AS DOUBLE[]))) AS sepmax
@@ -2641,7 +2658,8 @@ object SparkEntry {
         | FROM documents),
         |freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, sum(c * ln(c)) AS clnc FROM freq GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+        |SELECT d.doc_id,
+        | CASE WHEN d.text IS NOT NULL THEN CAST(COALESCE(a.n, 0) AS BIGINT) END AS n_tokens,
         | CASE WHEN a.n > 0 THEN round(ln(a.n) - a.clnc / a.n, 4) END AS entropy,
         | CASE WHEN a.n > 1 THEN round((ln(a.n) - a.clnc / a.n) / ln(a.n), 4) END AS entropy_efficiency
         |FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -2720,7 +2738,8 @@ object SparkEntry {
     "st29_ewma" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL),
         |g AS (
         | SELECT user_id, list(v ORDER BY ts_us, event_id, v) AS vs,
         |  count(*) AS n FROM e GROUP BY 1),
@@ -2753,7 +2772,8 @@ object SparkEntry {
     // because the lead is the run's (ts, id) minimum by construction)
     "st30_debounce" ->
       """WITH e AS (
-        | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+        | WHERE user_id IS NOT NULL),
         |f AS (
         | SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
         |   ORDER BY ts_us, event_id) AS prev FROM e),
@@ -2773,7 +2793,11 @@ object SparkEntry {
         |FROM (SELECT * FROM r WHERE kept = 1) kk
         |JOIN g ON kk.user_id = g.user_id AND kk.event_type = g.event_type
         |      AND kk.run = g.run
-        |ORDER BY kk.user_id, kk.event_type, kk.ts_us""".stripMargin,
+        |UNION ALL
+        |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        | CAST(0 AS BIGINT) AS n_suppressed, CAST(0 AS BIGINT) AS span_us
+        |FROM events WHERE user_id IS NULL
+        |ORDER BY user_id, event_type, ts_us""".stripMargin,
     // p12: per-relation anti-join counts (null child keys reported
     // separately, never folded into the orphan count)
     "p12_fk_orphans" ->
@@ -3172,7 +3196,7 @@ object SparkEntry {
         | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |s AS (
         | SELECT doc_id,
         |  1 + CAST((u // 8192) % 65536 AS BIGINT) AS n_samples,
@@ -3190,7 +3214,7 @@ object SparkEntry {
         | SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |   list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |   (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |d AS (
         | SELECT doc_id,
         |  (1 + CAST((u // 8192) % 65536 AS BIGINT)) * 1000 // 16000 AS duration_ms
@@ -3289,7 +3313,7 @@ object SparkEntry {
         |votes AS (
         | SELECT s.vec_id, l.label AS n_label, count(*) AS votes
         | FROM scored s JOIN embeddings l ON s.n_id = l.vec_id
-        | WHERE s.rank <= 5 GROUP BY 1, 2),
+        | WHERE s.rank <= 5 AND l.label IS NOT NULL GROUP BY 1, 2),
         |pred AS (
         | SELECT vec_id, n_label AS predicted FROM (
         |  SELECT vec_id, n_label, row_number() OVER (PARTITION BY vec_id
@@ -3413,7 +3437,7 @@ object SparkEntry {
         | SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n,
         |  doc_id // 64 AS chunk,
         |  CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS INTEGER) AS rn
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |state AS (
         | SELECT chunk, rn, doc_id, n, 0 AS bin, n AS used FROM toks WHERE rn = 1
         | UNION ALL
@@ -3482,6 +3506,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
+        | AND NOT EXISTS (SELECT 1 FROM events
+        |                 WHERE event_id % 2 = 0 AND user_id IS NULL)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // p26: day stats replayed from the raw table — the per-file
     // manifest collection must roll up to EXACTLY the table truth.
@@ -3580,8 +3606,8 @@ object SparkEntry {
         |grid AS (SELECT unnest(generate_series(0, 1023)) AS b),
         |tgt AS (SELECT b, count(*) AS c FROM tb WHERE source = 'src0' GROUP BY 1),
         |rawd AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
-        |tots AS (SELECT (SELECT sum(c) FROM tgt) AS tt,
-        |                (SELECT sum(c) FROM rawd) AS rt),
+        |tots AS (SELECT coalesce((SELECT sum(c) FROM tgt), 0) AS tt,
+        |                coalesce((SELECT sum(c) FROM rawd), 0) AS rt),
         |lr AS (
         | SELECT g.b,
         |  ln(((coalesce(t.c, 0) + 1.0) * ((SELECT rt FROM tots) + 1024.0)) /
@@ -3710,7 +3736,7 @@ object SparkEntry {
         |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u,
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |s AS (
         | SELECT doc_id, fp,
         |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
@@ -3736,7 +3762,7 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(
         |      CAST(q.embedding[1:d.dim] AS DOUBLE[]),
         |      CAST(c.embedding[1:d.dim] AS DOUBLE[])) DESC, c.vec_id) AS rank
-        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON q.vec_id <> c.vec_id
         | CROSS JOIN dims d
         | WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600),
         |topk AS (SELECT dim, q_id, n_id FROM r WHERE rank <= 10),
@@ -3775,7 +3801,7 @@ object SparkEntry {
     // parameterized sample WHERE), full-corpus assignment split by
     // the batch mod, new-arrival cosines re-joined from cents3
     "s26_incremental_ivf" -> ("WITH " +
-      ivfCtesWith("vec_id % 4 = 0 AND vec_id % 10 <> 7") + """,
+      ivfCtesWith("vec_id % 4 = 0 AND vec_id % 10 <> 7", "vec_id % 10 <> 7") + """,
         |ex AS (
         | SELECT cell, count(*) AS n_existing FROM corpus
         | WHERE vec_id % 10 <> 7 GROUP BY 1),
@@ -3809,7 +3835,7 @@ object SparkEntry {
       """WITH comp AS (
         | SELECT t.i AS dim,
         |  CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS c_e6
-        | FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t),
+        | FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t),
         |d AS (
         | SELECT dim, count(*) AS n, CAST(sum(c_e6) AS BIGINT) AS s,
         |  sum(CAST(c_e6 AS HUGEINT) * c_e6) AS ssq
@@ -3979,7 +4005,7 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |    (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |dims AS (
         | SELECT doc_id, CAST(64 + u % 1024 AS INTEGER) AS w,
         |  CAST(64 + (u // 131072) % 1024 AS INTEGER) AS h
@@ -4047,7 +4073,7 @@ object SparkEntry {
         |  list_reduce(list_prepend(CAST(1 AS BIGINT),
         |    list_transform(regexp_split_to_array(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (31 * acc + c) % 4294967296) AS ju
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |s AS (
         | SELECT doc_id,
         |  CAST(1 + (u // 8589934592) % 16 AS INTEGER) AS n_frames,
@@ -4155,7 +4181,7 @@ object SparkEntry {
     "m8_byte_entropy" ->
       """WITH ch AS (
         | SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |hist AS (
         | SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
         |e AS (
@@ -4167,7 +4193,8 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(e.byte_len, 0) AS byte_len,
         | coalesce(e.n_distinct, 0) AS n_distinct,
         | coalesce(e.entropy_bits, 0.0) AS entropy_bits
-        |FROM documents d LEFT JOIN e USING (doc_id)
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
+        | LEFT JOIN e USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // s20: s17's IVF-probe replay GENERATED per ladder rung (pr <=
     // nprobe); hit counts join on (q, n) membership, never a cosine
@@ -4201,14 +4228,15 @@ object SparkEntry {
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |   row_number() OVER (PARTITION BY q.vec_id
         |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 25600)
         | WHERE rank <= 10),
         |""".stripMargin + perRung + s"""
         |SELECT nprobe, n_hits,
         | round(CAST(n_hits AS DOUBLE)
         |  / ((SELECT count(DISTINCT q_id) FROM bf) * 10), 6) AS mean_recall
-        |FROM ($unions) u ORDER BY nprobe""".stripMargin
+        |FROM ($unions) u
+        |WHERE (SELECT count(*) FROM bf) > 0 ORDER BY nprobe""".stripMargin
     },
     // p21: identical day-grain counts; avg from the exactly-recovered
     // rounded sum (p8's law); verdict folds the same integers
@@ -4302,7 +4330,7 @@ object SparkEntry {
       """WITH c AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
-        | FROM embeddings),
+        | FROM embeddings WHERE embedding IS NOT NULL),
         |q AS (
         | SELECT vec_id, e,
         |  CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
@@ -4427,11 +4455,12 @@ object SparkEntry {
         |   + len(list_filter(toks, x -> x = 'slow'))
         |   + len(list_filter(toks, x -> x = 'filter'))
         |   + len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_hits,
+        |  CASE WHEN toks IS NOT NULL THEN
         |  CAST((CASE WHEN len(list_filter(toks, x -> x = 'drop')) > 0 THEN 1 ELSE 0 END)
         |   + (CASE WHEN len(list_filter(toks, x -> x = 'slow')) > 0 THEN 1 ELSE 0 END)
         |   + (CASE WHEN len(list_filter(toks, x -> x = 'filter')) > 0 THEN 1 ELSE 0 END)
         |   + (CASE WHEN len(list_filter(toks, x -> x = 'merge')) > 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_terms_hit
+        |   AS BIGINT) END AS n_terms_hit
         | FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
         |       FROM documents))
         |ORDER BY doc_id""".stripMargin,

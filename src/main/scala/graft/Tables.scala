@@ -76,5 +76,17 @@ object Tables {
       case _ => df
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Vector-corpus contract: a row whose `embedding` is null (a
+    * failed encoder call — present in any 100 TB corpus) carries no
+    * usable signal for ANY consumer of this table, so it is dropped
+    * at the boundary: trainers never ingest it, queries never rank
+    * it, pair generators never pair it. The filter is a narrow
+    * codegen stage on the scan (arrays don't push to parquet);
+    * every `oracleSql` replay applies the same `WHERE embedding IS
+    * NOT NULL`. DegenerateSpec's dirty corpus exercises it.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 }

@@ -585,10 +585,16 @@ object Activity {
                 shift: Int = 2,
                 maxSeriesLen: Long = SeriesGuard.DefaultMaxSeriesLen): DataFrame = {
     val m = 1 << shift
+    // An observation needs an owner and a value: null-key rows are
+    // anonymous (no series to belong to) and null-value rows carry no
+    // observation — both skip, else one null __v poisons the fold's
+    // accumulator for the rest of the series. n_obs counts real
+    // observations. The oracle applies the same predicate.
     SeriesGuard.boundedSeries(
       events
         .select(col(keyCol), col(tsCol).cast("long").as("__ts"),
-          col(idCol).cast("long").as("__id"), valE6.cast("long").as("__v")),
+          col(idCol).cast("long").as("__id"), valE6.cast("long").as("__v"))
+        .filter(col(keyCol).isNotNull && col("__v").isNotNull),
       Seq(keyCol), maxSeriesLen)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__ts"), col("__id"), col("__v"))))
@@ -630,8 +636,17 @@ object Activity {
     * the series length; no joins, no range partition.
     */
   def debounce(events: DataFrame, gapUs: Long): DataFrame = {
-    val ev = events.select(col("user_id"), col("event_type"), col("event_id"),
+    val all = events.select(col("user_id"), col("event_type"), col("event_id"),
       unix_micros(col("ts")).as("ts_us"))
+    // Anonymous (null-user) events have no stream to debounce
+    // against — a window partition would collapse every anonymous
+    // event into one phantom stream and suppress real rows. They pass
+    // through UNSUPPRESSED (this is a cleaning pass: nothing may be
+    // silently dropped), each its own lead with n_suppressed = 0.
+    val anon = all.filter(col("user_id").isNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"), lit(0L).as("n_suppressed"), lit(0L).as("span_us"))
+    val ev = all.filter(col("user_id").isNotNull)
     val ord = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
     ev
@@ -649,6 +664,7 @@ object Activity {
         col("__lead.ts_us").as("ts_us"),
         (col("__n") - 1).as("n_suppressed"),
         (col("__last_ts") - col("__lead.ts_us")).as("span_us"))
+      .unionByName(anon)
   }
 
   /** Verified entry (st30): 10-minute debounce of the event stream.

@@ -37,7 +37,14 @@ object AsOfJoin {
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +: col(tieBreak).as("__tie") +:
         (leftCols.filterNot(_ == key).map(col) ++
           payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"asof_$p")))): _*)
-    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // JOIN null semantics, not window-group semantics: a null key
+    // matches nothing (a window partitionBy would lump every null-key
+    // row into ONE group, silently enriching anonymous rows from each
+    // other — and at 100 TB that null group is also a skew bomb).
+    // Null-key left rows pass through unmatched; null-key right rows
+    // can never be anyone's match and drop.
+    val unioned = l.filter(col(key).isNotNull)
+      .unionByName(r.filter(col(key).isNotNull), allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -45,6 +52,7 @@ object AsOfJoin {
       df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie")
+      .unionByName(l.filter(col(key).isNull).drop("__ts", "__side", "__tie"))
   }
 
   /** Verified entry (st2): each event enriched with the user's most

@@ -53,8 +53,13 @@ object Funnel {
     // maxSeriesLen: this fold buffers each key's full step-event
     // series in one aggregation buffer — SeriesGuard turns a hot key
     // into a named failure instead of a buffer OOM (st29's contract).
+    // An event with a null key is an anonymous event: it belongs to
+    // no user/session and cannot enter a per-key funnel (grouping the
+    // nulls would fold every anonymous event into ONE phantom actor —
+    // and hand that actor's key the corpus's largest series at scale).
+    val keyed = keyCols.foldLeft(events)((d, k) => d.filter(col(k).isNotNull))
     val filtered = SeriesGuard.boundedSeries(
-      events
+      keyed
         .filter(col(typeCol).isin(s1, s2, s3))
         .select((keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(typeCol))): _*),
       keyCols, maxSeriesLen)

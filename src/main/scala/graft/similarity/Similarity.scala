@@ -881,7 +881,12 @@ object Similarity {
   def knnClassify(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
                   cacheKey: Option[String] = None): DataFrame = {
     val g = knnGraph(corpus, k, numCells, cacheKey)
+    // Unlabeled neighbors cannot vote: a NULL label is not a class,
+    // and letting it win ties is also engine-dependent (Spark windows
+    // order nulls first, SQL engines last — the dirty-corpus gate
+    // caught exactly that divergence flipping predictions).
     val nbrLabels = corpus.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .filter(col("n_label").isNotNull)
     val votes = g.join(nbrLabels, Seq("n_id"))
       .groupBy(col("vec_id"), col("n_label"))
       .agg(count(lit(1)).as("votes"))
@@ -1258,10 +1263,18 @@ object Similarity {
     */
   def ivfConvergence(corpus: DataFrame, k: Int = 16, iters: Int = 3,
                      cacheKey: Option[String] = None): DataFrame = {
-    val sample = corpus
+    // The report measures the TRAINER's sample, so it mirrors the
+    // trainer's degenerate fallback (centroidMatrix): an empty
+    // mod-sample falls back to the first 20000 vectors by id.
+    val primary = corpus
       .filter(pmod(col("vec_id"), lit(4)) === 0)
       .orderBy(col("vec_id")).limit(20000)
       .select(col("vec_id"), col("embedding"))
+    val sample =
+      if (primary.isEmpty)
+        corpus.orderBy(col("vec_id")).limit(20000)
+          .select(col("vec_id"), col("embedding"))
+      else primary
     (0 to iters).map { r =>
       val cents = cachedCentroids(corpus, k, r, cacheKey)
       val spark = corpus.sparkSession

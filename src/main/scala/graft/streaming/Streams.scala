@@ -354,8 +354,16 @@ object Streams {
     val scoped = org.apache.spark.sql.GraftBridge.scopedSession(spark,
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")
     val schema = scoped.read.parquet(path).schema
+    // Layout-aware source: a directory-layout events.parquet (any
+    // Spark-written corpus — DegenerateSpec's rungs) streams as the
+    // directory itself; pathGlobFilter matches leaf FILES only, so
+    // the glob spelling would silently stream ZERO files there. A
+    // single-file layout (the driver's testdata) cannot be load()ed
+    // directly (FileStreamSource requires a directory base), so it
+    // keeps the parent-dir + glob spelling.
     val stream = graft.Tables.normalizeEventTs(
-      fileStream(scoped, dir, schema, globFilter = Some("events.parquet")))
+      if (new java.io.File(path).isDirectory) fileStream(scoped, path, schema)
+      else fileStream(scoped, dir, schema, globFilter = Some("events.parquet")))
     val silver = Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
     val gold = Medallion.goldWindow(silver, "ts", "event_type")
     runToMemory(gold, statePartitions = Some(8))

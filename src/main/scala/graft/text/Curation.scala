@@ -395,6 +395,12 @@ object Curation {
                        textCol: String = "text"): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol))
       .withColumn("n_tokens", size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      // a null-text doc has no measurable length and is not
+      // schedulable: exclude it BEFORE ranking — otherwise the
+      // nulls-first window hands the unknown-length docs the FIRST
+      // curriculum positions and (because null keys don't join back)
+      // every real doc's position shifts by the null count
+      .filter(col("n_tokens").isNotNull)
       .withColumn("shuffle_key",
         graft.functions.GraftFunctions.mix64(col(idCol).cast("long")))
       .withColumn("__b", shiftright(col("shuffle_key"), 56) + lit(128L))

@@ -815,19 +815,18 @@ class OperatorsSpec extends GraftSpecBase {
         "event_type", ("view", "click", "purchase"), maxSeriesLen = 10).collect()
     }
     assert(chain(fEx).contains("maxSeriesLen=10"), s"funnel valve: ${chain(fEx)}")
-    // 4. a NULL hot key must still fail with the FULL named message
-    //    (ADVICE r9: a concat-built message goes null if any fragment
-    //    is null; the guard renders null keys as the string "null")
+    // 4. a NULL hot key never reaches the valve: anonymous (null-key)
+    //    observations are not a series — the null-key law
+    //    (DegenerateSpec's dirty rung) excludes them BEFORE the
+    //    guard, so a flood of null-key rows can neither trip the
+    //    valve nor form a phantom actor; only real keys fold.
     val nullRows = (1 to 20).map(i =>
       (Option.empty[String], i.toLong, i.toLong, (i * 4).toLong)) ++
       (1 to 4).map(i => (Some("cold"), i.toLong, 100L + i, (i * 4).toLong))
-    val nEx = intercept[Throwable] {
-      operators.Activity.ewmaState(nullRows.toDF("user_id", "ts_us", "event_id", "v"),
-        "user_id", "ts_us", "event_id", col("v"), maxSeriesLen = 10).collect()
-    }
-    val nm = chain(nEx)
-    assert(nm.contains("maxSeriesLen=10") && nm.contains("(null)") &&
-      nm.contains("20 events") && nm.contains("StatefulTwins"),
-      s"null-key valve must keep the full named message: $nm")
+    val nOut = operators.Activity.ewmaState(
+      nullRows.toDF("user_id", "ts_us", "event_id", "v"),
+      "user_id", "ts_us", "event_id", col("v"), maxSeriesLen = 10).collect()
+    assert(nOut.length == 1 && nOut.head.getAs[String]("user_id") == "cold",
+      s"null-key rows must be excluded, real keys kept: ${nOut.mkString(",")}")
   }
 }

@@ -13,7 +13,11 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # Spark-written table: a DIRECTORY of part files (the degen
+        # corpora DegenSweep writes); glob the parts for DuckDB
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
