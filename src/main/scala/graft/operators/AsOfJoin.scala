@@ -41,18 +41,28 @@ object AsOfJoin {
     // matches nothing (a window partitionBy would lump every null-key
     // row into ONE group, silently enriching anonymous rows from each
     // other — and at 100 TB that null group is also a skew bomb).
-    // Null-key left rows pass through unmatched; null-key right rows
-    // can never be anyone's match and drop.
-    val unioned = l.filter(col(key).isNotNull)
-      .unionByName(r.filter(col(key).isNotNull), allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
+    // Null-key right rows can never be anyone's match and drop; null-
+    // key left rows pass through unmatched INSIDE the one pass — a
+    // discriminator column spreads them into hash-of-tie singleton
+    // partitions (their carried payload is null regardless of
+    // partition-mates), so the left source is scanned exactly once
+    // (a filter-and-union-back spelling costs a second corpus pass —
+    // ScanAudit's law).
+    // materialized ONCE as a column: an inline expression in
+    // partitionBy is re-projected per window, and the payload fold's
+    // windows would then carry distinct partition attributes — two
+    // exchanges instead of the operator's one
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .filter(col(key).isNotNull || col("__side") === 1)
+      .withColumn("__disc",
+        when(col(key).isNotNull, lit(0L)).otherwise(xxhash64(col("__tie"))))
+    val w = Window.partitionBy(col(key), col("__disc"))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, p) =>
       df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie")
-      .unionByName(l.filter(col(key).isNull).drop("__ts", "__side", "__tie"))
+    carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie", "__disc")
   }
 
   /** Verified entry (st2): each event enriched with the user's most
