@@ -77,16 +77,25 @@ object Tables {
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
-  /** Vector-corpus contract: a row whose `embedding` is null (a
-    * failed encoder call — present in any 100 TB corpus) carries no
-    * usable signal for ANY consumer of this table, so it is dropped
-    * at the boundary: trainers never ingest it, queries never rank
-    * it, pair generators never pair it. The filter is a narrow
-    * codegen stage on the scan (arrays don't push to parquet);
-    * every `oracleSql` replay applies the same `WHERE embedding IS
-    * NOT NULL`. DegenerateSpec's dirty corpus exercises it.
+  /** Raw table. Metadata-only passes (label joins, id lists) read
+    * THIS — a null-embedding row still has a valid id/label, and
+    * filtering here would force every pruned metadata scan to
+    * materialize the 64-float array (array predicates don't push to
+    * parquet), turning label passes into corpus passes at 100 TB.
+    * Anything that CONSUMES the vector reads [[vectors]].
     */
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The vector corpus: rows whose `embedding` is present. A null
+    * embedding (failed encoder call — present in any 100 TB corpus)
+    * carries no vector signal: trainers never ingest it, queries
+    * never rank it, pair generators never pair it. The filter lives
+    * HERE — at reads that materialize the array anyway — so it costs
+    * nothing, and every `oracleSql` replay of a vector path applies
+    * the same `WHERE embedding IS NOT NULL`. DegenerateSpec's dirty
+    * corpus exercises the contract end to end.
+    */
+  def vectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
       .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 }

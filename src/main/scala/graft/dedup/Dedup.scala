@@ -629,7 +629,10 @@ object Dedup {
     */
   private def rawVecFamilies(tag: String, emb: DataFrame): DataFrame =
     graft.FrameCache.persisted(tag,
+      // vector-corpus contract (Tables.vectors): a null embedding is
+      // not a vector — it must not form a "family" of all failed rows
       emb.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
         .groupBy(col("embedding"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ids"),
           min(col("vec_id")).as("rep")))

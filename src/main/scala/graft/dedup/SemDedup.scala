@@ -61,6 +61,7 @@ object SemDedup {
       }
     val cents = Similarity.cachedCentroids(emb, k, iters = 3, cacheKey)
     val assigned = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .withColumn("cell", Similarity.assignBest(col("embedding"), cents))
     val a = assigned.alias("a")
     val b = assigned.alias("b")

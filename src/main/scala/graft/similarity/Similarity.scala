@@ -110,34 +110,40 @@ object Similarity {
     * by source) pass a hash-based predicate instead:
     * `pmod(xxhash64(col("vec_id")), lit(mod)) === 0`.
     */
-  private[similarity] def centroidMatrix(corpus: DataFrame, k: Int, iters: Int,
-                                         sampleMod: Int = 4,
-                                         sampleCap: Int = 20000,
-                                         samplePredicate: Option[Column] = None): Array[(Int, Array[Float])] = {
+  /** The bounded deterministic training sample, collected: the
+    * mod-`sampleMod` rows in vec_id order (capped), with the
+    * degenerate-corpus fallback (DegenerateSpec's law) to the first
+    * `sampleCap` non-null vectors when the mod-sample is empty —
+    * null embeddings never enter a trainer (a null in the collect
+    * would also NPE driver-side). Shared by the IVF/PQ trainers and
+    * by reports that measure the sample itself (s24), which reuse
+    * the returned array instead of re-scanning the corpus.
+    */
+  private[similarity] def trainerSample(corpus: DataFrame, sampleMod: Int = 4,
+                                        sampleCap: Int = 20000,
+                                        samplePredicate: Option[Column] = None): Array[Array[Float]] = {
     val pred = samplePredicate.getOrElse(pmod(col("vec_id"), lit(sampleMod)) === 0)
-    // isNotNull: a dirty corpus carries null embeddings (failed
-    // encoder calls); the trainer must never ingest them (and a null
-    // in the collect would NPE driver-side)
     val primary: Array[Array[Float]] = corpus
       .filter(col("embedding").isNotNull).filter(pred)
       .orderBy(col("vec_id")).limit(sampleCap) // TakeOrdered: no full sort shuffle
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // Degenerate corpora degrade, never throw (the empty-partition-day
-    // law, DegenerateSpec): a mod-sample that misses every row falls
-    // back to the first sampleCap vectors (deterministic, and only
-    // reachable when the corpus is smaller than sampleMod rows — at
-    // any real SF the mod-sample is the one the oracle replays); an
-    // EMPTY corpus trains k placeholder centroids that no row will
+    if (primary.nonEmpty) primary
+    else corpus.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  private[similarity] def centroidMatrix(corpus: DataFrame, k: Int, iters: Int,
+                                         sampleMod: Int = 4,
+                                         sampleCap: Int = 20000,
+                                         samplePredicate: Option[Column] = None): Array[(Int, Array[Float])] = {
+    // An EMPTY corpus trains k placeholder centroids that no row will
     // ever be assigned against (assignment maps over zero rows), so
     // every downstream frame is correctly empty with its contract
     // schema. A sample smaller than k clamps k — Lloyd with k > n has
     // no meaningful extra cells anyway.
-    val sample: Array[Array[Float]] =
-      if (primary.nonEmpty) primary
-      else corpus.filter(col("embedding").isNotNull)
-        .orderBy(col("vec_id")).limit(sampleCap)
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val sample = trainerSample(corpus, sampleMod, sampleCap, samplePredicate)
     if (sample.isEmpty)
       return Array.tabulate(k)(i => (i, Array(1f)))
     val kEff = math.min(k, sample.length)
@@ -192,23 +198,12 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                   iters: Int, sampleMod: Int = 4,
                   sampleCap: Int = 20000): Array[Array[Array[Float]]] = {
-    val primary: Array[Array[Float]] = corpus
-      .filter(col("embedding").isNotNull)
-      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-      .orderBy(col("vec_id")).limit(sampleCap)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    // Same degenerate-corpus laws as [[centroidMatrix]]: empty
-    // mod-sample falls back to the first sampleCap vectors; an empty
+    // Same degenerate-corpus laws as [[centroidMatrix]]: an empty
     // corpus gets placeholder codebooks no row will ever encode
     // against; a sample smaller than ksub clamps ksub (callers derive
     // the LUT stride from the returned codebook width, so a clamped
     // model stays internally consistent).
-    val sample: Array[Array[Float]] =
-      if (primary.nonEmpty) primary
-      else corpus.filter(col("embedding").isNotNull)
-        .orderBy(col("vec_id")).limit(sampleCap)
-        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val sample = trainerSample(corpus, sampleMod, sampleCap)
     if (sample.isEmpty)
       return Array.fill(m)(Array.fill(ksub)(Array(0f)))
     val ksubEff = math.min(ksub, sample.length)
@@ -431,7 +426,7 @@ object Similarity {
     emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < queryIdCap)
 
   def s1(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     bruteForceKnn(querySet(emb), emb)
   }
 
@@ -444,7 +439,7 @@ object Similarity {
     * (SimilaritySpec's planted-neighbor gate).
     */
   def s2(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     lshKnn(querySet(emb), emb, numPlanes = 4, probeHamming = 3)
   }
 
@@ -454,7 +449,7 @@ object Similarity {
     * hundreds.
     */
   def s3(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     ivfKnn(querySet(emb), emb, nprobe = 12, cacheKey = Some(dir))
   }
 
@@ -509,7 +504,7 @@ object Similarity {
   }
 
   def s4(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     scalarQuantKnn(querySet(emb), emb)
   }
 
@@ -524,7 +519,7 @@ object Similarity {
     * and ADC scoring bit-exactly.
     */
   def s9(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     pqKnn(querySet(emb), emb, m = 16, ksub = 32, cacheKey = Some(dir))
   }
 
@@ -562,7 +557,7 @@ object Similarity {
     * pushed-down corpus predicate.
     */
   def s10(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     ivfKnn(querySet(emb), emb, nprobe = 12, cacheKey = Some(dir),
       corpusPredicate = Some(col("label") % 2 === 0))
   }
@@ -571,7 +566,7 @@ object Similarity {
     * shared codebook cache) re-ranked by exact cosine.
     */
   def s11(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     pqRerankKnn(querySet(emb), emb, nCand = 100, m = 16, ksub = 32,
       cacheKey = Some(dir))
   }
@@ -582,7 +577,7 @@ object Similarity {
     * sf0.01, 163 at sf0.1). Sort is oracle-determinism only.
     */
   def s12(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     rangeSearch(querySet(emb), emb, tau = 0.35)
       .orderBy(col("q_id"), col("n_id"))
   }
@@ -608,7 +603,7 @@ object Similarity {
   }
 
   def s5(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     semanticSearch(querySet(emb), emb, Tables.documents(spark, dir))
   }
 
@@ -693,7 +688,7 @@ object Similarity {
     * the driver over those 20 rows.
     */
   def s8(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     val knn = scalarQuantKnn(emb.filter(col("vec_id") === 0L), emb, k = 20)
       .select(col("n_id"), col("cosine_q8").as("rel"))
     val cand = quantizeVecs(emb, "n_id", "q", "nsq").join(broadcast(knn), "n_id")
@@ -760,7 +755,7 @@ object Similarity {
     * table's label column. Sort is oracle-determinism only.
     */
   def s13(spark: SparkSession, dir: String): DataFrame =
-    clusterCohesion(Tables.embeddings(spark, dir)).orderBy(col("label"))
+    clusterCohesion(Tables.vectors(spark, dir)).orderBy(col("label"))
 
   /** Per-label exact centroid + member count in ONE corpus pass —
     * [[labelCentroids]] with the count folded into the same (label,
@@ -813,7 +808,7 @@ object Similarity {
     * oracle-determinism only.
     */
   def s14(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     centroidDrift(emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 === 1)).orderBy(col("label"))
   }
@@ -838,7 +833,11 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
                cacheKey: Option[String] = None): DataFrame = {
     val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    // the graph is over the VECTOR corpus (Tables.vectors' contract);
+    // filtering here (where the array is read anyway) lets callers
+    // pass the raw table and keep their label-only scans pruned
     val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .withColumn("cell_id", assignBest(col("embedding"), cents))
     val nbrs = assigned
       .select(col("cell_id"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
@@ -1015,7 +1014,7 @@ object Similarity {
 
   /** Verified entry (s20). Sort is oracle-determinism only. */
   def s20(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     nprobeCurve(querySet(emb), emb, cacheKey = Some(dir))
       .orderBy(col("nprobe"))
   }
@@ -1061,7 +1060,7 @@ object Similarity {
 
   /** Verified entry (s21): 1-row fidelity report. */
   def s21(spark: SparkSession, dir: String): DataFrame =
-    sqErrorReport(Tables.embeddings(spark, dir))
+    sqErrorReport(Tables.vectors(spark, dir))
 
   /** IVF scan-cost curve (s22): mean corpus vectors SCANNED per query
     * at every nprobe rung — the cost half of the s20 recall curve
@@ -1110,7 +1109,7 @@ object Similarity {
 
   /** Verified entry (s22). Sort is oracle-determinism only. */
   def s22(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     scanCostCurve(querySet(emb), emb, cacheKey = Some(dir))
       .orderBy(col("nprobe"))
   }
@@ -1159,7 +1158,7 @@ object Similarity {
 
   /** Verified entry (s16). Sort is oracle-determinism only. */
   def s16(spark: SparkSession, dir: String): DataFrame =
-    cosineHistogram(Tables.embeddings(spark, dir)).orderBy(col("bin"))
+    cosineHistogram(Tables.vectors(spark, dir)).orderBy(col("bin"))
 
   /** IVF recall report (s17): per query, how many of the exact
     * top-k the IVF path recovered — the recall/latency trade
@@ -1174,7 +1173,7 @@ object Similarity {
     * querySet shape this entry uses.
     */
   def ivfRecallReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     val exact = bruteForceKnn(querySet(emb), emb, k)
       .select(col("q_id"), col("n_id"))
     val approx = ivfKnn(querySet(emb), emb, k, nprobe = 12, cacheKey = Some(dir))
@@ -1235,7 +1234,7 @@ object Similarity {
 
   /** Verified entry (s23). Sort is oracle-determinism only. */
   def s23(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     mrlRecall(querySet(emb), emb).orderBy(col("dim"))
   }
 
@@ -1263,18 +1262,15 @@ object Similarity {
     */
   def ivfConvergence(corpus: DataFrame, k: Int = 16, iters: Int = 3,
                      cacheKey: Option[String] = None): DataFrame = {
-    // The report measures the TRAINER's sample, so it mirrors the
-    // trainer's degenerate fallback (centroidMatrix): an empty
-    // mod-sample falls back to the first 20000 vectors by id.
-    val primary = corpus
-      .filter(pmod(col("vec_id"), lit(4)) === 0)
-      .orderBy(col("vec_id")).limit(20000)
-      .select(col("vec_id"), col("embedding"))
-    val sample =
-      if (primary.isEmpty)
-        corpus.orderBy(col("vec_id")).limit(20000)
-          .select(col("vec_id"), col("embedding"))
-      else primary
+    // The report measures the TRAINER's sample, so it reuses the
+    // trainer's own bounded collect ([[trainerSample]] — fallback
+    // included) as a LOCAL frame: the per-rung assignment/cosine
+    // passes below then cost zero corpus scans (each rung previously
+    // re-scanned the corpus just to re-derive the sample).
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val sample = trainerSample(corpus)
+      .toSeq.map(v => Tuple1(v.toSeq)).toDF("embedding")
     (0 to iters).map { r =>
       val cents = cachedCentroids(corpus, k, r, cacheKey)
       val spark = corpus.sparkSession
@@ -1301,7 +1297,7 @@ object Similarity {
 
   /** Verified entry (s24). Sort is oracle-determinism only. */
   def s24(spark: SparkSession, dir: String): DataFrame =
-    ivfConvergence(Tables.embeddings(spark, dir), cacheKey = Some(dir))
+    ivfConvergence(Tables.vectors(spark, dir), cacheKey = Some(dir))
       .orderBy(col("iter"))
 
   /** Embedding-space anisotropy profile (s25) — the health check run
@@ -1368,7 +1364,7 @@ object Similarity {
 
   /** Verified entry (s25). Sort is oracle-determinism only. */
   def s25(spark: SparkSession, dir: String): DataFrame =
-    anisotropyProfile(Tables.embeddings(spark, dir)).orderBy(col("dim"))
+    anisotropyProfile(Tables.vectors(spark, dir)).orderBy(col("dim"))
 
   /** Incremental IVF maintenance report (s26) — the d10 pattern for
     * vectors: a NEW batch arrives against an index trained WITHOUT
@@ -1428,7 +1424,7 @@ object Similarity {
 
   /** Verified entry (s26). Sort is oracle-determinism only. */
   def s26(spark: SparkSession, dir: String): DataFrame =
-    incrementalIvfReport(Tables.embeddings(spark, dir))
+    incrementalIvfReport(Tables.vectors(spark, dir))
       .orderBy(col("cell"))
 
   /** Hard-negative mining (s27) — the contrastive-training data pass
@@ -1480,7 +1476,7 @@ object Similarity {
 
   /** Verified entry (s27). Sort is oracle-determinism only. */
   def s27(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     hardNegatives(querySet(emb), emb, cacheKey = Some(dir))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -125,7 +125,7 @@ object Retrieval {
     * the broadcast query side, so the corpus scan is unchanged.
     */
   def s7RrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.vectors(spark, dir)
     val lex = bm25TopK(Tables.documents(spark, dir), k = 20)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
