@@ -132,7 +132,12 @@ object Bench {
     // "subset":true marks a SPARK_GRAFT_ONLY iteration run — the
     // inventory invariant (InventorySpec) only holds full sweeps to
     // the every-registered-key-is-benched contract.
-    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"n_queries":${names.size},"subset":${only.nonEmpty},"errors":$errors,"slowest":$slowest,"full":"bench_last.json","total_sec":${f2(total)}}"""
+    // loadavg rides the HEADLINE line too (not only diag): the
+    // driver's BENCH_r{N} artifact json-parses this last line alone,
+    // and r11's verdict had to cross-reference SCALE.md to tell host
+    // drag from regression — now the captured artifact self-describes
+    // its load (VERDICT r11 item 3).
+    val totalLine = s"""{"metric":"total","value":${f2(total)},"unit":"sec","total_cold":${f2(totalCold)},"sf":"$sfDir","reps":$reps,"n_queries":${names.size},"subset":${only.nonEmpty},"errors":$errors,"loadavg":$passLoads,"slowest":$slowest,"full":"bench_last.json","total_sec":${f2(total)}}"""
     // Artifact lands at the git repo root (never a hardcoded checkout
     // path — the same portability rule Verify's leakcheck stamp follows).
     val repoRoot =

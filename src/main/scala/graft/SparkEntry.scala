@@ -268,22 +268,28 @@ object SparkEntry {
        |FROM a JOIN b USING (col_name) ORDER BY col_name""".stripMargin
   }
 
-  /** p14b oracle: p14's exact per-column profile replay plus the
-    * stated-`true` tolerance flag (a5b's pattern — the Spark side
-    * computes both HLL++ sketch and exact, so sketch drift past 5%
-    * hash-mismatches here).
+  /** p14b oracle: full-corpus portable stats (count/nulls/min/max)
+    * plus EXACT distinct on the deterministic `l_orderkey % 16`
+    * slice, with both sketch gates stated `true` (a5b's pattern —
+    * the Spark side computes HLL++ vs exact on the slice and the
+    * full-corpus sketch's covers-slice bound, so sketch drift past
+    * the gates hash-mismatches here).
     */
   private def p14bOracle: String = {
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
     val branches = cols.map(c =>
-      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
-         | count(DISTINCT $c) AS n_distinct,
-         | CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val,
-         | true AS distinct_within_5pct
-         |FROM li""".stripMargin).mkString("\nUNION ALL ")
+      s"""SELECT '$c' AS col_name, f.n_rows, f.n_nulls, s.n_distinct_slice,
+         | f.min_val, f.max_val,
+         | true AS slice_within_5pct, true AS full_covers_slice
+         |FROM (SELECT count(*) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         | FROM li) f
+         |CROSS JOIN (SELECT count(DISTINCT $c) AS n_distinct_slice FROM sl) s""".stripMargin)
+      .mkString("\nUNION ALL ")
     s"""WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag,
-       |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem)
+       |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem),
+       |sl AS (SELECT * FROM li WHERE l_orderkey % 16 = 0)
        |$branches
        |ORDER BY col_name""".stripMargin
   }
@@ -3501,13 +3507,20 @@ object SparkEntry {
         |ORDER BY user_id, session_start_us""".stripMargin,
     // p25: replay of ONLY the clean (even-id) half — hash-matches iff
     // the failed staged batch is invisible to lake-root readers and
-    // the published batch arrived whole
+    // the published batch arrived whole. The empty guards mirror ALL
+    // THREE audit checks (row count > 0 is implicit in an empty even
+    // half; null user_id; duplicate event_id — count vs distinct,
+    // DuplicateCount's exact spelling), so a corpus whose even half
+    // fails ANY check replays as zero rows, matching the unpublished
+    // lake (ADVICE r11).
     "p25_write_audit_publish" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 2 = 0
         | AND NOT EXISTS (SELECT 1 FROM events
         |                 WHERE event_id % 2 = 0 AND user_id IS NULL)
+        | AND NOT EXISTS (SELECT 1 FROM events WHERE event_id % 2 = 0
+        |                 HAVING count(event_id) > count(DISTINCT event_id))
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // p26: day stats replayed from the raw table — the per-file
     // manifest collection must roll up to EXACTLY the table truth.

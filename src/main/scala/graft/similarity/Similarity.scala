@@ -128,7 +128,13 @@ object Similarity {
       .orderBy(col("vec_id")).limit(sampleCap) // TakeOrdered: no full sort shuffle
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    if (primary.nonEmpty) primary
+    // Degenerate fallback (DegenerateSpec's law) applies ONLY to the
+    // default mod-sample: an explicit samplePredicate SCOPES the
+    // trainer, so when it selects nothing the sample IS empty —
+    // silently re-sampling outside the caller's predicate would train
+    // on rows the caller excluded and diverge from its oracle
+    // (ADVICE r11).
+    if (primary.nonEmpty || samplePredicate.isDefined) primary
     else corpus.filter(col("embedding").isNotNull)
       .orderBy(col("vec_id")).limit(sampleCap)
       .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
@@ -146,6 +152,17 @@ object Similarity {
     val sample = trainerSample(corpus, sampleMod, sampleCap, samplePredicate)
     if (sample.isEmpty)
       return Array.tabulate(k)(i => (i, Array(1f)))
+    centroidsFromSample(sample, k, iters)
+  }
+
+  /** The Lloyd loop over an ALREADY-COLLECTED non-empty sample —
+    * split out so cell-anchored reports (s26) can take the sample
+    * once, decide the empty-corpus contract themselves (empty frame,
+    * not placeholder cells), and train without a second corpus scan.
+    */
+  private[similarity] def centroidsFromSample(sample: Array[Array[Float]],
+                                              k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    require(sample.nonEmpty, "centroidsFromSample requires a non-empty sample")
     val kEff = math.min(k, sample.length)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -1393,7 +1410,25 @@ object Similarity {
     import spark.implicits._
     val existing = corpus.filter(pmod(col("vec_id"), lit(batchMod)) =!= batchRem)
     val fresh = corpus.filter(pmod(col("vec_id"), lit(batchMod)) === batchRem)
-    val cents = centroidMatrix(existing, k, iters)
+    // Cell-anchored report: the output frame is anchored on the
+    // centroid rows, so centroidMatrix's empty-corpus placeholder
+    // cells would surface as k phantom rows (and, worse, real fresh
+    // vectors would be assigned against dim-1 placeholders — silent
+    // truncated-cosine garbage). No trainable existing side → the
+    // contract product is the EMPTY frame with the contract schema,
+    // matching the oracle's empty centroid CTE (ADVICE r11).
+    val sample = trainerSample(existing)
+    if (sample.isEmpty) {
+      val contract = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_existing", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_new", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mean_new_cos_e6", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("growth_ppm", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], contract)
+    }
+    val cents = centroidsFromSample(sample, k, iters)
     val cdf = cents.toSeq.map { case (cid, e) => (cid, e.toSeq) }
       .toDF("cell", "cell_emb")
     val exAsg = existing

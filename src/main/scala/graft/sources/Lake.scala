@@ -577,14 +577,25 @@ object Lake {
       // An EMPTY source has no clean batch to promote (RowCountAbove
       // correctly refuses it — that check exists exactly to stop
       // empty batches publishing), and a DIRTY source whose even half
-      // carries real null user_ids is likewise CORRECTLY refused: the
-      // demo assert only fires when the audit rejects a batch that is
-      // genuinely clean and non-empty. Both probes short-circuit off
-      // the assert path on any real corpus (okGood is true there).
+      // carries real null user_ids OR duplicate event_ids is likewise
+      // CORRECTLY refused — the exemptions mirror ALL THREE audit
+      // checks, not two (ADVICE r11): the demo assert only fires when
+      // the audit rejects a batch that is genuinely clean and
+      // non-empty. The probes short-circuit off the assert path on
+      // any real corpus (okGood is true there).
       require(okGood || good.isEmpty ||
-          !good.filter(col("user_id").isNull).isEmpty,
+          !good.filter(col("user_id").isNull).isEmpty ||
+          !good.groupBy(col("event_id")).count()
+            .filter(col("count") > 1).isEmpty,
         "clean batch must publish")
-      require(!okBad, "null-planted batch must stay staged")
+      // The planted-null proof is meaningful only when the audit
+      // PASSED a batch that still carries null user_ids — a corpus
+      // whose odd half has no event_id ≡ 1 (mod 7) plants nothing,
+      // and an otherwise-clean unplanted batch legitimately publishes
+      // (ADVICE r11). Short-circuit: the null probe job runs only
+      // when okBad is true.
+      require(!okBad || bad.filter(col("user_id").isNull).isEmpty,
+        "audit published a batch carrying null user_ids")
       // Root readers see only published batches; the sidecar makes the
       // zero-batch root readable (batch= dirs partition-infer STRING).
       writeSchemaSidecar(spark, root,
@@ -915,10 +926,36 @@ object Lake {
 
   private[graft] def orphanLake(spark: SparkSession, dir: String): (String, Seq[String], Seq[String]) =
     orphanCache.computeIfAbsent(dir, { _ =>
-      val (root, baseFiles, newFiles) = manifestLake(spark, dir)
-      val tracked = baseFiles ++ newFiles
-      val byDay = baseFiles
-        .map(p => new Path(p).toUri.getPath) // strip the file: scheme for java.nio
+      // The vacuum demo PLANTS stray files, so it gets its OWN root —
+      // a file-level copy of the manifest lake's tracked set —
+      // instead of dirtying the shared [[manifestLake]] root that
+      // p27/p28's directory-listing recomputes read: planting there
+      // made p27's incremental-equals-recompute proof depend on
+      // whether p29 had run first in the same JVM (an order-dependent
+      // spec flake, found round 12).
+      val (mroot, baseFiles, newFiles) = manifestLake(spark, dir)
+      val root = tempLakeRoot("graft_orphan")
+      // The schema sidecar comes along with the copy: an EMPTY corpus
+      // writes zero parquet files, and the copied lake must stay
+      // readable through readLake's sidecar fallback exactly like the
+      // original.
+      val sidecar = java.nio.file.Paths.get(
+        new Path(mroot, SchemaSidecar).toUri.getPath)
+      if (java.nio.file.Files.exists(sidecar))
+        java.nio.file.Files.copy(sidecar,
+          java.nio.file.Paths.get(root, SchemaSidecar),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def copyInto(files: Seq[String]): Seq[String] = files.map { p =>
+        val src = java.nio.file.Paths.get(new Path(p).toUri.getPath)
+        val dayDir = java.nio.file.Paths.get(root, src.getParent.getFileName.toString)
+        java.nio.file.Files.createDirectories(dayDir)
+        val dst = dayDir.resolve(src.getFileName)
+        if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
+        dst.toString
+      }
+      val trackedBase = copyInto(baseFiles)
+      val tracked = trackedBase ++ copyInto(newFiles)
+      val byDay = trackedBase
         .groupBy(p => new java.io.File(p).getParentFile.getName)
       val orphans = byDay.keys.toSeq.sorted.take(2).map { day =>
         val src = java.nio.file.Paths.get(byDay(day).min)

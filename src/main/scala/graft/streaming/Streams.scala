@@ -360,9 +360,15 @@ object Streams {
     // the glob spelling would silently stream ZERO files there. A
     // single-file layout (the driver's testdata) cannot be load()ed
     // directly (FileStreamSource requires a directory base), so it
-    // keeps the parent-dir + glob spelling.
+    // keeps the parent-dir + glob spelling. Layout detection goes
+    // through the Hadoop FS resolved for the path — java.io.File only
+    // sees the local disk, so on hdfs://-/s3a://-style lakes it would
+    // answer false for every directory and silently re-trigger the
+    // zero-file glob failure this branch exists to avoid (ADVICE r11).
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stream = graft.Tables.normalizeEventTs(
-      if (new java.io.File(path).isDirectory) fileStream(scoped, path, schema)
+      if (fs.getFileStatus(hPath).isDirectory) fileStream(scoped, path, schema)
       else fileStream(scoped, dir, schema, globFilter = Some("events.parquet")))
     val silver = Medallion.silverEvents(stream).withWatermark("ts", "2 hours")
     val gold = Medallion.goldWindow(silver, "ts", "event_type")

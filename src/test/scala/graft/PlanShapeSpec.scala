@@ -1100,6 +1100,27 @@ class PlanShapeSpec extends GraftSpecBase {
       s"approx profile needs only the SinglePartition gather, got $exchanges:\n$approx")
   }
 
+  test("p14b entry: no Expand on the full-corpus branch — the exact gate rides the mod-16 slice") {
+    // VERDICT r11 lead item: the verified entry used to gate the
+    // sketch against a FULL-CORPUS exact profile, re-importing the
+    // corpus-scale Expand its production plan exists to avoid. The
+    // entry's plan must now carry exactly ONE Expand, and that
+    // Expand's input must be the sliced scan (the mod-16 filter sits
+    // between the Expand and its parquet scan in the depth-first
+    // plan rendering) — the unfiltered full-corpus branch stays on
+    // the sketch spelling, Expand-free.
+    val plan = finalPlan(quality.Checks.p14bApproxProfile(spark, sf))
+    val expands = "Expand".r.findAllIn(plan).length
+    assert(expands == 1,
+      s"entry must pay exactly one slice-bounded Expand, got $expands:\n$plan")
+    val at = plan.indexOf("Expand")
+    val scanAt = plan.indexOf("Scan parquet", at)
+    assert(scanAt > at, s"no scan found under the Expand:\n$plan")
+    val between = plan.substring(at, scanAt)
+    assert(between.contains("% 16") || between.contains("pmod"),
+      s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
+  }
+
   test("st24: delta rows cross the wire once; banded prefix-sum reuses that exchange") {
     val df = operators.Intervals.peakConcurrency(
       Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts"))),
