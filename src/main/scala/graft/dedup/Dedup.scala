@@ -408,10 +408,10 @@ object Dedup {
           sort_array(collect_list(col("doc_id"))).as("ids"),
           first(col("text")).as("text")))
 
-  private def textFamilies(tag: String, docs: DataFrame,
-                           shingleN: Int = 3,
-                           maxFamily: Int = MaxFamilySize,
-                           skipOversized: Boolean = false): DataFrame =
+  private[graft] def textFamilies(tag: String, docs: DataFrame,
+                                  shingleN: Int = 3,
+                                  maxFamily: Int = MaxFamilySize,
+                                  skipOversized: Boolean = false): DataFrame =
     valved(rawTextFamilies(tag, docs, shingleN), maxFamily, skipOversized,
       "byte-identical text family", "copies of one text",
       "Enumerating this family's pairs is the wrong operation at this " +

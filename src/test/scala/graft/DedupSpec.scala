@@ -701,6 +701,39 @@ class DedupSpec extends GraftSpecBase {
     // the 10⁶⁺ fixture below, where the DEFAULT cap genuinely binds)
   }
 
+  test("textFamilies hot-family valve: strict fails NAMED, report mode skips; d4/d11 ride the choice") {
+    // VERDICT r11 item 5 (valve parity): vec/sim/sig families each
+    // had a direct planted-oversize spec; the text-family flavor —
+    // the one feeding d4/d11/d15 — was only exercised indirectly
+    // through the calibration entry. Same contract, spec'd directly.
+    import spark.implicits._
+    val docs = ((1L to 6L).map(i => (i, "the same exact boilerplate text body repeated verbatim")) ++
+      Seq((50L, "a genuinely unique document body unlike any other here")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      dedup.Dedup.textFamilies("text_valve_hot", docs, maxFamily = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val m = chain(ex)
+    assert(m.contains("maxFamily=4") && m.contains("6 copies of one text"),
+      s"valve must name itself and the family size: $m")
+    assert(m.contains("exactDedup"), s"valve must point at the d1 remedy: $m")
+    // report mode: the family is dropped, the singleton survives,
+    // and the report names exactly the dropped family
+    val kept = dedup.Dedup.textFamilies("text_valve_hot", docs, maxFamily = 4,
+      skipOversized = true).collect().map(_.getAs[Long]("rep"))
+    assert(kept.toSeq == Seq(50L),
+      s"report mode must keep only the singleton: ${kept.toSeq}")
+    val rep = dedup.Dedup.oversizedTextFamilies(docs, maxFamily = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((1L, 6L)),
+      s"report must name the skipped family (rep, n_copies): ${rep.toSeq}")
+    // (end-to-end pass-through at the DEFAULT cap — strict on the sig
+    // path, report through exactJaccardPairs + oversizedTextFamilies
+    // on the text path — is pinned by the 10⁶⁺ fixture test below)
+  }
+
   test("collapse-first d15 equals the direct per-copy calibration on a duplicated fixture") {
     // r10: the old spelling joined BOTH full shingle arrays onto
     // every member pair (per-pair array exchange, copies² on a

@@ -79,6 +79,103 @@ class InventorySpec extends AnyFunSuite {
       s"manifest artifact contains failed entries: $body")
   }
 
+  test("bench_scale10.json cannot go stale silently: its commit postdates the last src/main commit") {
+    // VERDICT r11 item 2: the committed 10× artifact predated the
+    // session-close code once already (the st2/s24 scan removals
+    // landed after the last 10× sweep) and the staleness was only
+    // caught by an honest SCALE.md note. This mechanizes it into the
+    // round-close choreography: once src/main is committed clean, the
+    // 10× artifact's last commit must be at-or-after src/main's —
+    // i.e. every round that touches source must re-stamp the sweep
+    // before it closes. Uncommitted src edits mean the round is still
+    // open, so the gate stands down (assume, not assert) mid-round.
+    def git(args: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(("git" +: args): _*).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val srcT = git("log", "-1", "--format=%ct", "--", "src/main")
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val artT = git("log", "-1", "--format=%ct", "--", "bench_scale10.json")
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    assume(srcT.nonEmpty && artT.nonEmpty, "no git history visible")
+    val dirty = git("status", "--porcelain", "--", "src/main")
+      .exists(_.trim.nonEmpty)
+    assume(!dirty, "src/main has uncommitted edits — round still open")
+    assert(artT.get >= srcT.get,
+      s"bench_scale10.json (committed ${artT.get}) is STALE vs src/main " +
+        s"(committed ${srcT.get}) — re-derive the 10x corpus and re-stamp " +
+        "the sweep before closing the round (graft.tools.BenchCorpus, then " +
+        "SPARK_GRAFT_SF_DIR=target/scale10 graft.Bench)")
+  }
+
+  test("bench_dragclass.json covers exactly the sweep-drag class (standalone referee, r12)") {
+    // VERDICT r11 item 3: the full-sweep artifact cannot referee the
+    // profile family (p14/p14b/p15) or t16/d15/d23 — their full-run
+    // walls inflate with accumulated JVM state, not plan cost
+    // (SCALE.md r11: p15 9.84 s in-sweep vs 3.83 s standalone). The
+    // drag class gets its own standalone artifact (tools/DragBench),
+    // pinned here the same way as the manifest gate: exists,
+    // subset-flagged, covers exactly the class, no failed entries.
+    val path = Paths.get("bench_dragclass.json")
+    assert(Files.exists(path),
+      "bench_dragclass.json missing — run `runMain graft.tools.DragBench`")
+    val body = new String(Files.readAllBytes(path), "UTF-8")
+    assert(body.contains("\"subset\":true"),
+      "drag-class artifact must be subset-flagged (never a full-sweep stand-in)")
+    val Key = "\"([a-z][a-z0-9_]*)\"\\s*:\\s*(?:\\d|\"err\")".r
+    val benched = Key.findAllMatchIn(body).map(_.group(1)).toSet
+      .filter(_.matches("(p|a|st|d|x|s|t|m)\\d.*"))
+    val expected = tools.DragBench.keys.toSet
+    assert(benched == expected,
+      s"drag-class artifact drifted from the class — " +
+        s"missing: ${(expected -- benched).toSeq.sorted.mkString(", ")}; " +
+        s"extra: ${(benched -- expected).toSeq.sorted.mkString(", ")}")
+    assert(expected.subsetOf(SparkEntry.queries.keySet),
+      "DragBench.keys must all be registered queries")
+    assert(!body.contains("\"err\""),
+      s"drag-class artifact contains failed entries: $body")
+  }
+
+  test("valve parity: every family-builder call site FORWARDS the strict/report choice (r11 item 5)") {
+    // The four collapse-family builders (sig/text/vec/sim) are the
+    // only places a byte-identical family can explode into pairs;
+    // each takes the `skipOversized` strict/report valve. This pins
+    // that no call site in src/main hardcodes a mode: every call must
+    // spell `skipOversized = skipOversized`, i.e. forward its own
+    // caller's choice — so a new pair operator built on a family
+    // either exposes the valve in its signature or fails here.
+    // Audited r12 for completeness of the builder list: d8/d12's
+    // window semi-joins never form a pair set (D·n window rows by
+    // construction), and d10's batch-vs-corpus join is bounded by the
+    // df-capped broadcast postings (the cap is part of the operator's
+    // oracle-replayed semantics, not a silent skip) — so the explode
+    // surface is exactly these builders.
+    val builders = Seq("sigFamilies(", "textFamilies(", "vecFamilies(", "simFamilies(")
+    val files = Files.walk(Paths.get("src/main/scala/graft")).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    files.foreach { f =>
+      val lines = Files.readAllLines(f).asScala
+      lines.zipWithIndex.foreach { case (line, i) =>
+        val t = line.trim
+        builders.foreach { b =>
+          if (line.contains(b) && !t.startsWith("*") && !t.startsWith("//") &&
+              !line.contains("def " + b.stripSuffix("("))) {
+            // the call expression may wrap — scan a 4-line window
+            val window = lines.slice(i, i + 4).mkString(" ")
+            if (!window.contains("skipOversized = skipOversized"))
+              offenders += s"$f:${i + 1} ${b.stripSuffix("(")}"
+          }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"family-builder call sites not forwarding the valve choice:\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("every committed full bench artifact covers every registered query (and only those)") {
     // Closes the last bookkeeping gap (VERDICT r7 item 10, widened by
     // VERDICT r8 item 1): every registered entry must appear in EVERY

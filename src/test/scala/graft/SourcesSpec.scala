@@ -398,6 +398,76 @@ class SourcesSpec extends GraftSpecBase {
       "later slots are unaffected")
   }
 
+  test("tryCommit two-JVM race: a REAL second process never shares a slot win (VERDICT r11 item 4)") {
+    // The r10 test above SIMULATES the second process by planting a
+    // claim file; this one spawns an actual second JVM (ClaimRaceMain)
+    // whose in-process claim registry is empty by construction, so
+    // only the on-disk O_CREAT|O_EXCL claim can prevent both writers
+    // seeing their rename(2) "succeed" on RawLocalFileSystem. Both
+    // JVMs attempt every slot once — the child in REVERSE order, so
+    // the two sweeps must cross mid-range and genuinely contend —
+    // and the protocol holds iff the win sets are disjoint, cover
+    // every slot, and each published v-file names its single winner.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_2jvm").toString
+    val nSlots = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_2jvm_ipc")
+    val (readyF, goF, outF) = (dir.resolve("ready"), dir.resolve("go"), dir.resolve("out"))
+    val errF = dir.resolve("stderr").toFile
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val child = new ProcessBuilder(javaBin,
+        "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+        "graft.ClaimRaceMain", root, "child", nSlots.toString,
+        readyF.toString, goF.toString, outF.toString)
+      .redirectErrorStream(true).redirectOutput(errF).start()
+    try {
+      val bootDeadline = System.currentTimeMillis + 120000
+      while (!java.nio.file.Files.exists(readyF) && child.isAlive &&
+        System.currentTimeMillis < bootDeadline) Thread.sleep(20)
+      assert(java.nio.file.Files.exists(readyF),
+        s"child JVM never signalled ready:\n${scala.io.Source.fromFile(errF).mkString.takeRight(2000)}")
+      // symmetric pre-warm (the child does the same before signalling
+      // ready): when this test runs alone, the parent's first
+      // tryCommit otherwise pays classload/FS-init and loses every
+      // slot to an already-warm child — a degenerate no-contention run
+      val scratch = java.nio.file.Files.createTempDirectory("graft_claim_warm_p").toString
+      sources.Lake.tryCommit(spark, scratch, 0,
+        Seq(sources.Lake.LogEntry("A", "2024-01-01", "warm")))
+      java.nio.file.Files.writeString(goF, "go")
+      // parent sweep, ascending (child descends — see ClaimRaceMain)
+      val parentWon = (0 until nSlots).filter { v =>
+        sources.Lake.tryCommit(spark, root, v,
+          Seq(sources.Lake.LogEntry("A", f"2024-01-${(v % 28) + 1}%02d", s"parent-v$v")))
+      }.toSet
+      val raceDeadline = System.currentTimeMillis + 120000
+      while (!java.nio.file.Files.exists(outF) && child.isAlive &&
+        System.currentTimeMillis < raceDeadline) Thread.sleep(20)
+      assert(java.nio.file.Files.exists(outF),
+        s"child never reported its wins:\n${scala.io.Source.fromFile(errF).mkString.takeRight(2000)}")
+      val childWon = java.nio.file.Files.readString(outF).split(",")
+        .filter(_.nonEmpty).map(_.toInt).toSet
+      assert((parentWon & childWon).isEmpty,
+        s"BOTH processes claim slots ${(parentWon & childWon).toSeq.sorted.mkString(",")} — " +
+          "the on-disk claim failed to exclude across processes")
+      assert(parentWon ++ childWon == (0 until nSlots).toSet,
+        s"unwon slots: ${((0 until nSlots).toSet -- parentWon -- childWon).toSeq.sorted.mkString(",")}")
+      // the committed v-files agree with the win reports, slot by slot
+      (0 until nSlots).foreach { v =>
+        val winner = if (parentWon(v)) "parent" else "child"
+        assert(sources.Lake.logEntries(spark, root, v).map(_.file) ==
+          Seq(s"$winner-v$v"),
+          s"slot $v's published entries must name its single winner ($winner)")
+      }
+      // both sides actually won something (the reverse sweep makes a
+      // clean split the only possible outcome short of a wedged JVM)
+      assert(parentWon.nonEmpty && childWon.nonEmpty,
+        s"degenerate race (parent=${parentWon.size}, child=${childWon.size} wins)")
+    } finally {
+      child.destroyForcibly()
+      child.waitFor()
+    }
+  }
+
   test("p30 OCC: version race has one winner, loser never clobbers, rebase converges, stale files are orphans") {
     def norm(p: String): String =
       if (p.startsWith("file:")) new java.net.URI(p).getPath else p
