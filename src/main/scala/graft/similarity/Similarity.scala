@@ -119,9 +119,9 @@ object Similarity {
     * by reports that measure the sample itself (s24), which reuse
     * the returned array instead of re-scanning the corpus.
     */
-  private[similarity] def trainerSample(corpus: DataFrame, sampleMod: Int = 4,
-                                        sampleCap: Int = 20000,
-                                        samplePredicate: Option[Column] = None): Array[Array[Float]] = {
+  private[graft] def trainerSample(corpus: DataFrame, sampleMod: Int = 4,
+                                   sampleCap: Int = 20000,
+                                   samplePredicate: Option[Column] = None): Array[Array[Float]] = {
     val pred = samplePredicate.getOrElse(pmod(col("vec_id"), lit(sampleMod)) === 0)
     val primary: Array[Array[Float]] = corpus
       .filter(col("embedding").isNotNull).filter(pred)

@@ -502,6 +502,52 @@ class SimilaritySpec extends GraftSpecBase {
     }
   }
 
+  test("s26 degenerate contract: no trainable existing side -> EMPTY frame, never placeholder cells (ADVICE r11)") {
+    import spark.implicits._
+    val contract = Seq("cell", "n_existing", "n_new", "mean_new_cos_e6", "growth_ppm")
+    // empty corpus: the report is cell-anchored, so centroidMatrix's
+    // k placeholder cells would surface as k phantom rows against
+    // the oracle's zero — the contract is the empty frame
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val r0 = similarity.Similarity.incrementalIvfReport(empty)
+    assert(r0.columns.toSeq == contract, s"contract schema: ${r0.columns.toSeq}")
+    assert(r0.count() == 0L, "empty corpus must yield the empty frame")
+    // fresh-only corpus (every vec_id ≡ 7 mod 10): REAL 4-dim vectors
+    // with nothing to train on — the old placeholder path assigned
+    // them against dim-1 centroids (truncated-cosine garbage); the
+    // contract is again the empty frame, not garbage cells
+    val freshOnly = Seq(
+      (7L, Seq(1f, 0f, 0f, 0f)), (17L, Seq(0f, 1f, 0f, 0f)),
+      (27L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = similarity.Similarity.incrementalIvfReport(freshOnly)
+    assert(r1.columns.toSeq == contract && r1.count() == 0L,
+      "untrainable existing side must yield the empty frame")
+  }
+
+  test("trainerSample: an explicit samplePredicate SCOPES the trainer — no fallback outside it (ADVICE r11)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    // default mod-sample: empty primary falls back to the first
+    // non-null vectors (DegenerateSpec's law) — mod 100 selects
+    // nothing here, fallback fills the sample
+    val fallback = similarity.Similarity.trainerSample(corpus, sampleMod = 100)
+    assert(fallback.length == 3, s"default-predicate fallback must fill: ${fallback.length}")
+    // explicit predicate selecting nothing: the sample IS empty —
+    // silently re-sampling outside the caller's predicate would
+    // train on rows the caller excluded
+    val scoped = similarity.Similarity.trainerSample(corpus,
+      samplePredicate = Some(col("vec_id") > 100L))
+    assert(scoped.isEmpty,
+      s"predicate-scoped trainer must not sample outside its predicate: ${scoped.length}")
+    // a predicate that DOES select rows trains on exactly those
+    val hit = similarity.Similarity.trainerSample(corpus,
+      samplePredicate = Some(col("vec_id") === 2L))
+    assert(hit.length == 1 && hit.head.toSeq == Seq(0f, 1f))
+  }
+
   test("s27 hard negatives: same-label neighbors are excluded even when nearer; probe recall holds") {
     import spark.implicits._
     // id2 (same label, cos .348 to the anchor) must NOT appear even

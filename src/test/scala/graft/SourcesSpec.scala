@@ -328,6 +328,41 @@ class SourcesSpec extends GraftSpecBase {
     }
   }
 
+  test("p25 audit exemptions mirror all three checks; the planted-null assert fires only when provable (ADVICE r11)") {
+    import spark.implicits._
+    def corpus(rows: Seq[(Long, String, Long, String, Double)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wap_adv").toString
+      rows.toDF("event_id", "__ts", "user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // (a) clean non-empty even half EXCEPT a duplicate event_id:
+    // DuplicateCount correctly refuses it — the demo assert must
+    // recognize the refusal (r11 exempted only empty/null-user_id)
+    // and root readers see the empty lake, matching the oracle's
+    // new dup guard
+    val dupDir = corpus(Seq(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 11:00:00", 2L, "view", 2.0),
+      (4L, "2024-01-01 12:00:00", 3L, "click", 3.0)))
+    assert(sources.Lake.p25WriteAuditPublish(spark, dupDir).count() == 0L,
+      "a dup-event_id even half must stay unpublished (and must not trip the demo assert)")
+    // (b) odd half with NO event_id ≡ 1 (mod 7): the null-planting
+    // marks nothing, so the otherwise-clean odd batch LEGITIMATELY
+    // publishes — the !okBad assert must stand down (it proves the
+    // audit catches planted nulls, and here none exist)
+    val noPlantDir = corpus(Seq(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 2.0),
+      (3L, "2024-01-01 12:00:00", 3L, "click", 3.0),
+      (5L, "2024-01-01 13:00:00", 4L, "view", 4.0)))
+    val rows = sources.Lake.p25WriteAuditPublish(spark, noPlantDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("click" -> 2L, "view" -> 2L),
+      s"both clean batches publish when nothing is plantable: $rows")
+  }
+
   test("tryCommit thread race: exactly one same-JVM writer wins a slot, log holds the winner's entries") {
     // POSIX rename REPLACES an existing destination on the local FS
     // (RawLocalFileSystem delegates to rename(2), so the FileSystem
