@@ -553,9 +553,13 @@ object Lake {
 
   /** p25 lake: two WAP batches — the even-id half (clean, audits
     * pass, publishes) and the odd-id half with planted null user_ids
-    * (MissingCount fails, stays staged). The builder asserts both
-    * verdicts; the entry reads the lake ROOT, which by the
-    * underscore law sees only the published batch.
+    * (MissingCount fails, stays staged). The bad batch is staged
+    * ONLY when a plantable id exists (odd AND ≡ 1 mod 7), so the
+    * published set is the audited even half on every corpus — never
+    * even+odd on a degenerate corpus with nothing to plant (ADVICE
+    * r12). The builder asserts both verdicts; the entry reads the
+    * lake ROOT, which by the underscore law sees only the published
+    * batch.
     */
   private[graft] def wapLake(spark: SparkSession, dir: String): String =
     wapCache.computeIfAbsent(dir, { _ =>
@@ -573,7 +577,18 @@ object Lake {
           when(pmod(col("event_id"), lit(7)) === 1, lit(null).cast("long"))
             .otherwise(col("user_id")))
       val okGood = writeAuditPublish(spark, good, root, "g0", checks)
-      val okBad = writeAuditPublish(spark, bad, root, "b1", checks)
+      // The bad batch exists to PROVE the audit refuses planted
+      // nulls — stage it only when the odd half actually carries a
+      // plantable id (odd AND ≡ 1 mod 7). On a corpus with nothing
+      // to plant, an otherwise-clean odd batch would legitimately
+      // publish, and root readers would then see even+odd while the
+      // p25 oracle replays the even half only — the degenerate-class
+      // hash divergence ADVICE r12 flagged. Skipping the unplantable
+      // batch keeps the invariant the oracle prices: published set ==
+      // audited even half, on EVERY corpus.
+      val plantable = !ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+        pmod(col("event_id"), lit(7)) === 1).isEmpty
+      val okBad = plantable && writeAuditPublish(spark, bad, root, "b1", checks)
       // An EMPTY source has no clean batch to promote (RowCountAbove
       // correctly refuses it — that check exists exactly to stop
       // empty batches publishing), and a DIRTY source whose even half
@@ -583,19 +598,21 @@ object Lake {
       // the audit rejects a batch that is genuinely clean and
       // non-empty. The probes short-circuit off the assert path on
       // any real corpus (okGood is true there).
+      // The dup exemption mirrors DuplicateCount EXACTLY:
+      // count(event_id) − countDistinct(event_id), both
+      // null-EXCLUDING aggregates — a groupBy-count spelling would
+      // also treat ≥2 NULL event_ids as a duplicate family and
+      // exempt a batch the audit refused for a different reason
+      // (ADVICE r12), silently skipping this proof.
       require(okGood || good.isEmpty ||
           !good.filter(col("user_id").isNull).isEmpty ||
-          !good.groupBy(col("event_id")).count()
-            .filter(col("count") > 1).isEmpty,
+          good.agg((count(col("event_id")) - countDistinct(col("event_id")))
+            .as("__d")).head().getLong(0) > 0L,
         "clean batch must publish")
-      // The planted-null proof is meaningful only when the audit
-      // PASSED a batch that still carries null user_ids — a corpus
-      // whose odd half has no event_id ≡ 1 (mod 7) plants nothing,
-      // and an otherwise-clean unplanted batch legitimately publishes
-      // (ADVICE r11). Short-circuit: the null probe job runs only
-      // when okBad is true.
-      require(!okBad || bad.filter(col("user_id").isNull).isEmpty,
-        "audit published a batch carrying null user_ids")
+      // With the plantable gate above, okBad is true ONLY if the
+      // audit passed a batch that provably carries a planted null —
+      // which must never happen (the proof this fixture exists for).
+      require(!okBad, "audit published a batch carrying planted null user_ids")
       // Root readers see only published batches; the sidecar makes the
       // zero-batch root readable (batch= dirs partition-infer STRING).
       writeSchemaSidecar(spark, root,

@@ -349,9 +349,12 @@ class SourcesSpec extends GraftSpecBase {
     assert(sources.Lake.p25WriteAuditPublish(spark, dupDir).count() == 0L,
       "a dup-event_id even half must stay unpublished (and must not trip the demo assert)")
     // (b) odd half with NO event_id ≡ 1 (mod 7): the null-planting
-    // marks nothing, so the otherwise-clean odd batch LEGITIMATELY
-    // publishes — the !okBad assert must stand down (it proves the
-    // audit catches planted nulls, and here none exist)
+    // marks nothing, so the bad batch is never even STAGED (an
+    // otherwise-clean odd batch would legitimately publish and root
+    // readers would diverge from the even-only oracle — the
+    // degenerate-corpus hash divergence ADVICE r12 flagged). The
+    // published set must be the even half exactly, matching the
+    // oracle's WHERE event_id % 2 = 0 replay.
     val noPlantDir = corpus(Seq(
       (2L, "2024-01-01 10:00:00", 1L, "click", 1.0),
       (4L, "2024-01-01 11:00:00", 2L, "view", 2.0),
@@ -359,8 +362,19 @@ class SourcesSpec extends GraftSpecBase {
       (5L, "2024-01-01 13:00:00", 4L, "view", 4.0)))
     val rows = sources.Lake.p25WriteAuditPublish(spark, noPlantDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rows == Map("click" -> 2L, "view" -> 2L),
-      s"both clean batches publish when nothing is plantable: $rows")
+    assert(rows == Map("click" -> 1L, "view" -> 1L),
+      s"published set must be exactly the even half when nothing is plantable: $rows")
+    // (c) plantable odd half (event_id 15 ≡ 1 mod 7 and odd): the bad
+    // batch IS staged, the audit refuses it, and root readers still
+    // see only the even half — the proof path of the fixture
+    val plantDir = corpus(Seq(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 2.0),
+      (15L, "2024-01-01 12:00:00", 3L, "click", 3.0)))
+    val rows2 = sources.Lake.p25WriteAuditPublish(spark, plantDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows2 == Map("click" -> 1L, "view" -> 1L),
+      s"a planted-null odd batch must stay invisible to root readers: $rows2")
   }
 
   test("tryCommit thread race: exactly one same-JVM writer wins a slot, log holds the winner's entries") {
