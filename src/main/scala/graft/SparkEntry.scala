@@ -280,7 +280,8 @@ object SparkEntry {
     val branches = cols.map(c =>
       s"""SELECT '$c' AS col_name, f.n_rows, f.n_nulls, s.n_distinct_slice,
          | f.min_val, f.max_val,
-         | true AS slice_within_5pct, true AS full_covers_slice
+         | true AS slice_within_5pct, true AS full_covers_slice,
+         | true AS full_within_slice_band
          |FROM (SELECT count(*) AS n_rows,
          |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
          |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val

@@ -489,8 +489,19 @@ object Checks {
     *  - `full_covers_slice`: the full-corpus production estimate must
     *    be ≥ 95% of the slice's exact distinct count — sound because
     *    distinct(corpus) ≥ distinct(slice) set-theoretically and the
-    *    sketch sits within 5% of its own truth, so a collapsed or
-    *    mis-wired full-corpus sketch hash-mismatches.
+    *    sketch sits within 5% of its own truth, so a collapsed
+    *    full-corpus sketch hash-mismatches. This bound alone is
+    *    ONE-SIDED with up to ~16× slack on high-cardinality columns
+    *    (ADVICE r12): a full sketch overestimating 2-10× (mis-wired
+    *    rsd, wrong column) would still clear it;
+    *  - `full_within_slice_band`: the cheap upper bound closing that
+    *    gap — full-corpus estimate ≤ slice-exact × 24 (the mod-16
+    *    slice holds ≥ 1/16 of a uniformly-keyed column's values in
+    *    expectation; ×24 = ×16 with 1.5× slack for small-corpus
+    *    variance and sketch error, still failing any ≥1.5×
+    *    overestimate at verified scales). An EMPTY slice proves
+    *    nothing either way, so the bound stands down there rather
+    *    than failing every tiny corpus whose keys miss the mod class.
     * Portable columns (n_rows/n_nulls/min/max full-corpus,
     * n_distinct_slice exact-on-slice) replay exactly in the oracle;
     * the gate join is |columns| rows × |columns| rows — free at any
@@ -515,7 +526,10 @@ object Checks {
         (abs(col("__approx_s") - col("__exact_s"))
           <= col("__exact_s") * 0.05).as("slice_within_5pct"),
         (col("n_distinct_approx").cast("double")
-          >= col("__exact_s") * 0.95).as("full_covers_slice"))
+          >= col("__exact_s") * 0.95).as("full_covers_slice"),
+        (col("__exact_s") === 0 ||
+          col("n_distinct_approx").cast("double")
+            <= col("__exact_s") * 24.0).as("full_within_slice_band"))
       .orderBy(col("col_name"))
   }
 

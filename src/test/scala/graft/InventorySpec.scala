@@ -163,9 +163,15 @@ class InventorySpec extends AnyFunSuite {
         builders.foreach { b =>
           if (line.contains(b) && !t.startsWith("*") && !t.startsWith("//") &&
               !line.contains("def " + b.stripSuffix("("))) {
-            // the call expression may wrap — scan a 4-line window
-            val window = lines.slice(i, i + 4).mkString(" ")
-            if (!window.contains("skipOversized = skipOversized"))
+            // the call expression may wrap — scan an 8-line window,
+            // and match the forwarding as a regex so legitimate
+            // spellings without spaces (skipOversized=skipOversized)
+            // or wrapped past four lines don't fail spuriously
+            // (ADVICE r12; still a textual proxy, but one that only
+            // misses a forward routed through a renamed intermediate,
+            // which code review owns)
+            val window = lines.slice(i, i + 8).mkString(" ")
+            if (!"skipOversized\\s*=\\s*skipOversized".r.findFirstIn(window).isDefined)
               offenders += s"$f:${i + 1} ${b.stripSuffix("(")}"
           }
         }

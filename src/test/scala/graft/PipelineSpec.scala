@@ -348,6 +348,44 @@ class PipelineSpec extends GraftSpecBase {
     assert(full.map(_.getLong(1)).toSet.size == 1)
   }
 
+  test("p14b slice band: the two-sided gate passes a legit sequential-key corpus and stands down on an empty slice") {
+    import spark.implicits._
+    // sequential orderkeys 1..40: the mod-16 slice is {16, 32} → the
+    // ×24 band (2 × 24 = 48 ≥ 40) must absorb legit small-corpus
+    // variance — a ×16(1+ε) band would spuriously fail this corpus
+    def entry(rows: Seq[Long]): Map[String, (Boolean, Boolean, Boolean)] = {
+      val dir = java.nio.file.Files.createTempDirectory("p14b_band").toString
+      rows.map(k => (k, 1.0, "N", java.sql.Date.valueOf("2024-01-01"), "O"))
+        .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      quality.Checks.p14bApproxProfile(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8)))).toMap
+    }
+    val seq40 = entry(1L to 40L)
+    assert(seq40("l_orderkey") == ((true, true, true)),
+      s"sequential keys 1..40 must clear all three gates: ${seq40("l_orderkey")}")
+    // all keys ≡ 1 (mod 16): the slice is EMPTY, so the upper band
+    // proves nothing and must stand down (true), and the lower cover
+    // bound is vacuously satisfied — no spurious red on a corpus
+    // whose keys simply miss the mod class
+    val offClass = entry((0L until 30L).map(i => 16L * i + 1L))
+    assert(offClass("l_orderkey") == ((true, true, true)),
+      s"an empty slice must stand down, not fail: ${offClass("l_orderkey")}")
+    // the band is REAL on the verified corpus: a 24x-overestimating
+    // sketch of sf's l_orderkey would sit far above slice_exact * 24,
+    // so assert the gate's headroom there is bounded (the sketch
+    // estimate is under the band by construction, not by slack so
+    // wide the gate can never fire)
+    val li = Tables.lineitem(spark, sf)
+    val exactSlice = li.filter(pmod(col("l_orderkey"), lit(16)) === 0)
+      .agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val full = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(full.toDouble * 2 > exactSlice * 24.0,
+      "a 2x-overestimating full sketch must FAIL the band on the verified corpus " +
+        s"(full=$full, slice_exact=$exactSlice)")
+  }
+
   test("p15 drift: null-rate movement, distinct ratio, and range escape from hand-built slices") {
     import spark.implicits._
     val base = Seq((Some(1L), Some("a")), (Some(2L), Some("b")),
