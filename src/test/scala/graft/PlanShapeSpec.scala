@@ -1121,6 +1121,29 @@ class PlanShapeSpec extends GraftSpecBase {
       s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
   }
 
+  test("t14/t16: model-size cuts plan as TakeOrdered — no single-partition rank window survives") {
+    // VERDICT r12 item 2: the bigram-LM lmSize cut and the vocab
+    // top-max(ks) cut used to rank the whole model frame through ONE
+    // single-partition WindowExec. Both now spell orderBy+limit
+    // (t5's idiom) — TakeOrderedAndProject keeps the selection
+    // map-side-partial — and t14's ladder folds over a bounded
+    // sorted ARRAY, so the plans must carry a TakeOrdered and zero
+    // Window operators of any kind.
+    val t16 = finalPlan(text.TextAnalysis.t16BigramPpl(spark, sf))
+    assert(t16.contains("TakeOrderedAndProject"),
+      s"t16 lmSize cut must plan TakeOrdered, not a global rank window:\n$t16")
+    assert(!t16.contains("Window"),
+      s"t16 must carry no WindowExec at all:\n$t16")
+    val t14 = finalPlan(text.TextAnalysis.t14VocabCoverage(spark, sf))
+    assert(t14.contains("TakeOrderedAndProject"),
+      s"t14 top-max(ks) cut must plan TakeOrdered:\n$t14")
+    assert(!t14.contains("Window"),
+      s"t14 must carry no WindowExec at all:\n$t14")
+    val t19 = finalPlan(text.TextAnalysis.t19PplPartition(spark, sf))
+    assert(!t19.contains("Window"),
+      s"t19 wraps t16 and must stay window-free too:\n$t19")
+  }
+
   test("st24: delta rows cross the wire once; banded prefix-sum reuses that exchange") {
     val df = operators.Intervals.peakConcurrency(
       Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts"))),
