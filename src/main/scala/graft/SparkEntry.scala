@@ -474,8 +474,19 @@ object SparkEntry {
     * assignment), parameterized by the training-sample WHERE so
     * index-maintenance oracles (s26) can train on a filtered corpus
     * while replaying the identical Lloyd arithmetic. */
+  /** The IVF family's corpus-derived cell count, replayed in SQL:
+    * clamp(ceil(n / 128), 16, 1 << 20) over the non-null-embedding
+    * corpus — the exact formula `Similarity.derivedNumCells` applies
+    * (targetCellSize 128), as a scalar-subquery LIMIT so the replay
+    * tracks the Spark side at ANY corpus size. s24/s26 pass an
+    * explicit "16" instead: their entries pin the fixed-model k.
+    */
+  private val derivedCellsSql: String =
+    "(SELECT least(1048576, greatest(16, CAST(ceil(count(*) / 128.0) AS BIGINT))) FROM e)"
+
   private def ivfCtesWith(sampleWhere: String,
-                          fallbackWhere: String = "TRUE"): String =
+                          fallbackWhere: String = "TRUE",
+                          cells: String = derivedCellsSql): String =
     s"""e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL),
         |sample0 AS (
@@ -488,7 +499,7 @@ object SparkEntry {
         | WHERE (SELECT count(*) FROM sample0) = 0),
         |cents0 AS (
         | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, emb AS cemb
-        | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT 16)),
+        | FROM (SELECT vec_id, emb FROM sample ORDER BY vec_id LIMIT $cells)),
         |asg_cents1_rn AS (
         | SELECT s.vec_id AS vid, s.emb AS emb, c.cell,
         |  row_number() OVER (PARTITION BY s.vec_id
@@ -539,6 +550,10 @@ object SparkEntry {
         |corpus AS (SELECT vid AS vec_id, emb, cell FROM corpus_rn WHERE rn = 1)""".stripMargin
 
   private val ivfCorpusCtes: String = ivfCtesWith("vec_id % 4 = 0")
+
+  /** Fixed 16-cell variant for the fixed-model reports (s24). */
+  private val ivfCorpusCtes16: String =
+    ivfCtesWith("vec_id % 4 = 0", cells = "16")
 
   private val sqKnnCtes: String =
     """e AS (
@@ -3791,7 +3806,7 @@ object SparkEntry {
     // s24: per-rung sample assignment under cents0..3 (the trainer's
     // own CTE ladder) with the cosine kept; means ride the exact-e6
     // integer grid, one final double division of two exact longs
-    "s24_ivf_convergence" -> ("WITH " + ivfCorpusCtes + "," + Seq(0, 1, 2, 3).map { r =>
+    "s24_ivf_convergence" -> ("WITH " + ivfCorpusCtes16 + "," + Seq(0, 1, 2, 3).map { r =>
       s"""rung$r AS (
          | SELECT vid, cell, cs FROM (
          |  SELECT s.vec_id AS vid, c.cell, (list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * c.cemb[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> s.emb[i] * s.emb[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cemb[i] * c.cemb[i]), (x, y) -> x + y)))) AS cs,
@@ -3815,7 +3830,7 @@ object SparkEntry {
     // parameterized sample WHERE), full-corpus assignment split by
     // the batch mod, new-arrival cosines re-joined from cents3
     "s26_incremental_ivf" -> ("WITH " +
-      ivfCtesWith("vec_id % 4 = 0 AND vec_id % 10 <> 7", "vec_id % 10 <> 7") + """,
+      ivfCtesWith("vec_id % 4 = 0 AND vec_id % 10 <> 7", "vec_id % 10 <> 7", cells = "16") + """,
         |ex AS (
         | SELECT cell, count(*) AS n_existing FROM corpus
         | WHERE vec_id % 10 <> 7 GROUP BY 1),

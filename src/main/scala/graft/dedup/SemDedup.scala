@@ -53,12 +53,13 @@ object SemDedup {
                     threshold: Double = 0.4,
                     targetCellSize: Int = 4096,
                     cacheKey: Option[String] = None): DataFrame = {
+    // the shared family derivation (Similarity.derivedNumCells):
+    // counts NON-NULL embeddings — the population the trainer ingests
+    // and the oracle's `e` CTE counts, so a SQL replay derives the
+    // identical k — and shares the per-corpus count cache
     val k =
       if (numCells > 0) numCells
-      else {
-        val n = emb.select(col("vec_id")).count()
-        math.min(1 << 20, math.max(16L, (n + targetCellSize - 1) / targetCellSize)).toInt
-      }
+      else Similarity.derivedNumCells(emb, targetCellSize, cacheKey)
     val cents = Similarity.cachedCentroids(emb, k, iters = 3, cacheKey)
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
@@ -78,12 +79,15 @@ object SemDedup {
         col("dup_of"), col("dup_of").isNull.as("keep"))
   }
 
-  /** Verified entry (SURVEY §2 d9) over `embeddings`; numCells is
-    * pinned at 16 so the DuckDB oracle can replay the exact
-    * quantizer (and the cache is shared with s3's, which trains the
-    * same k=16 model); the determinism sort is entry-only.
+  /** Verified entry (SURVEY §2 d9) over `embeddings`; the cell count
+    * DERIVES from the corpus with the IVF family's targetCellSize
+    * (128 — VERDICT r12 item 1), which the DuckDB oracle replays with
+    * the same ceil(n/128) clamp-16 formula in its cents0 LIMIT, so
+    * quantizer and replay agree at ANY corpus size (at the verified
+    * scales both derive the floor 16, keeping the cache shared with
+    * s3's model); the determinism sort is entry-only.
     */
   def d9(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir), numCells = 16,
+    semanticDedup(Tables.embeddings(spark, dir), targetCellSize = 128,
       cacheKey = Some(dir)).orderBy(col("vec_id"))
 }

@@ -321,6 +321,51 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Int, Array[Float])]]()
 
+  /** Corpus-derived cell count — d9's n/targetCellSize sizing ported
+    * to the whole IVF family (VERDICT r12 item 1): k =
+    * clamp(ceil(n / targetCellSize), 16, 1 << 20), n = NON-NULL
+    * embeddings (the only rows a trainer ingests or an assignment
+    * maps — the same population the oracle's `e` CTE counts, so the
+    * SQL replay derives the identical k at any corpus size). The
+    * within-cell/probed-cell work of every consumer is per-key
+    * bounded only if the cell count GROWS with the corpus — at a
+    * fixed k the mean cell holds n/k vectors and in-cell pair work
+    * is O(n²/k), quadratic again (d9's law). targetCellSize 128
+    * keeps expected cell population constant as the corpus grows;
+    * the floor 16 preserves the verified-scale quantizer exactly
+    * (every test corpus derives the old default, so results are
+    * bit-identical there), and the cap bounds the driver-side Lloyd
+    * model (kEff additionally clamps to the 20k trainer sample).
+    * The count is one metadata-cheap aggregate, cached per
+    * (cacheKey, targetCellSize) alongside the centroid cache so a
+    * corpus pays it once across the family.
+    */
+  private val cellCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+
+  private[graft] def derivedNumCells(corpus: DataFrame,
+                                     targetCellSize: Int = 128,
+                                     cacheKey: Option[String] = None): Int = {
+    def compute: Int = {
+      val n = corpus.filter(col("embedding").isNotNull).count()
+      math.min(1L << 20, math.max(16L, (n + targetCellSize - 1) / targetCellSize)).toInt
+    }
+    cacheKey match {
+      case Some(key) =>
+        cellCountCache.computeIfAbsent((key, targetCellSize), _ => compute).intValue()
+      case None => compute
+    }
+  }
+
+  /** `numCells <= 0` (the family default) derives from the corpus;
+    * an explicit positive value pins the quantizer (fixed-model
+    * reports s24/s26, specs, replays of a stored assignment).
+    */
+  private[graft] def resolveCells(corpus: DataFrame, numCells: Int,
+                                  cacheKey: Option[String]): Int =
+    if (numCells > 0) numCells
+    else derivedNumCells(corpus, cacheKey = cacheKey)
+
   private[graft] def cachedCentroids(corpus: DataFrame, k: Int, iters: Int,
                                           cacheKey: Option[String]): Array[(Int, Array[Float])] =
     cacheKey match {
@@ -339,7 +384,10 @@ object Similarity {
 
   /** IVF ANN: assign corpus vectors to nearest-centroid cells, probe
     * the nprobe nearest cells per query. Coarse quantizer = the
-    * sample-trained deterministic Lloyd k-means above.
+    * sample-trained deterministic Lloyd k-means above; the default
+    * cell count derives from the corpus ([[derivedNumCells]]) so the
+    * probed fraction stays a constant share of constant-sized cells
+    * as the corpus grows.
     *
     * `corpusPredicate` is FILTERED SEARCH (s10): restrict neighbors
     * to corpus vectors passing a metadata predicate (label/language/
@@ -352,10 +400,11 @@ object Similarity {
     * down to the parquet scan itself (plan-pinned in s10's spec).
     */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-             numCells: Int = 16, nprobe: Int = 4,
+             numCells: Int = 0, nprobe: Int = 4,
              cacheKey: Option[String] = None,
              corpusPredicate: Option[Column] = None): DataFrame = {
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     val c = corpusPredicate.fold(corpus)(corpus.filter)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .withColumn("cell_id", assignBest(col("n_emb"), cents))
@@ -404,9 +453,10 @@ object Similarity {
     * vs the exact path is measured in SimilaritySpec.
     */
   def ivfRangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double,
-                     numCells: Int = 16, nprobe: Int = 4,
+                     numCells: Int = 0, nprobe: Int = 4,
                      cacheKey: Option[String] = None): DataFrame = {
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .withColumn("cell_id", assignBest(col("n_emb"), cents))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -841,15 +891,18 @@ object Similarity {
     * cell assignment is the shared driver-trained quantizer pushed
     * as a narrow literal-centroid map (no in-query training —
     * s3's plan pin applies). Cell-edge neighbors can be missed, like
-    * any single-probe IVF; production raises numCells with corpus
-    * size (n/targetCellSize, d9's sizing) and k stays the per-row
+    * any single-probe IVF; the DEFAULT cell count now derives from
+    * the corpus ([[derivedNumCells]] — d9's n/targetCellSize sizing,
+    * VERDICT r12 item 1) so per-cell pair work stays constant as the
+    * corpus grows, and k stays the per-row
     * window cut. Rank decided on the unrounded cosine, ties by
     * n_id (deterministic both engines); cosine rounded only for
     * output.
     */
-  def knnGraph(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+  def knnGraph(corpus: DataFrame, k: Int = 5, numCells: Int = 0,
                cacheKey: Option[String] = None): DataFrame = {
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     // the graph is over the VECTOR corpus (Tables.vectors' contract);
     // filtering here (where the array is read anyway) lets callers
     // pass the raw table and keep their label-only scans pruned
@@ -894,7 +947,7 @@ object Similarity {
     * key. The corpus itself is touched exactly as often as s15
     * touches it.
     */
-  def knnClassify(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+  def knnClassify(corpus: DataFrame, k: Int = 5, numCells: Int = 0,
                   cacheKey: Option[String] = None): DataFrame = {
     val g = knnGraph(corpus, k, numCells, cacheKey)
     // Unlabeled neighbors cannot vote: a NULL label is not a class,
@@ -944,7 +997,7 @@ object Similarity {
     * fewer than k within-cell neighbors never reach rank k and are
     * absent — they are cell-size artifacts, not outliers.
     */
-  def knnOutliers(corpus: DataFrame, k: Int = 5, numCells: Int = 16,
+  def knnOutliers(corpus: DataFrame, k: Int = 5, numCells: Int = 0,
                   topN: Int = 25, cacheKey: Option[String] = None): DataFrame = {
     val kth = knnGraph(corpus, k, numCells, cacheKey)
       .filter(col("rank") === k)
@@ -989,10 +1042,11 @@ object Similarity {
     * exact-integer division.
     */
   def nprobeCurve(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-                  ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 16,
+                  ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 0,
                   cacheKey: Option[String] = None): DataFrame = {
-    val maxNp = math.min(ladder.max, numCells)
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val maxNp = math.min(ladder.max, kCells)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .withColumn("cell_id", assignBest(col("n_emb"), cents))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1013,10 +1067,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"))
     val exact =
-      if (ladder.max >= numCells) topk(scored) // all-cells prefix = brute force
+      if (ladder.max >= kCells) topk(scored) // all-cells prefix = brute force
       else bruteForceKnn(queries, corpus, k).select(col("q_id"), col("n_id"))
     val approx = ladder.map { np =>
-      topk(scored.filter(col("cell_rank") <= math.min(np, numCells)))
+      topk(scored.filter(col("cell_rank") <= math.min(np, kCells)))
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
     val nq = exact.agg(countDistinct(col("q_id")).as("__nq"))
@@ -1095,9 +1149,10 @@ object Similarity {
     * count, one division.
     */
   def scanCostCurve(queries: DataFrame, corpus: DataFrame,
-                    ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 16,
+                    ladder: Seq[Int] = Seq(1, 2, 4, 8, 16), numCells: Int = 0,
                     cacheKey: Option[String] = None): DataFrame = {
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     val sizes = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("cell_id", assignBest(col("embedding"), cents))
       .groupBy(col("cell_id")).agg(count(lit(1)).as("__cell_n"))
@@ -1482,9 +1537,10 @@ object Similarity {
     * prices (s17/s20).
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 3,
-                    numCells: Int = 16, nprobe: Int = 12,
+                    numCells: Int = 0, nprobe: Int = 12,
                     cacheKey: Option[String] = None): DataFrame = {
-    val cents = cachedCentroids(corpus, numCells, iters = 3, cacheKey)
+    val kCells = resolveCells(corpus, numCells, cacheKey)
+    val cents = cachedCentroids(corpus, kCells, iters = 3, cacheKey)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("label").as("n_label"))
       .withColumn("cell_id", assignBest(col("n_emb"), cents))

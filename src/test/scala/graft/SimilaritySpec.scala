@@ -7,6 +7,38 @@ class SimilaritySpec extends GraftSpecBase {
   private lazy val emb = Tables.embeddings(spark, sf)
   private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
 
+  test("derived cell count: floor at verified scales, linear growth past it, null rows excluded (VERDICT r12 item 1)") {
+    import spark.implicits._
+    def corpus(n: Int, nulls: Int = 0): org.apache.spark.sql.DataFrame =
+      ((0 until n).map(i => (i.toLong, Option(Seq(1f, 0f)))) ++
+        (0 until nulls).map(i => ((n + i).toLong, Option.empty[Seq[Float]])))
+        .toDF("vec_id", "embedding")
+    // two corpus sizes: below the floor the derived k IS the old
+    // fixed default; past it the count grows as ceil(n/128)
+    assert(similarity.Similarity.derivedNumCells(corpus(500)) == 16,
+      "500 vectors must derive the floor (ceil(500/128)=4 -> clamp 16)")
+    assert(similarity.Similarity.derivedNumCells(corpus(5000)) == 40,
+      "5000 vectors must derive ceil(5000/128)=40")
+    // n counts NON-NULL embeddings only — the population the trainer
+    // ingests and the oracle's `e` CTE counts, so the SQL replay's
+    // cents0 LIMIT lands on the same k
+    assert(similarity.Similarity.derivedNumCells(corpus(2048, nulls = 3000)) == 16,
+      "null-embedding rows must not inflate the derived count")
+    // the verified corpora sit on the floor, so every family entry
+    // trains the SAME quantizer the fixed-16 default trained — the
+    // oracle-parity invariance the CORRECTNESS gate rides on
+    assert(similarity.Similarity.derivedNumCells(
+        Tables.vectors(spark, sf), cacheKey = Some(sf)) == 16,
+      "the test corpus must derive the floor, keeping replays bit-identical")
+    // and the derived default therefore changes NOTHING on the exact
+    // results here: graph(default) == graph(explicit 16)
+    val d = similarity.Similarity.knnGraph(emb, cacheKey = Some(sf))
+      .collect().map(_.toSeq).toSet
+    val p = similarity.Similarity.knnGraph(emb, numCells = 16, cacheKey = Some(sf))
+      .collect().map(_.toSeq).toSet
+    assert(d == p, "derived-default graph must equal the explicit-16 graph at the floor")
+  }
+
   test("brute-force knn returns k ranked neighbors per query, no self-matches") {
     val r = similarity.Similarity.bruteForceKnn(queries, emb, k = 10)
     val perQ = r.groupBy(col("q_id")).count().collect()
