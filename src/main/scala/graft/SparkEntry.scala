@@ -124,6 +124,7 @@ object SparkEntry {
     "a22_dormant_customers" -> ((s, d) => analytics.Queries.a22(s, d)),
     "m5_phash_dupes" -> ((s, d) => multimodal.Multimodal.m5(s, d)),
     "p15_profile_drift" -> ((s, d) => quality.Checks.p15ProfileDrift(s, d)),
+    "p15b_approx_drift" -> ((s, d) => quality.Checks.p15bApproxDrift(s, d)),
     "t13_zipf_alpha" -> ((s, d) => text.TextAnalysis.t13ZipfAlpha(s, d)),
     "st12_changepoint" -> ((s, d) => operators.Activity.st12(s, d)),
     "s14_centroid_drift" -> ((s, d) => similarity.Similarity.s14(s, d)),
@@ -275,6 +276,43 @@ object SparkEntry {
     * full-corpus sketch's covers-slice bound, so sketch drift past
     * the gates hash-mismatches here).
     */
+  /** p15b oracle: p14b's per-column replay generated per SIDE of the
+    * 1998 split — full-side exact counts/nulls/min/max, slice-exact
+    * distincts, the slice-based drift ratio, range escape across
+    * sides, and the per-side sketch gates as stated-`true` literals
+    * (the Spark side must COMPUTE them true, p14b's contract).
+    */
+  private def p15bOracle: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    val branches = cols.map(c =>
+      s"""SELECT '$c' AS col_name, fa.n_rows AS n_rows_a, fb.n_rows AS n_rows_b,
+         | round(CAST(fa.n_nulls AS DOUBLE) / fa.n_rows, 6) AS null_rate_a,
+         | round(CAST(fb.n_nulls AS DOUBLE) / fb.n_rows, 6) AS null_rate_b,
+         | da.d AS n_distinct_slice_a, db.d AS n_distinct_slice_b,
+         | round(CAST(db.d AS DOUBLE) / da.d, 6) AS distinct_ratio_slice,
+         | (fa.min_val <> fb.min_val OR fa.max_val <> fb.max_val) AS range_changed,
+         | true AS sketch_ok_a, true AS sketch_ok_b
+         |FROM (SELECT count(*) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         | FROM sa) fa
+         |CROSS JOIN (SELECT count(*) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         | FROM sb) fb
+         |CROSS JOIN (SELECT count(DISTINCT $c) AS d FROM la) da
+         |CROSS JOIN (SELECT count(DISTINCT $c) AS d FROM lb) db""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag,
+       |  CAST(l_shipdate AS DATE) AS l_shipdate, l_linestatus FROM lineitem),
+       |sa AS (SELECT * FROM li WHERE l_shipdate < DATE '1998-01-01'),
+       |sb AS (SELECT * FROM li WHERE l_shipdate >= DATE '1998-01-01'),
+       |la AS (SELECT * FROM sa WHERE l_orderkey % 16 = 0),
+       |lb AS (SELECT * FROM sb WHERE l_orderkey % 16 = 0)
+       |$branches
+       |ORDER BY col_name""".stripMargin
+  }
+
   private def p14bOracle: String = {
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
     val branches = cols.map(c =>
@@ -1302,6 +1340,7 @@ object SparkEntry {
         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p15_profile_drift" -> p15Oracle,
     "p14b_approx_profile" -> p14bOracle,
+    "p15b_approx_drift" -> p15bOracle,
     // st13: st5's k-join funnel replay, unpivoted per transition,
     // quantile_cont == Spark's exact interpolated percentile (a8)
     "st13_funnel_timing" ->

@@ -573,4 +573,74 @@ object Checks {
       li.filter(col("l_shipdate") >= lit("1998-01-01").cast("date")),
       cols).orderBy(col("col_name"))
   }
+
+  /** The 100 TB drift-gate spelling (VERDICT r12 item 4): [[p15ProfileDrift]]
+    * runs p14's EXACT profile twice, re-importing the corpus-scale
+    * multi-distinct Expand on both sides of every promote decision.
+    * This variant prices the gate at sketch cost, riding p14b's
+    * slice-gated pattern per side:
+    *  - each side's FULL corpus is touched only by the Expand-free
+    *    sketch profile ([[approxProfileColumns]] — rows, nulls,
+    *    min/max exact; distinct via HLL++);
+    *  - the exact multi-distinct runs solely on each side's
+    *    deterministic `slicePred` subset (entry: `l_orderkey % 16`),
+    *    giving an engine-replayable drift signal — the slice is the
+    *    SAME population both sides, so the slice distinct ratio
+    *    tracks the full ratio wherever the slice is representative
+    *    (exactly the regime the gates certify);
+    *  - p14b's three gate booleans ride per side (5% sketch-vs-exact
+    *    on the slice, ≥95% cover from below, ≤×24 band from above),
+    *    folded to one stated-`true` column per side so a mis-wired
+    *    sketch on EITHER side hash-mismatches.
+    * Null rates, row counts and range escape stay exact (they are
+    * cheap single-pass aggregates); only the cardinality signal moves
+    * to the sketch+slice spelling — the a5/a5b, p14/p14b trade
+    * applied to the promote gate.
+    */
+  def approxProfileDrift(base: DataFrame, cand: DataFrame,
+                         columns: Seq[String],
+                         slicePred: Column): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame = {
+      val slice = df.filter(slicePred)
+      val full = approxProfileColumns(df, columns)
+      val exactS = profileColumns(slice, columns)
+        .select(col("col_name"), col("n_distinct").as("__exact"))
+      val approxS = approxProfileColumns(slice, columns)
+        .select(col("col_name"), col("n_distinct_approx").as("__approx"))
+      full.join(exactS, Seq("col_name")).join(approxS, Seq("col_name"))
+        .select(col("col_name"),
+          col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+          col("__exact").as(s"n_distinct_slice_$s"),
+          col("min_val").as(s"min_$s"), col("max_val").as(s"max_$s"),
+          (abs(col("__approx") - col("__exact")) <= col("__exact") * 0.05 &&
+            col("n_distinct_approx").cast("double") >= col("__exact") * 0.95 &&
+            (col("__exact") === 0 ||
+              col("n_distinct_approx").cast("double") <= col("__exact") * 24.0))
+            .as(s"sketch_ok_$s"))
+    }
+    side(base, "a").join(side(cand, "b"), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        round(col("n_nulls_a").cast("double") / col("n_rows_a"), 6).as("null_rate_a"),
+        round(col("n_nulls_b").cast("double") / col("n_rows_b"), 6).as("null_rate_b"),
+        col("n_distinct_slice_a"), col("n_distinct_slice_b"),
+        round(col("n_distinct_slice_b").cast("double")
+          / col("n_distinct_slice_a"), 6).as("distinct_ratio_slice"),
+        (col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+          .as("range_changed"),
+        col("sketch_ok_a"), col("sketch_ok_b"))
+  }
+
+  /** Verified entry (p15b): p15's 1998 split priced at sketch cost.
+    * Sort is oracle-determinism only.
+    */
+  def p15bApproxDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
+    approxProfileDrift(
+      li.filter(col("l_shipdate") < lit("1998-01-01").cast("date")),
+      li.filter(col("l_shipdate") >= lit("1998-01-01").cast("date")),
+      cols, pmod(col("l_orderkey"), lit(16)) === 0).orderBy(col("col_name"))
+  }
 }

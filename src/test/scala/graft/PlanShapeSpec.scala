@@ -1121,6 +1121,26 @@ class PlanShapeSpec extends GraftSpecBase {
       s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
   }
 
+  test("p15b: both full-corpus branches stay Expand-free — the exact gates ride the mod-16 slices") {
+    // p14b's pin applied per SIDE of the drift gate (VERDICT r12
+    // item 4): exactly two Expands (one exact multi-distinct per
+    // side's slice), each fed by a mod-16-filtered scan; the two
+    // full-corpus profile branches keep the sketch spelling.
+    val plan = finalPlan(quality.Checks.p15bApproxDrift(spark, sf))
+    val expands = "Expand".r.findAllIn(plan).length
+    assert(expands == 2,
+      s"p15b must pay exactly one slice-bounded Expand per side, got $expands:\n$plan")
+    var at = plan.indexOf("Expand")
+    while (at >= 0) {
+      val scanAt = plan.indexOf("Scan parquet", at)
+      assert(scanAt > at, s"no scan found under the Expand at $at:\n$plan")
+      val between = plan.substring(at, scanAt)
+      assert(between.contains("% 16") || between.contains("pmod"),
+        s"every Expand must be fed by a mod-16 slice, not a full side:\n$plan")
+      at = plan.indexOf("Expand", at + 1)
+    }
+  }
+
   test("t14/t16: model-size cuts plan as TakeOrdered — no single-partition rank window survives") {
     // VERDICT r12 item 2: the bigram-LM lmSize cut and the vocab
     // top-max(ks) cut used to rank the whole model frame through ONE
