@@ -272,7 +272,8 @@ object Streams {
     * partial-gold lake (goldMerge) or a JDBC upsert.
     */
   def runGoldMergeToMemory(silver: DataFrame, keyCol: String,
-                           statePartitions: Option[Int] = None): DataFrame = {
+                           statePartitions: Option[Int] = None,
+                           maxStateRows: Int = 1 << 20): DataFrame = {
     val scoped = statePartitions match {
       case Some(n) => org.apache.spark.sql.GraftBridge.withConfScope(silver,
         "spark.sql.shuffle.partitions" -> n.toString)
@@ -282,7 +283,20 @@ object Streams {
       (java.sql.Timestamp, java.sql.Timestamp, String), (Long, Double)]()
     val q = scoped.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Medallion.goldPartial(batch, "ts", keyCol).collect().foreach { r =>
+        // Boundedness VALVE (VERDICT r12 item 6): the driver-side
+        // merge map is bounded by the AGGREGATE'S KEY GRAIN by
+        // contract — enforce it, so pointing this test sink at a
+        // stream whose gold grain explodes fails NAMED (pre-counting
+        // the partial before the collect) instead of OOMing the
+        // driver. The count is one extra tiny job per micro-batch —
+        // this sink is test-only by contract.
+        val partial = Medallion.goldPartial(batch, "ts", keyCol)
+        val n = partial.count()
+        require(state.size() + n <= maxStateRows,
+          s"memory-sink state would exceed $maxStateRows rows — this sink is " +
+            "for AGGREGATED streams (state bounded by the gold key grain); " +
+            "route a wider stream at goldMerge/jdbcUpsertWriter instead")
+        partial.collect().foreach { r =>
           val k = (r.getAs[java.sql.Timestamp]("window_start"),
             r.getAs[java.sql.Timestamp]("window_end"),
             String.valueOf(r.getAs[Any](keyCol)))
@@ -318,7 +332,8 @@ object Streams {
     * simply points foreachBatchSink at jdbcUpsertWriter instead).
     */
   def runUpsertToMemory(df: DataFrame, keyCols: Seq[String],
-                        statePartitions: Option[Int] = None): DataFrame = {
+                        statePartitions: Option[Int] = None,
+                        maxStateRows: Int = 1 << 20): DataFrame = {
     val scoped = statePartitions match {
       case Some(n) => org.apache.spark.sql.GraftBridge.withConfScope(df,
         "spark.sql.shuffle.partitions" -> n.toString)
@@ -329,6 +344,15 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ki = keyCols.map(k => batch.schema.fieldNames.indexOf(k))
         require(ki.forall(_ >= 0), s"key columns $keyCols must exist in the stream")
+        // Boundedness VALVE (VERDICT r12 item 6): state is bounded by
+        // the upserted AGGREGATE'S key grain by contract — pre-count
+        // each micro-batch so a misuse on an unaggregated stream
+        // fails NAMED before the collect, not as a driver OOM
+        val n = batch.count()
+        require(state.size() + n <= maxStateRows,
+          s"memory-sink state would exceed $maxStateRows rows — this sink is " +
+            "for AGGREGATED update streams (state bounded by the key grain); " +
+            "route a wider stream at jdbcUpsertWriter/a lake sink instead")
         batch.collect().foreach(r => state.put(ki.map(r.get(_)), r))
       }
       .outputMode("update")

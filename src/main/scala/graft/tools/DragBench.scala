@@ -19,11 +19,17 @@ import graft.{GraftSession, SparkEntry}
   *  - p14/p14b/p15: the profile family — single-scan plans whose
   *    wall is dominated by the one wide aggregation pass, maximally
   *    exposed to code-cache/GC drag;
-  *  - t16 (and by proxy t19, which wraps it): the bigram-LM family,
-  *    two corpus scans by plan (ScanAudit-pinned) but historically
-  *    the noisiest full-sweep reading;
+  *  - t16/t19: the bigram-LM family, two corpus scans by plan
+  *    (ScanAudit-pinned) but historically the noisiest full-sweep
+  *    readings;
   *  - d15/d23: LSH-generate + exact-confirm entries whose pair
-  *    caches make pass-1 (cold) the only honest number.
+  *    caches make pass-1 (cold) the only honest number;
+  *  - a34/a35, x15/x19/x20 (VERDICT r12 item 3): the r12 sweep
+  *    movers — multi-join/window analytics and interleave/sweep
+  *    curation entries whose full-run walls moved round-over-round
+  *    with no plan change; refereeing them here separates host-class
+  *    drift from real regressions;
+  *  - p15b: p15's sketch spelling, priced next to its exact twin.
   *
   * Usage: runMain graft.tools.DragBench [sfDir] [reps]
   */
@@ -32,7 +38,11 @@ object DragBench {
   /** The sweep-drag entries refereed standalone. */
   val keys: Seq[String] = Seq(
     "p14_profile", "p14b_approx_profile", "p15_profile_drift",
-    "t16_bigram_ppl", "d15_minhash_calibration", "d23_fuzzy_contamination")
+    "p15b_approx_drift",
+    "t16_bigram_ppl", "t19_ppl_partition",
+    "d15_minhash_calibration", "d23_fuzzy_contamination",
+    "a34_order_backlog", "a35_rfm_segments",
+    "x15_interleave", "x19_quality_sweep", "x20_length_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

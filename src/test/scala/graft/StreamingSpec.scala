@@ -430,6 +430,41 @@ class StreamingSpec extends GraftSpecBase {
       s"stream-only: ${(streamedTop -- batchTop).take(3)}; batch-only: ${(batchTop -- streamedTop).take(3)}")
   }
 
+  test("memory-sink state valve: an over-grain stream fails named, the bounded path is untouched") {
+    // VERDICT r12 item 6: the boundedness contract of the test sinks
+    // (state == the aggregate's key grain) used to live only in
+    // comments — a misuse on an unaggregated stream OOMed the driver.
+    // The valve pre-counts each micro-batch and fails NAMED.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    // an UNAGGREGATED per-event stream: every event is its own key,
+    // so state grows with the event count — exactly the misuse class
+    val wide = mem.toDF().toDF("event_id", "value")
+      .groupBy(col("event_id")).agg(sum(col("value")).as("v"))
+    mem.addData((1L to 50L).map(i => (i, 1.0)): _*)
+    val ex = intercept[Exception] {
+      streaming.Streams.runUpsertToMemory(wide, Seq("event_id"),
+        statePartitions = Some(2), maxStateRows = 10)
+    }
+    def rootMessage(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && c.getCause != c) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMessage(ex).contains("memory-sink state would exceed 10 rows"),
+      s"misuse must fail the NAMED valve, got: ${rootMessage(ex)}")
+    // the same stream under the default valve (grain 50 << 1<<20)
+    // compacts normally — the valve never taxes the contract path
+    val mem2 = MemoryStream[(Long, Double)]
+    val ok = mem2.toDF().toDF("event_id", "value")
+      .groupBy(col("event_id")).agg(sum(col("value")).as("v"))
+    mem2.addData((1L to 50L).map(i => (i, 1.0)): _*)
+    val state = streaming.Streams.runUpsertToMemory(ok, Seq("event_id"),
+      statePartitions = Some(2))
+    assert(state.count() == 50L)
+  }
+
   test("streaming concurrency delta-nets: peak report over compacted state equals batch st24") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
