@@ -1121,24 +1121,24 @@ class PlanShapeSpec extends GraftSpecBase {
       s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
   }
 
-  test("p15b: both full-corpus branches stay Expand-free — the exact gates ride the mod-16 slices") {
-    // p14b's pin applied per SIDE of the drift gate (VERDICT r12
-    // item 4): exactly two Expands (one exact multi-distinct per
-    // side's slice), each fed by a mod-16-filtered scan; the two
-    // full-corpus profile branches keep the sketch spelling.
+  test("p15b: two corpus scans total — one Expand-free full pass, one slice-fed Expand") {
+    // p14b's pin applied to the drift gate (VERDICT r12 item 4):
+    // both sides profile in ONE conditional-aggregate full scan
+    // (Expand-free), and the only Expand is the fused both-sides
+    // multi-distinct over the mod-16 slice.
     val plan = finalPlan(quality.Checks.p15bApproxDrift(spark, sf))
     val expands = "Expand".r.findAllIn(plan).length
-    assert(expands == 2,
-      s"p15b must pay exactly one slice-bounded Expand per side, got $expands:\n$plan")
-    var at = plan.indexOf("Expand")
-    while (at >= 0) {
-      val scanAt = plan.indexOf("Scan parquet", at)
-      assert(scanAt > at, s"no scan found under the Expand at $at:\n$plan")
-      val between = plan.substring(at, scanAt)
-      assert(between.contains("% 16") || between.contains("pmod"),
-        s"every Expand must be fed by a mod-16 slice, not a full side:\n$plan")
-      at = plan.indexOf("Expand", at + 1)
-    }
+    assert(expands == 1,
+      s"p15b must pay exactly one slice-bounded Expand, got $expands:\n$plan")
+    val at = plan.indexOf("Expand")
+    val scanAt = plan.indexOf("Scan parquet", at)
+    assert(scanAt > at, s"no scan found under the Expand:\n$plan")
+    val between = plan.substring(at, scanAt)
+    assert(between.contains("% 16") || between.contains("pmod"),
+      s"the Expand must be fed by the mod-16 slice, not a full side:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"the drift gate must cost exactly two corpus scans, got $scans:\n$plan")
   }
 
   test("t14/t16: model-size cuts plan as TakeOrdered — no single-partition rank window survives") {
