@@ -371,6 +371,14 @@ class PlanShapeSpec extends GraftSpecBase {
       // p26 cross-joins the single-row probe window (corpus-min
       // derived __lo/__hi) onto the |days|-row manifest rollup
       "p26_scan_prune_manifest",
+      // p15b cross-joins its two single-row aggregate passes (full
+      // conditional profile × slice multi-distinct) before the
+      // per-column stack — 1 row × 1 row by construction
+      "p15b_approx_drift",
+      // t14 cross-joins its single-row sorted-ladder fold onto the
+      // single-row vocab totals (the r13 TakeOrdered rewrite) —
+      // 1 row × 1 row by construction
+      "t14_vocab_coverage",
       // a44 cross-joins two single-row scalars (a22's decorrelation:
       // the positive-balance average and the recency cutoff)
       "a44_sales_opportunity",
