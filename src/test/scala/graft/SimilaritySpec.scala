@@ -39,6 +39,57 @@ class SimilaritySpec extends GraftSpecBase {
     assert(d == p, "derived-default graph must equal the explicit-16 graph at the floor")
   }
 
+  test("knnGraph above the floor: derived 40-cell graph matches an independent local recomputation") {
+    // The verified corpora all derive the floor 16, so the oracle
+    // gate never exercises k > 16 — this pins CORRECTNESS of the
+    // derived path above the floor (the 10× bench only pins speed).
+    // 5000 deterministic unit vectors on a 2-sphere ring → derived
+    // k = ceil(5000/128) = 40; the expected graph is recomputed
+    // LOCALLY from the same trained centroid matrix (plain Scala,
+    // no Spark ops), so a bug in the distributed assignment,
+    // within-cell join, or rank window cannot cancel itself out.
+    import spark.implicits._
+    val n = 5000
+    val vecs: Seq[(Long, Seq[Float])] = (0 until n).map { i =>
+      val t = 2.0 * math.Pi * i / n
+      (i.toLong, Seq(math.cos(t).toFloat, math.sin(t).toFloat,
+        (0.25 * math.cos(3 * t)).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    assert(similarity.Similarity.derivedNumCells(corpus) == 40)
+    val got = similarity.Similarity.knnGraph(corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent local recomputation from the SAME deterministic
+    // trainer output (cachedCentroids is pure in (corpus, k, iters))
+    val cents = similarity.Similarity.cachedCentroids(corpus, 40, iters = 3, None)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    val local = vecs.map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def bestCell(v: Array[Double]): Int =
+      cents.map { case (cid, ce) => (cid, cos(v, ce.map(_.toDouble))) }
+        .maxBy { case (cid, c) => (c, -cid) }._1 // ties → smallest cell id
+    val cellOf = local.map { case (id, v) => id -> bestCell(v) }
+    val expected = local.keys.toSeq.sorted.flatMap { id =>
+      val mine = cellOf(id)
+      local.keys.toSeq
+        .filter(o => o != id && cellOf(o) == mine)
+        .map(o => (o, cos(local(id), local(o))))
+        .sortBy { case (o, c) => (-c, o) }
+        .take(3).zipWithIndex
+        .map { case ((o, c), rk) =>
+          (id, o, rk + 1L, math.rint(c * 1e6) / 1e6) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"graph diverged from local recomputation: spark-only=" +
+        s"${(got.toSet -- expected).take(3)}, local-only=${(expected -- got.toSet).take(3)}")
+    // and the derivation genuinely left the floor: >16 occupied cells
+    assert(cellOf.values.toSet.size > 16,
+      s"the 40-cell quantizer must actually spread past the old fixed 16: ${cellOf.values.toSet.size}")
+  }
+
   test("brute-force knn returns k ranked neighbors per query, no self-matches") {
     val r = similarity.Similarity.bruteForceKnn(queries, emb, k = 10)
     val perQ = r.groupBy(col("q_id")).count().collect()
