@@ -90,6 +90,46 @@ class SimilaritySpec extends GraftSpecBase {
       s"the 40-cell quantizer must actually spread past the old fixed 16: ${cellOf.values.toSet.size}")
   }
 
+  test("nprobeCurve above the floor: brute-force baseline branch engages, recall climbs from a sub-1.0 single probe") {
+    // At the verified scales the derived cell count equals the
+    // ladder max (16), so the curve's exact baseline rides the
+    // all-cells prefix and the `else bruteForceKnn` branch NEVER
+    // runs. Above the floor (derived 40 > ladder max 16) the
+    // baseline must switch to the true brute force and the rung
+    // recalls must behave like an honest IVF curve: monotone
+    // nondecreasing in nprobe, hits bounded by k·|queries|, a
+    // genuinely climbing curve, and a sub-1.0 single-probe rung
+    // (1.0 everywhere would mean the baseline silently compared
+    // the approximation against itself).
+    import spark.implicits._
+    // seeded-random 16-dim vectors (deterministic): true neighbors
+    // straddle cell boundaries, unlike a smooth ring where a query's
+    // whole neighborhood shares its cell and every rung reads 1.0
+    val rnd = new scala.util.Random(42)
+    val n = 5000
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(similarity.Similarity.derivedNumCells(corpus) == 40)
+    val queries = corpus.filter(col("vec_id") % 250 === 0) // 20 queries
+    val curve = similarity.Similarity.nprobeCurve(queries, corpus, k = 5)
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = curve.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(curve.forall(_._2 <= 5L * 20),
+      s"hits cannot exceed k x queries: ${curve.toSeq}")
+    // on noise-floor random vectors probing 16/40 cells misses some
+    // true neighbors — a recall of exactly 1.0 at EVERY rung would
+    // mean the fallback silently compared approx against itself
+    assert(recalls.head < recalls.last,
+      s"the curve must actually climb: ${recalls.toSeq}")
+    assert(recalls.head < 1.0,
+      s"single-probe recall of 1.0 on noise-floor vectors means a broken baseline: ${recalls.toSeq}")
+  }
+
   test("brute-force knn returns k ranked neighbors per query, no self-matches") {
     val r = similarity.Similarity.bruteForceKnn(queries, emb, k = 10)
     val perQ = r.groupBy(col("q_id")).count().collect()
