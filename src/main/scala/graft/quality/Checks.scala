@@ -562,7 +562,12 @@ object Checks {
   }
 
   /** Verified entry (p15): lineitem's 1998 boundary as the baseline/
-    * candidate split. Sort is oracle-determinism only.
+    * candidate split. Sort is oracle-determinism only. This is the
+    * EXACT twin — it deliberately pays the full multi-distinct
+    * Expand on both sides (the ground-truth gate, and the contrast
+    * the p15b plan pin reads); production promote gates run
+    * [[p15bApproxDrift]]'s two-scan sketch spelling instead (the
+    * a5/a5b, p14/p14b twin pattern).
     */
   def p15ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
