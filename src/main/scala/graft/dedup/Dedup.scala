@@ -672,6 +672,27 @@ object Dedup {
         col("cos"))
       .select(col("p.a_id"), col("p.b_id"), round(col("cos"), 6).as("cosine"))
 
+  /** Grid width for the blocked all-pairs join, derived from the
+    * representative count the same way the IVF family derives its
+    * cell count (`Similarity.derivedNumCells`, this round): P =
+    * clamp(ceil(n / targetGroupSize), 8, 1024). The pair set is
+    * P-INVARIANT (every unordered rep pair meets in exactly one grid
+    * cell for any P — spec-pinned above the floor), so this is a pure
+    * partitioning dial: it fixes per-task group size (n/P vectors,
+    * (n/P)² candidate pairs) and task count (P(P+1)/2 cells) instead
+    * of letting a fixed P=8 collapse a 1000-executor cluster onto 36
+    * tasks. The count runs on the persisted family frame the join
+    * materializes anyway (FrameCache keys by canonicalized input
+    * plan, so no cross-corpus staleness and no extra scan at steady
+    * state); at the verified SFs (≤2k reps) the derivation lands on
+    * the floor 8 and the entry is bit-identical to the old default.
+    */
+  private[graft] def derivedGridP(fam: DataFrame,
+                                  targetGroupSize: Int = 2048): Int = {
+    val n = fam.count()
+    math.min(1024L, math.max(8L, (n + targetGroupSize - 1) / targetGroupSize)).toInt
+  }
+
   /** d5 entry: EXACT embedding-cosine near-dup pairs as a
     * grid-blocked self-equi-join (the classic distributed all-pairs
     * scheme, cf. the θ-join grid / fragment-replicate literature),
@@ -687,7 +708,9 @@ object Dedup {
     * short of probing every bucket. Exact low-threshold joins are
     * inherently Ω(n²) COMPUTE; what scale design controls is the plan
     * shape, and this one is the right shape:
-    *  - rep vectors hash into P groups; side a replicates each row to
+    *  - rep vectors hash into P groups ([[derivedGridP]] by default,
+    *    so task count and per-task pair mass track corpus size; the
+    *    pair SET is P-invariant); side a replicates each row to
     *    grid cells (g, g..P-1), side b to cells (0..g, g) — every
     *    unordered pair meets in EXACTLY one cell, total replication
     *    (P+1)·n rows (√-of-reducer-count, vs B·n for one-sided
@@ -704,16 +727,19 @@ object Dedup {
     * [[embeddingNearDupsLsh]], which prunes instead of organizing.
     */
   def embeddingNearDupsBlocked(emb: DataFrame, threshold: Double = 0.4,
-                               gridP: Int = 8,
+                               gridP: Int = 0,
                                skipOversized: Boolean = false): DataFrame = {
     val fam = vecFamilies("d5_vec_families", emb, skipOversized = skipOversized)
+    // <= 0 (the family default) derives P from the rep count; an
+    // explicit positive value pins the grid (specs, A/B replays).
+    val p = if (gridP > 0) gridP else derivedGridP(fam)
     val base = fam.select(col("rep").as("vec_id"), col("embedding"))
-      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(gridP)).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(p)).cast("int"))
     val a = base
-      .withColumn("cell", explode(expr(s"transform(sequence(g, ${gridP - 1}), j -> g * $gridP + j)")))
+      .withColumn("cell", explode(expr(s"transform(sequence(g, ${p - 1}), j -> g * $p + j)")))
       .alias("a")
     val b = base
-      .withColumn("cell", explode(expr(s"transform(sequence(0, g), i -> i * $gridP + g)")))
+      .withColumn("cell", explode(expr(s"transform(sequence(0, g), i -> i * $p + g)")))
       .alias("b")
     val repPairs = a.join(b.hint("shuffle_hash"),
         col("a.cell") === col("b.cell") &&
@@ -727,6 +753,29 @@ object Dedup {
         round(col("cos"), 6).as("cosine"))
     identicalVecPairs(fam, threshold)
       .unionByName(expandRepPairs(repPairs, fam, Seq("cosine")))
+  }
+
+  /** Hyperplane count for the LSH near-dup path, derived from the
+    * representative count: planes = clamp(ceil(log2(ceil(n /
+    * targetBucketSize))), 6, 24). With 2^planes buckets the EXPECTED
+    * bucket holds ~targetBucketSize reps, so the in-bucket candidate
+    * mass ((planes+1) probes × bucket size per rep) grows linearly
+    * with the corpus instead of n²/2^fixedPlanes. The recall side of
+    * the dial moves too — each extra plane multiplies a true pair's
+    * single-bucket collision odds by its per-plane agreement
+    * (1 − θ/π, → 1 as cos → 1) — which is the correct trade for the
+    * near-dup regime this path exists for (cos ≳ 0.8); callers
+    * chasing the noise floor should pin a small explicit plane count
+    * and eat the candidate mass, or use the blocked exact join. At
+    * the verified SFs (≤2k reps) the derivation lands on the floor 6,
+    * the old fixed default.
+    */
+  private[graft] def derivedNumPlanes(fam: DataFrame,
+                                      targetBucketSize: Int = 32): Int = {
+    val n = math.max(1L, fam.count())
+    val buckets = (n + targetBucketSize - 1) / targetBucketSize
+    val planes = math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt
+    math.min(24, math.max(6, planes))
   }
 
   /** The 100 TB path for embedding near-dup: hyperplane-LSH bucket
@@ -752,14 +801,20 @@ object Dedup {
     * an array column.
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.4,
-                           numPlanes: Int = 6, seed: Long = 42L,
+                           numPlanes: Int = 0, seed: Long = 42L,
                            skipOversized: Boolean = false): DataFrame = {
     val fam = vecFamilies("d5_vec_families", emb, skipOversized = skipOversized)
+    // <= 0 (the family default) derives the plane count from the rep
+    // count ([[derivedNumPlanes]]) so expected bucket size — and with
+    // it the in-bucket candidate mass — stays bounded as the corpus
+    // grows; an explicit positive value pins the model (recall-
+    // critical low-threshold runs, specs, replays of a stored index).
+    val planes = if (numPlanes > 0) numPlanes else derivedNumPlanes(fam)
     val bucketed = fam.select(col("rep").as("vec_id"), col("embedding"))
-      .withColumn("bucket", hyperplane_bucket(col("embedding"), numPlanes, seed))
+      .withColumn("bucket", hyperplane_bucket(col("embedding"), planes, seed))
     val probed = bucketed
       .withColumn("probe", explode(expr(
-        s"concat(array(int(bucket)), transform(sequence(0, ${numPlanes - 1}), i -> int(bucket) ^ shiftleft(1, i)))")))
+        s"concat(array(int(bucket)), transform(sequence(0, ${planes - 1}), i -> int(bucket) ^ shiftleft(1, i)))")))
     val a = probed.alias("a")
     val b = bucketed.alias("b")
     val repPairs = a

@@ -48,7 +48,11 @@ object Similarity {
     val c = corpus
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .withColumn("bucket", hyperplane_bucket(col("n_emb"), numPlanes, seed))
-    val masks = (0 until (1 << numPlanes)).filter(m => Integer.bitCount(m) <= probeHamming)
+    // C(planes, 0..probeHamming) masks, built combinatorially — a
+    // 2^planes scan would hang the driver at the large plane counts
+    // the bucket-size math wants on big corpora
+    val masks = (0 to probeHamming).flatMap(h =>
+      (0 until numPlanes).combinations(h).map(_.map(1 << _).sum))
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("bucket0", hyperplane_bucket(col("q_emb"), numPlanes, seed))

@@ -155,6 +155,53 @@ class DedupSpec extends GraftSpecBase {
     assert(blocked == ref, s"missing=${(ref -- blocked).take(5)} extra=${(blocked -- ref).take(5)}")
   }
 
+  test("blocked grid join is P-invariant above the floor") {
+    // the grid width is a pure partitioning dial: every unordered rep
+    // pair meets in exactly one cell for ANY P, so an above-floor
+    // (and deliberately non-power-of-two) width must reproduce the
+    // floor pair set bit-for-bit — the law that makes derivedGridP's
+    // corpus-driven width safe to default
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(p: Int) = dedup.Dedup.embeddingNearDupsBlocked(emb, threshold = 0.4, gridP = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val floor = pairs(8)
+    val wide = pairs(13)
+    assert(floor.nonEmpty)
+    assert(wide == floor,
+      s"missing=${(floor -- wide).take(5)} extra=${(wide -- floor).take(5)}")
+  }
+
+  test("derivedGridP / derivedNumPlanes: corpus-derived partitioning laws") {
+    // both derivations only count the family frame, so any 2-column
+    // frame of the right size exercises the law
+    import spark.implicits._
+    def fam(n: Int) = (1L to n.toLong).map(i => (i, Seq(i.toFloat)))
+      .toDF("rep", "embedding")
+    // grid width: floor below 8 groups' worth, ceil(n/target) inside,
+    // hard cap at 1024
+    assert(dedup.Dedup.derivedGridP(fam(100)) == 8, "floor")
+    assert(dedup.Dedup.derivedGridP(fam(100), targetGroupSize = 10) == 10, "ceil(100/10)")
+    assert(dedup.Dedup.derivedGridP(fam(101), targetGroupSize = 10) == 11, "ceiling rounds up")
+    assert(dedup.Dedup.derivedGridP(fam(2000), targetGroupSize = 1) == 1024, "cap")
+    // plane count: floor 6 at the verified SFs (the old fixed
+    // default), ceil(log2(buckets)) inside
+    assert(dedup.Dedup.derivedNumPlanes(fam(500)) == 6, "sf0.01-sized corpus stays on the floor")
+    assert(dedup.Dedup.derivedNumPlanes(fam(2000)) == 6, "sf0.1-sized corpus stays on the floor")
+    assert(dedup.Dedup.derivedNumPlanes(fam(2000), targetBucketSize = 1) == 11, "ceil(log2(2000))")
+    // duplication-invariance: the derivation sees FAMILY reps, so a
+    // byte-identical 3x copy corpus derives exactly the base model
+    // (the collapse-first law extended to model sizing)
+    val emb = Tables.embeddings(spark, sf)
+    val copies = (1 to 2).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .foldLeft(emb)(_ unionByName _)
+    val famBase = dedup.Dedup.vecFamilies("derive_law_base", emb)
+    val famDup = dedup.Dedup.vecFamilies("derive_law_dup", copies)
+    assert(dedup.Dedup.derivedNumPlanes(famDup) == dedup.Dedup.derivedNumPlanes(famBase),
+      "copy families must not move the derived plane count")
+    assert(dedup.Dedup.derivedGridP(famDup) == dedup.Dedup.derivedGridP(famBase),
+      "copy families must not move the derived grid width")
+  }
+
   test("LSH near-dup is exact on actually-near duplicates") {
     // Plant real near-dups (cos ≈ 0.999); chance pairs among 64-dim
     // gaussians sit ≈6σ below the 0.9 threshold, so `exact` is
