@@ -511,15 +511,43 @@ object Checks {
     val li = Tables.lineitem(spark, dir)
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
-    val slice = li.filter(pmod(col("l_orderkey"), lit(16)) === 0)
-    val approxFull = approxProfileColumns(li, cols)
+    val slicePred = pmod(col("l_orderkey"), lit(16)) === 0
+    val slice = li.filter(slicePred)
+    // Scan fusion (r13, guide §1.2 — fewer corpus passes): the SLICE
+    // SKETCHES ride the Expand-free full pass as when(slicePred, …)
+    // conditional HLL aggregates (p15b's pass-1 trick — HLL skips the
+    // nulls the when() injects, and its register merge is an
+    // elementwise max, so the estimate is bit-identical to sketching
+    // the filtered slice separately). The slice pass keeps ONLY the
+    // exact multi-distinct — the entry costs two corpus scans (full
+    // conditional pass + slice-exact pass) instead of three. The
+    // rejected alternative (measured 2.0→3.7 s warm at sf0.1): fusing
+    // the sketches into the slice's multi-distinct agg instead puts
+    // the 5 HLL buffers inside the Expand's dedupe aggregation, whose
+    // per-group buffers then carry them through the dedupe exchange —
+    // a single-task 1.9 s merge straggler where the old shape had a
+    // 0.6 s 32-task stage.
+    val fullAggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__distinct"),
+        approx_count_distinct(when(slicePred, col(c)), rsd = 0.02)
+          .as(s"${c}__sdistinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val fullStack = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__sdistinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    val approxFull = li.agg(count(lit(1)).as("__n_rows"), fullAggs: _*)
+      .select(col("__n_rows").as("n_rows"),
+        expr(s"stack(${cols.length}, $fullStack)")
+          .as(Seq("col_name", "n_nulls", "n_distinct_approx", "__approx_s",
+            "min_val", "max_val")))
     val exactSlice = profileColumns(slice, cols)
       .select(col("col_name"), col("n_distinct").as("__exact_s"))
-    val approxSlice = approxProfileColumns(slice, cols)
-      .select(col("col_name"), col("n_distinct_approx").as("__approx_s"))
     approxFull
       .join(exactSlice, Seq("col_name"))
-      .join(approxSlice, Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("__exact_s").as("n_distinct_slice"),
         col("min_val"), col("max_val"),

@@ -507,6 +507,44 @@ class OperatorsSpec extends GraftSpecBase {
     assert(pops.sum == nCust, "every ordering customer lands in a decile")
   }
 
+  test("banded rank / ntile / running sum ≡ the single-partition window spellings (r13)") {
+    import org.apache.spark.sql.expressions.Window
+    // 23 rows (23 % 5 = 3, so ntile's remainder buckets are exercised),
+    // duplicated keys (i*7 % 9) so ties straddle the floor(key/3) band
+    // boundaries, and a value column for the running sum.
+    val df = (1L to 23L).map(i => (i, (i * 7 % 9).toDouble, i * 31 % 13))
+      .toDF("id", "key", "cents")
+    // rank: banded (coarse 3-wide bands over key) vs global window
+    val ranked = analytics.Queries.bandedRowNumber(df,
+      expr("floor(key / 3.0)"), Seq(col("key"), col("id")), "rk")
+    val expectRk = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("key"), col("id"))).cast("long"))
+    assert(ranked.select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      expectRk.select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "banded rank must be bit-equal to the global row_number")
+    // ntile closed form vs Spark's ntile, remainder case included
+    val nt = ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn("q", analytics.Queries.ntileFromRank("rk", "__n", 5))
+    val expectNt = df.withColumn("q",
+      ntile(5).over(Window.orderBy(col("key"), col("id"))).cast("long"))
+    assert(nt.select("id", "q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      expectNt.select("id", "q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "closed-form ntile must match Spark's ntile bucket for bucket")
+    // running sum: banded (desc order, negated band) vs global window
+    val cum = analytics.Queries.bandedRunningSum(df,
+      expr("-floor(cents / 4.0)"), Seq(col("cents").desc, col("id")),
+      col("cents"), "cum")
+    val expectCum = df.withColumn("cum",
+      sum(col("cents")).over(Window.orderBy(col("cents").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(cum.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      expectCum.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "banded running sum must be bit-equal to the global running sum")
+    // empty-frame law: no rows, no crash
+    assert(analytics.Queries.bandedRowNumber(df.filter(lit(false)),
+      expr("floor(key / 3.0)"), Seq(col("key"), col("id")), "rk").count() == 0)
+  }
+
   test("st15 attribution: latest strict-preceding touch wins; early conversions stay unattributed") {
     val df = Seq(
       // u1: view@100 → click@200 → purchase@300: credit the click

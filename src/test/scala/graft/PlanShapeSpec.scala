@@ -439,6 +439,61 @@ class PlanShapeSpec extends GraftSpecBase {
       s"bucket offsets must broadcast back:\n$plan")
   }
 
+  test("a28/a35/a36: quantile cuts ride banded windows — every global window sees only the band table (r13)") {
+    // The deferred swap-in the a28/a35/a36 docstrings promised: the
+    // corpus-scale (customer-cardinality) aggregate must never funnel
+    // through a single-partition WindowExec. Walked structurally, not
+    // textually: any WindowExec with an EMPTY partition spec must
+    // consume the bounded __band offsets frame (its child carries the
+    // __band column); the corpus windows carry __band in their
+    // partition spec instead.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(walk)) ++ (p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      })
+    val orders = Tables.orders(spark, sf)
+    Seq("a28" -> analytics.Queries.spendDeciles(spark, sf, bandedMinBytes = 0),
+        "a35" -> analytics.Queries.rfmSegments(orders, bandedMinBytes = 0),
+        "a36" -> analytics.Queries.abcClasses(orders, bandedMinBytes = 0))
+      .foreach { case (name, df) =>
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val globals = walk(root).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        assert(w.child.output.exists(_.name == "__band"),
+          s"$name: global window over a non-band (corpus-scale) frame:\n$w")
+      }
+      val banded = walk(root).collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }
+      assert(banded.nonEmpty,
+        s"$name: expected the corpus window to be band-partitioned")
+    }
+    // Cutover identity at the entry level: below the size cutover the
+    // entries keep the plain window (the cheap dimension-cardinality
+    // plan); forcing the banded spelling must not move a single row.
+    def sorted(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sorted(analytics.Queries.spendDeciles(spark, sf, bandedMinBytes = 0)) ==
+      sorted(analytics.Queries.spendDeciles(spark, sf)),
+      "a28: banded and window spellings must be row-identical")
+    assert(sorted(analytics.Queries.rfmSegments(orders, bandedMinBytes = 0)) ==
+      sorted(analytics.Queries.rfmSegments(orders)),
+      "a35: banded and window spellings must be row-identical")
+    assert(sorted(analytics.Queries.abcClasses(orders, bandedMinBytes = 0)) ==
+      sorted(analytics.Queries.abcClasses(orders)),
+      "a36: banded and window spellings must be row-identical")
+  }
+
   test("x15: interleave never rangepartitions the corpus — banded prefix-sum like x10") {
     val plan = finalPlan(text.Curation.interleaveBySource(
       Tables.documents(spark, sf).select("doc_id", "source")))
@@ -1127,6 +1182,14 @@ class PlanShapeSpec extends GraftSpecBase {
     val between = plan.substring(at, scanAt)
     assert(between.contains("% 16") || between.contains("pmod"),
       s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
+    // r13 scan fusion: the slice's exact multi-distinct and its HLL
+    // sketch ride ONE aggregate, so the entry costs exactly two
+    // corpus scans (full sketch pass + fused slice pass) — the same
+    // law p15b pins. A third scan reappearing means the slice gate
+    // split back into separate exact/approx passes.
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"p14b must cost exactly two corpus scans, got $scans:\n$plan")
   }
 
   test("p15b: two corpus scans total — one Expand-free full pass, one slice-fed Expand") {
