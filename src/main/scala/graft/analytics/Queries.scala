@@ -804,14 +804,54 @@ object Queries {
     * the one-task sort t14/t16 already lost — is gone; the window
     * re-clusters by band instead.
     */
-  private[graft] def bandedRowNumber(df: DataFrame, band: Column,
-                              order: Seq[Column], out: String): DataFrame = {
-    val keyed = df.withColumn("__band", band)
-    val offsets = keyed.groupBy(col("__band")).count()
-      .withColumn("__offset", coalesce(
-        sum(col("count")).over(Window.orderBy(col("__band"))
+  /** Super-band width for the offsets tables' own prefix sums (r14,
+    * VERDICT r13 item 5): the monetary $1024/65536-cent bands bound
+    * the offsets table by VALUE RANGE, not corpus size, so a
+    * pathological spend distribution (astronomically wide range)
+    * could grow the band table toward corpus cardinality — and the
+    * one remaining `Window.orderBy(__band)` global window with it.
+    * The exclusive prefix sum over the band table is therefore
+    * two-level: within-super-band running sums (band-table rows
+    * window-partitioned by `floor(__band / width)` — any monotone
+    * non-decreasing coarsening preserves the prefix identity) plus a
+    * broadcast super-band offsets frame, whose global window sees
+    * occupied-band cardinality ÷ 2²⁰ rows. Deterministic, no
+    * data-dependent probe, bit-identical arithmetic (long sums
+    * re-associate across the same ordered prefix). Parameterized per
+    * call so the spec can force multi-super-band shapes on small
+    * fixtures.
+    */
+  private[graft] val OffsetsBandWidth: Long = 1L << 20
+
+  /** Exclusive prefix sum of `__bval` along ascending `__band`,
+    * returned as (__band, __offset) — the shared offsets law of
+    * [[bandedRowNumber]]/[[bandedRunningSum]], spelled two-level so
+    * no frame of unbounded cardinality ever crosses a global window
+    * (see [[OffsetsBandWidth]]).
+    */
+  private def prefixOffsets(perBand: DataFrame, sbandWidth: Long): DataFrame = {
+    val sb = perBand.withColumn("__sband",
+      floor(col("__band") / lit(sbandWidth.toDouble)).cast("long"))
+    val sbOffsets = sb.groupBy(col("__sband")).agg(sum(col("__bval")).as("__ssum"))
+      .withColumn("__soffset", coalesce(
+        sum(col("__ssum")).over(Window.orderBy(col("__sband"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__band"), col("__offset"))
+      .select(col("__sband"), col("__soffset"))
+    sb
+      .withColumn("__inner", coalesce(
+        sum(col("__bval")).over(Window.partitionBy(col("__sband"))
+          .orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(sbOffsets), Seq("__sband"))
+      .select(col("__band"), (col("__soffset") + col("__inner")).as("__offset"))
+  }
+
+  private[graft] def bandedRowNumber(df: DataFrame, band: Column,
+                              order: Seq[Column], out: String,
+                              sbandWidth: Long = OffsetsBandWidth): DataFrame = {
+    val keyed = df.withColumn("__band", band)
+    val offsets = prefixOffsets(
+      keyed.groupBy(col("__band")).agg(count(lit(1)).as("__bval")), sbandWidth)
     keyed.join(broadcast(offsets), Seq("__band"))
       .withColumn(out, col("__offset") +
         row_number().over(Window.partitionBy(col("__band")).orderBy(order: _*)))
@@ -824,13 +864,11 @@ object Queries {
     */
   private[graft] def bandedRunningSum(df: DataFrame, band: Column,
                                order: Seq[Column], value: Column,
-                               out: String): DataFrame = {
+                               out: String,
+                               sbandWidth: Long = OffsetsBandWidth): DataFrame = {
     val keyed = df.withColumn("__band", band)
-    val offsets = keyed.groupBy(col("__band")).agg(sum(value).as("__bsum"))
-      .withColumn("__offset", coalesce(
-        sum(col("__bsum")).over(Window.orderBy(col("__band"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__band"), col("__offset"))
+    val offsets = prefixOffsets(
+      keyed.groupBy(col("__band")).agg(sum(value).as("__bval")), sbandWidth)
     keyed.join(broadcast(offsets), Seq("__band"))
       .withColumn(out, col("__offset") +
         sum(value).over(Window.partitionBy(col("__band")).orderBy(order: _*)

@@ -507,43 +507,93 @@ object Checks {
     * the gate join is |columns| rows × |columns| rows — free at any
     * corpus size.
     */
-  def p14bApproxProfile(spark: SparkSession, dir: String): DataFrame = {
+  /** Cutover for p14b's scan fusion (r14; the same
+    * derive-from-input-size law as Queries.BandedWindowMinBytes):
+    * lineitem inputs whose optimizer size estimate stays under this
+    * many bytes keep the separate 1/16-slice sketch pass (3 scans —
+    * the third scan is ~0.1 s on a page-cached dimension-scale input,
+    * cheaper than paying conditional HLL updates on every full-pass
+    * row); above it the slice sketches fuse into the full pass (2
+    * scans — the pass-count win once scans carry real bytes).
+    * Metadata-only (file-size estimate, no extra pass), deterministic
+    * per corpus; both spellings produce identical rows, so the switch
+    * can never move a result. Value set from this round's same-host
+    * A/B (OPTIMIZATION_r14.md): split wins at sf0.1 (11 MB), fused
+    * wins at 10× (110 MB) — 32 MiB sits between the measured rungs.
+    */
+  private[graft] val P14bFuseMinBytes: Long = 32L << 20
+
+  def p14bApproxProfile(spark: SparkSession, dir: String,
+                        fuseMinBytes: Long = P14bFuseMinBytes): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linestatus")
     val slicePred = pmod(col("l_orderkey"), lit(16)) === 0
     val slice = li.filter(slicePred)
-    // Scan fusion (r13, guide §1.2 — fewer corpus passes): the SLICE
-    // SKETCHES ride the Expand-free full pass as when(slicePred, …)
-    // conditional HLL aggregates (p15b's pass-1 trick — HLL skips the
-    // nulls the when() injects, and its register merge is an
-    // elementwise max, so the estimate is bit-identical to sketching
-    // the filtered slice separately). The slice pass keeps ONLY the
-    // exact multi-distinct — the entry costs two corpus scans (full
-    // conditional pass + slice-exact pass) instead of three. The
-    // rejected alternative (measured 2.0→3.7 s warm at sf0.1): fusing
-    // the sketches into the slice's multi-distinct agg instead puts
-    // the 5 HLL buffers inside the Expand's dedupe aggregation, whose
-    // per-group buffers then carry them through the dedupe exchange —
-    // a single-task 1.9 s merge straggler where the old shape had a
-    // 0.6 s 32-task stage.
+    // Scan fusion (r13, guide §1.2 — fewer corpus passes), SIZE-GATED
+    // (r14, VERDICT r13 item 1 — the a28/a35/a36 cutover law applied
+    // here): ABOVE [[P14bFuseMinBytes]] the SLICE SKETCHES ride the
+    // Expand-free full pass as when(slicePred, …) conditional HLL
+    // aggregates (p15b's pass-1 trick — HLL skips the nulls the
+    // when() injects, and its register merge is an elementwise max,
+    // so the estimate is bit-identical to sketching the filtered
+    // slice separately). The slice pass keeps ONLY the exact
+    // multi-distinct — the entry costs two corpus scans instead of
+    // three, the winning trade once scans carry real bytes (r13's
+    // 10× sweeps: 5.49→4.17 s). BELOW the cutover the slice sketches
+    // keep their own cheap 1/16-scan pass (the r12 spelling): on a
+    // page-cached dimension-scale input the third scan costs ~0.1 s
+    // while the fused spelling pays per-row when()+HLL updates on
+    // EVERY full-pass row — driver-measured 2× slower at sf0.1
+    // (BENCH_r13 p14b 2.58→5.23 s, this round's same-host A/B in
+    // OPTIMIZATION_r14.md). Both spellings are bit-identical (same
+    // HLL register state), spec- and oracle-pinned.
+    // The rejected third alternative (measured 2.0→3.7 s warm at
+    // sf0.1): fusing the sketches into the slice's multi-distinct agg
+    // instead puts the 5 HLL buffers inside the Expand's dedupe
+    // aggregation, whose per-group buffers then carry them through
+    // the dedupe exchange — a single-task 1.9 s merge straggler where
+    // the old shape had a 0.6 s 32-task stage.
+    val fuse = li.queryExecution.optimizedPlan.stats.sizeInBytes > fuseMinBytes
     val fullAggs = cols.flatMap { c =>
-      Seq(
+      val base = Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__distinct"),
-        approx_count_distinct(when(slicePred, col(c)), rsd = 0.02)
-          .as(s"${c}__sdistinct"),
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__distinct"))
+      val sketch =
+        if (fuse) Seq(approx_count_distinct(when(slicePred, col(c)), rsd = 0.02)
+          .as(s"${c}__sdistinct"))
+        else Seq.empty
+      base ++ sketch ++ Seq(
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val fullStack = cols.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__sdistinct`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    val approxFull = li.agg(count(lit(1)).as("__n_rows"), fullAggs: _*)
-      .select(col("__n_rows").as("n_rows"),
-        expr(s"stack(${cols.length}, $fullStack)")
-          .as(Seq("col_name", "n_nulls", "n_distinct_approx", "__approx_s",
-            "min_val", "max_val")))
+    val approxFull =
+      if (fuse) {
+        val fullStack = cols.map(c =>
+          s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__sdistinct`, `${c}__min`, `${c}__max`")
+          .mkString(", ")
+        li.agg(count(lit(1)).as("__n_rows"), fullAggs: _*)
+          .select(col("__n_rows").as("n_rows"),
+            expr(s"stack(${cols.length}, $fullStack)")
+              .as(Seq("col_name", "n_nulls", "n_distinct_approx", "__approx_s",
+                "min_val", "max_val")))
+      } else {
+        val fullStack = cols.map(c =>
+          s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+          .mkString(", ")
+        val sliceAggs = cols.map(c =>
+          approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__sdistinct"))
+        val sliceStack = cols.map(c => s"'$c', `${c}__sdistinct`").mkString(", ")
+        val approxSlice = slice.agg(sliceAggs.head, sliceAggs.tail: _*)
+          .select(expr(s"stack(${cols.length}, $sliceStack)")
+            .as(Seq("col_name", "__approx_s")))
+        li.agg(count(lit(1)).as("__n_rows"), fullAggs: _*)
+          .select(col("__n_rows").as("n_rows"),
+            expr(s"stack(${cols.length}, $fullStack)")
+              .as(Seq("col_name", "n_nulls", "n_distinct_approx",
+                "min_val", "max_val")))
+          .join(approxSlice, Seq("col_name"))
+      }
     val exactSlice = profileColumns(slice, cols)
       .select(col("col_name"), col("n_distinct").as("__exact_s"))
     approxFull

@@ -543,6 +543,33 @@ class OperatorsSpec extends GraftSpecBase {
     // empty-frame law: no rows, no crash
     assert(analytics.Queries.bandedRowNumber(df.filter(lit(false)),
       expr("floor(key / 3.0)"), Seq(col("key"), col("id")), "rk").count() == 0)
+    // r14 (VERDICT r13 item 5) — planted WIDE-RANGE corpus: spends
+    // spanning 12 orders of magnitude (every row its own $1024 band,
+    // negative bands included via the desc negation) with the
+    // super-band width forced to 4, so the offsets table crosses
+    // MANY super-bands including the truncating-div double-width
+    // bucket at zero. The two-level prefix sum must stay bit-equal
+    // to the global window on both helpers.
+    val wide = (1L to 40L).map(i =>
+      (i, math.pow(10.0, (i % 13).toDouble) * 1024.0 + i.toDouble, i * 17 % 23))
+      .toDF("id", "spend", "cents")
+    val wideRk = analytics.Queries.bandedRowNumber(wide,
+      expr("-floor(spend / 1024.0)"), Seq(col("spend").desc, col("id")), "rk",
+      sbandWidth = 4L)
+    val wideExpect = wide.withColumn("rk",
+      row_number().over(Window.orderBy(col("spend").desc, col("id"))).cast("long"))
+    assert(wideRk.select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      wideExpect.select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "wide-range banded rank must survive multi-super-band offsets bit-equal")
+    val wideCum = analytics.Queries.bandedRunningSum(wide,
+      expr("-floor(spend / 1024.0)"), Seq(col("spend").desc, col("id")),
+      col("cents"), "cum", sbandWidth = 4L)
+    val wideCumExpect = wide.withColumn("cum",
+      sum(col("cents")).over(Window.orderBy(col("spend").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(wideCum.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      wideCumExpect.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "wide-range banded running sum must survive multi-super-band offsets bit-equal")
   }
 
   test("st15 attribution: latest strict-preceding touch wins; early conversions stay unattributed") {

@@ -469,8 +469,14 @@ class PlanShapeSpec extends GraftSpecBase {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       globals.foreach { w =>
-        assert(w.child.output.exists(_.name == "__band"),
+        // r14: the offsets prefix sum is itself two-level, so the
+        // only empty-partition window left rides the SUPER-band
+        // frame (occupied bands ÷ 2²⁰ — bounded even under a
+        // pathological value distribution, VERDICT r13 item 5)
+        assert(w.child.output.exists(a => a.name == "__sband" || a.name == "__band"),
           s"$name: global window over a non-band (corpus-scale) frame:\n$w")
+        assert(w.child.output.exists(_.name == "__sband"),
+          s"$name: offsets prefix sum must be two-level — global window may only see the __sband frame:\n$w")
       }
       val banded = walk(root).collect {
         case w: WindowExec if w.partitionSpec.nonEmpty => w
@@ -1172,24 +1178,43 @@ class PlanShapeSpec extends GraftSpecBase {
     // between the Expand and its parquet scan in the depth-first
     // plan rendering) — the unfiltered full-corpus branch stays on
     // the sketch spelling, Expand-free.
-    val plan = finalPlan(quality.Checks.p14bApproxProfile(spark, sf))
-    val expands = "Expand".r.findAllIn(plan).length
-    assert(expands == 1,
-      s"entry must pay exactly one slice-bounded Expand, got $expands:\n$plan")
-    val at = plan.indexOf("Expand")
-    val scanAt = plan.indexOf("Scan parquet", at)
-    assert(scanAt > at, s"no scan found under the Expand:\n$plan")
-    val between = plan.substring(at, scanAt)
-    assert(between.contains("% 16") || between.contains("pmod"),
-      s"the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
-    // r13 scan fusion: the slice's exact multi-distinct and its HLL
-    // sketch ride ONE aggregate, so the entry costs exactly two
-    // corpus scans (full sketch pass + fused slice pass) — the same
-    // law p15b pins. A third scan reappearing means the slice gate
-    // split back into separate exact/approx passes.
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 2,
-      s"p14b must cost exactly two corpus scans, got $scans:\n$plan")
+    // r14 size cutover (VERDICT r13 item 1, the a28/a35/a36 law):
+    // below P14bFuseMinBytes the slice sketches keep their own 1/16
+    // pass (3 scans — the r12 spelling, cheaper on page-cached
+    // dimension-scale inputs); above it they fuse into the full pass
+    // as conditional HLL aggs (2 scans — r13's pass-count win once
+    // scans carry real bytes). Pin BOTH forced spellings: each pays
+    // exactly one Expand, fed by the mod-16 slice, with the
+    // full-corpus branch Expand-free; the fused spelling costs
+    // exactly 2 corpus scans, the split exactly 3.
+    def pin(plan: String, scansWanted: Int, label: String): Unit = {
+      val expands = "Expand".r.findAllIn(plan).length
+      assert(expands == 1,
+        s"p14b($label) must pay exactly one slice-bounded Expand, got $expands:\n$plan")
+      val at = plan.indexOf("Expand")
+      val scanAt = plan.indexOf("Scan parquet", at)
+      assert(scanAt > at, s"p14b($label): no scan found under the Expand:\n$plan")
+      val between = plan.substring(at, scanAt)
+      assert(between.contains("% 16") || between.contains("pmod"),
+        s"p14b($label): the Expand must be fed by the mod-16 slice, not the full corpus:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == scansWanted,
+        s"p14b($label) must cost exactly $scansWanted corpus scans, got $scans:\n$plan")
+    }
+    pin(finalPlan(quality.Checks.p14bApproxProfile(spark, sf, fuseMinBytes = 0L)),
+      2, "fused")
+    pin(finalPlan(quality.Checks.p14bApproxProfile(spark, sf, fuseMinBytes = Long.MaxValue)),
+      3, "split")
+    // Cutover identity at the entry level: the conditional HLL agg
+    // hashes exactly the slice's value set (when() injects nulls HLL
+    // skips), so both spellings carry identical sketch registers —
+    // forcing either spelling must not move a single row.
+    def sorted(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      sorted(quality.Checks.p14bApproxProfile(spark, sf, fuseMinBytes = 0L)) ==
+        sorted(quality.Checks.p14bApproxProfile(spark, sf, fuseMinBytes = Long.MaxValue)),
+      "p14b: fused and split spellings must be row-identical")
   }
 
   test("p15b: two corpus scans total — one Expand-free full pass, one slice-fed Expand") {
