@@ -846,30 +846,59 @@ object Queries {
       .select(col("__band"), (col("__soffset") + col("__inner")).as("__offset"))
   }
 
-  private[graft] def bandedRowNumber(df: DataFrame, band: Column,
-                              order: Seq[Column], out: String,
-                              sbandWidth: Long = OffsetsBandWidth): DataFrame = {
-    val keyed = df.withColumn("__band", band)
-    val offsets = prefixOffsets(
-      keyed.groupBy(col("__band")).agg(count(lit(1)).as("__bval")), sbandWidth)
-    keyed.join(broadcast(offsets), Seq("__band"))
-      .withColumn(out, col("__offset") +
-        row_number().over(Window.partitionBy(col("__band")).orderBy(order: _*)))
-      .drop("__band", "__offset")
+  /** Multi-cut banded rank: each (band, order, out) triple adds a
+    * global-rank column. The input is FrameCache-persisted ONCE and
+    * every offsets branch reads the PERSISTED frame (the
+    * multi-consumer law — d4's pair set, a47's edges): the r13
+    * spelling nested the helpers and let each level's offsets branch
+    * re-derive its whole input subtree, which at a35's three nested
+    * cuts exploded the physical plan to 62 parquet scans of the fact
+    * (this round's forced-banded plan dump) — a flat ~6 s at any
+    * local factor and 27 corpus-scale aggregations at 100 TB. Now:
+    * ONE fact aggregation populates the cache; each cut costs one
+    * bounded offsets branch over the persisted frame plus one
+    * band-partitioned window on the main chain.
+    */
+  private[graft] def bandedRowNumbers(df: DataFrame,
+      cuts: Seq[(Column, Seq[Column], String)],
+      sbandWidth: Long = OffsetsBandWidth): DataFrame = {
+    val in = graft.FrameCache.persisted(
+      "banded_input_" + cuts.map(_._3).mkString("_"), df)
+    cuts.zipWithIndex.foldLeft(in: DataFrame) {
+      case (acc, ((band, order, out), i)) =>
+        val bc = s"__band$i"
+        val offsets = prefixOffsets(
+          in.withColumn("__band", band).groupBy(col("__band"))
+            .agg(count(lit(1)).as("__bval")), sbandWidth)
+          .withColumnRenamed("__band", bc)
+        acc.withColumn(bc, band)
+          .join(broadcast(offsets), Seq(bc))
+          .withColumn(out, col("__offset") +
+            row_number().over(Window.partitionBy(col(bc)).orderBy(order: _*)))
+          .drop(bc, "__offset")
+    }
   }
 
-  /** [[bandedRowNumber]]'s running-sum flavor (Intervals.runningFromNets'
+  private[graft] def bandedRowNumber(df: DataFrame, band: Column,
+                              order: Seq[Column], out: String,
+                              sbandWidth: Long = OffsetsBandWidth): DataFrame =
+    bandedRowNumbers(df, Seq((band, order, out)), sbandWidth)
+
+  /** [[bandedRowNumbers]]'s running-sum flavor (Intervals.runningFromNets'
     * offsets law on a value order): per-band sum prefixes broadcast
     * back, within-band running sum + offset = the global running sum.
+    * Same persisted-input law as the rank flavor.
     */
   private[graft] def bandedRunningSum(df: DataFrame, band: Column,
                                order: Seq[Column], value: Column,
                                out: String,
                                sbandWidth: Long = OffsetsBandWidth): DataFrame = {
-    val keyed = df.withColumn("__band", band)
+    val in = graft.FrameCache.persisted(s"banded_input_$out", df)
     val offsets = prefixOffsets(
-      keyed.groupBy(col("__band")).agg(sum(value).as("__bval")), sbandWidth)
-    keyed.join(broadcast(offsets), Seq("__band"))
+      in.withColumn("__band", band).groupBy(col("__band"))
+        .agg(sum(value).as("__bval")), sbandWidth)
+    in.withColumn("__band", band)
+      .join(broadcast(offsets), Seq("__band"))
       .withColumn(out, col("__offset") +
         sum(value).over(Window.partitionBy(col("__band")).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -886,17 +915,28 @@ object Queries {
     * size estimate stays under this many bytes keep the plain global
     * window (at dimension-like cardinalities the single-partition
     * window is a sub-second step and the banding machinery — offsets
-    * branch, broadcast join, band exchange — is pure overhead:
-    * measured 0.35→1.00 s on a28, 0.49→1.98 s on a35 at sf0.1);
-    * above it the banded spelling swaps in so no corpus-scale frame
-    * ever funnels through one task. Metadata-only (file-size
-    * estimate, no extra pass), deterministic per corpus, and both
-    * spellings are bit-identical (spec-pinned) so the switch can
-    * never move a result. The same derive-from-input-size law as the
-    * IVF family's derivedNumCells — an explicit override pins the
-    * spelling for specs and plan replays.
+    * branches, broadcast joins, band exchanges — is fixed stage
+    * latency: ~2 s/query at any local factor); above it the banded
+    * spelling swaps in so no corpus-scale frame ever funnels through
+    * one task. Metadata-only (file-size estimate, no extra pass),
+    * deterministic per corpus, and both spellings are bit-identical
+    * (spec-pinned) so the switch can never move a result. The same
+    * derive-from-input-size law as the IVF family's derivedNumCells —
+    * an explicit override pins the spelling for specs and plan
+    * replays.
+    *
+    * Value MEASURED this round (VERDICT r13 item 2;
+    * tools/BandedCutoverAb over customer-scaled orders — BenchCorpus
+    * keeps customers verbatim, so a dedicated corpus scales
+    * o_custkey with the replicas; bench_banded_cutover.json):
+    * plain/banded a28+a35+a36 medians 1.44/7.66 s at 17 MB (116 k
+    * customers), 4.07/7.33 s at 69 MB (465 k), 7.60/8.86 s at
+    * 137 MB (929 k), 15.06/9.42 s at 275 MB (1.9 M customers) —
+    * the crossover sits between the last two rungs; 192 MiB is
+    * their geometric middle. The r13 value (1 GiB) was a first-cut
+    * constant with no customer-scaled measurement under it.
     */
-  private[graft] val BandedWindowMinBytes: Long = 1L << 30
+  private[graft] val BandedWindowMinBytes: Long = 192L << 20
 
   private[graft] def useBandedWindows(input: DataFrame, minBytes: Long): Boolean =
     input.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes
@@ -924,11 +964,13 @@ object Queries {
             .cast("long"))
       else {
         // band = $1024-wide spend bucket, negated so ascending bands
-        // walk spend DESC; the n scalar rides a 1-row broadcast (a22's
-        // decorrelation — its aggregate subtree reuses the per-customer
-        // exchange, not a second fact pass)
-        val n = spend.agg(count(lit(1)).as("__n"))
-        bandedRowNumber(spend, expr("-floor(spend / 1024.0)"),
+        // walk spend DESC; the per-customer aggregate is persisted
+        // ONCE (r14 — the multi-consumer law) and the n scalar, the
+        // offsets branch and the main chain all read the persisted
+        // frame instead of re-deriving the fact aggregate
+        val spendP = graft.FrameCache.persisted("a28_spend", spend)
+        val n = spendP.agg(count(lit(1)).as("__n"))
+        bandedRowNumber(spendP, expr("-floor(spend / 1024.0)"),
           Seq(col("spend").desc, col("o_custkey")), "__rk")
           .crossJoin(broadcast(n))
           .withColumn("decile", ntileFromRank("__rk", "__n", 10).cast("long"))
@@ -1196,16 +1238,15 @@ object Queries {
           .withColumn("m_q", ntile(5).over(
             Window.orderBy(col("__cents").desc, col("o_custkey"))).cast("long"))
       else {
-        val nCust = cust.agg(count(lit(1)).as("__n"))
-        bandedRowNumber(
-          bandedRowNumber(
-            bandedRowNumber(cust,
-              col("recency_days"),
-              Seq(col("recency_days"), col("o_custkey")), "__rk_r"),
-            negate(col("freq")),
+        val custP = graft.FrameCache.persisted("a35_rfm_cust", cust)
+        val nCust = custP.agg(count(lit(1)).as("__n"))
+        bandedRowNumbers(custP, Seq(
+          (col("recency_days"),
+            Seq(col("recency_days"), col("o_custkey")), "__rk_r"),
+          (negate(col("freq")),
             Seq(col("freq").desc, col("o_custkey")), "__rk_f"),
-          expr("-(__cents div 65536)"),
-          Seq(col("__cents").desc, col("o_custkey")), "__rk_m")
+          (expr("-(__cents div 65536)"),
+            Seq(col("__cents").desc, col("o_custkey")), "__rk_m")))
           .crossJoin(broadcast(nCust))
           .withColumn("r_q", ntileFromRank("__rk_r", "__n", 5).cast("long"))
           .withColumn("f_q", ntileFromRank("__rk_f", "__n", 5).cast("long"))
@@ -1247,17 +1288,23 @@ object Queries {
     // r13: above the size cutover the cumulative spend rides
     // bandedRunningSum (per-band sum prefixes + within-band running
     // sums) instead of a single-partition window — same 65536-cent
-    // band as a35's monetary cut. Bit-identical either way.
-    val total = orders.agg(
-      sum(round(col("o_totalprice") * 100).cast("long")).as("__total"))
-    val withCum =
+    // band as a35's monetary cut. Bit-identical either way. r14: the
+    // banded branch persists the per-customer frame once and derives
+    // the corpus total from it (sum of per-customer long sums — the
+    // same exact integer, no second fact pass).
+    val (withCum, total) =
       if (!useBandedWindows(orders, bandedMinBytes))
-        cust.withColumn("__cum", sum(col("__cents")).over(
+        (cust.withColumn("__cum", sum(col("__cents")).over(
           Window.orderBy(col("__cents").desc, col("o_custkey"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      else
-        bandedRunningSum(cust, expr("-(__cents div 65536)"),
-          Seq(col("__cents").desc, col("o_custkey")), col("__cents"), "__cum")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+          orders.agg(
+            sum(round(col("o_totalprice") * 100).cast("long")).as("__total")))
+      else {
+        val custP = graft.FrameCache.persisted("a36_abc_cust", cust)
+        (bandedRunningSum(custP, expr("-(__cents div 65536)"),
+          Seq(col("__cents").desc, col("o_custkey")), col("__cents"), "__cum"),
+          custP.agg(sum(col("__cents")).as("__total")))
+      }
     withCum
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
@@ -1425,13 +1472,19 @@ object Queries {
     * for the assortment/recommendation table). Kept rows are the
     * deterministic support-floored SET (no fp-ranked top-k cut).
     *
-    * Scale shape: baskets dedupe to (order, brand) — ONE composite
-    * exchange with map-side partial dedupe — then the within-order
-    * pair join is an orderkey equi-join whose per-key width is
-    * bounded by the order's distinct-brand count (≤ lines per order,
-    * a schema constant — the same bound that makes a20's cap
-    * unnecessary here), never a cross product; both self-join sides
-    * carry `shuffle_hash` so the basket exchange computes once and
+    * Scale shape (r14, guide §2.4 — two exchanges keyed compatibly
+    * share one): the fact is hash-partitioned on okey ONCE; the
+    * (okey, brand) dedup aggregates within okey partitions
+    * (hashpartitioning(okey) satisfies the composite clustering) and
+    * the within-order pair self-join reuses the SAME partitioning —
+    * the r13 shape paid a (okey, brand) dedup exchange AND an okey
+    * join exchange back-to-back. The raw basket rows crossing the
+    * single exchange exceed the deduped rows by at most the
+    * lines-per-order dedup factor (a schema constant ≤7), strictly
+    * less than what the second full exchange cost. The pair join's
+    * per-key width stays bounded by the order's distinct-brand count
+    * (never a cross product); both self-join sides carry
+    * `shuffle_hash` so the basket exchange computes once and
     * ReusedExchange feeds both (d4's trick). Brand marginals re-agg
     * the basket frame on the tiny brand key and broadcast back; the
     * order count rides a 1-row broadcast. Lift's numerator and
@@ -1443,6 +1496,7 @@ object Queries {
       .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .repartition(col("okey"))
       .distinct()
     val a = baskets.hint("shuffle_hash").alias("a")
     val b = baskets.hint("shuffle_hash").alias("b")

@@ -88,7 +88,10 @@ object Contamination {
     val split = graft.text.Curation
       .hashSplit(docs.select(col("doc_id")), "doc_id", trainPct, valPct)
       .select(col("doc_id"), col("split"))
-    val pairs = Dedup.minhashLshPairs(docs, threshold)
+    // r14: joinback banding (d2b — one bucket hash per band row
+    // instead of the full signature, ~16× less band-shuffle weight;
+    // spec-proven pair-identical, same oracle CTE)
+    val pairs = Dedup.minhashLshPairsJoinback(docs, threshold)
     val decorated = pairs
       .join(split.select(col("doc_id").as("a_id"), col("split").as("a_split")),
         Seq("a_id"))

@@ -1092,9 +1092,19 @@ object Dedup {
     // the corpus uncalibratable in any mode)
     val fam = textFamilies("d4_text_families", docs, skipOversized = skipOversized)
     val repDocs = fam.select(col("rep").as("doc_id"), col("text"))
+    // r14 note (VERDICT r13 item 3, measured and REJECTED): persisting
+    // this two-consumer frame via FrameCache moved the warm wall
+    // nowhere (DragBench 1.23→1.20 s) and cost ~1 s of cold
+    // materialization — the shingle recompute is NOT the entry's
+    // wall, the pair machinery is (now on the joinback banding).
     val sets = withShingleHashes(repDocs).filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-    val repScored = minhashLshPairs(repDocs, threshold, skipOversized = skipOversized)
+    // r14: the JOINBACK banding (d2b, the 100 TB spelling — band rows
+    // carry one bucket hash instead of the full 128-long signature,
+    // ~16× less band-shuffle weight; spec-proven pair-identical to
+    // d2's form, same oracle CTE) generates the candidates here too.
+    val repScored = minhashLshPairsJoinback(repDocs, threshold,
+        skipOversized = skipOversized)
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("__shared", size(array_intersect(col("sha"), col("shb"))))

@@ -64,12 +64,17 @@ object BandedCutoverAb {
       val orders = Tables.orders(spark, dir)
       val sizeEst = orders.queryExecution.optimizedPlan.stats.sizeInBytes
       val nCust = orders.select(approx_count_distinct(col("o_custkey"))).head.getLong(0)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def runEach(minBytes: Long): (Double, Double, Double) = (
+        timed(graft.analytics.Queries.spendDeciles(spark, dir, bandedMinBytes = minBytes).count()),
+        timed(graft.analytics.Queries.rfmSegments(orders, bandedMinBytes = minBytes).count()),
+        timed(graft.analytics.Queries.abcClasses(orders, bandedMinBytes = minBytes).count()))
       def runAll(minBytes: Long): Double = {
-        val t0 = System.nanoTime()
-        graft.analytics.Queries.spendDeciles(spark, dir, bandedMinBytes = minBytes).count()
-        graft.analytics.Queries.rfmSegments(orders, bandedMinBytes = minBytes).count()
-        graft.analytics.Queries.abcClasses(orders, bandedMinBytes = minBytes).count()
-        (System.nanoTime() - t0) / 1e9
+        val (a, b, c) = runEach(minBytes)
+        System.err.println(s"[ab] f=$factor minBytes=$minBytes a28=${f2(a)} a35=${f2(b)} a36=${f2(c)}")
+        a + b + c
       }
       def runDefault(): Double = {
         val t0 = System.nanoTime()
